@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.{load, dec}
+import graft.QueryDef
+
+/** Event-stream analytics in batch form (the oracle-checkable shape of the
+  * streaming layer in `graft.streaming`): time-bucketed aggregation,
+  * gap-based sessionization, and JSON property extraction.
+  *
+  * The reference has no streaming surface (SURVEY.md §2.7) — these are the
+  * training-pipeline extensions over the driver's `events` table.
+  *
+  * Scale design: hourly rollup is a partial-aggregatable groupBy on
+  * (hour, event_type) — low cardinality, map-side combined. Sessionization
+  * shuffles once on user_id (the window partition key) and both window
+  * functions reuse the same partitioning; at 100 TB the user_id hash
+  * partitioning spreads evenly (user skew would be handled by AQE skew
+  * hints or a two-level session merge).
+  */
+object EventsOps {
+
+  /** The driver's events parquet stores `ts` as TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects. With
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench/test
+    * sessions) the column arrives as nanos-since-epoch LongType; normalize
+    * to a µs TimestampType here. The data carries no sub-µs components
+    * (verified), and DuckDB reads the same column as µs TIMESTAMP, so both
+    * engines see identical instants.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = load(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
+  // q10 — tumbling-window (1h) aggregation; exact sums via DECIMAL bridge.
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  private val q10Sql =
+    """SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+      |  MIN(value) AS min_value,
+      |  MAX(value) AS max_value,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY DATE_TRUNC('hour', ts), event_type""".stripMargin
+
+  // q11 — sessionization: 30-min inactivity gap splits sessions. Batch
+  // twin of the streaming session-window operator. Integer microsecond
+  // arithmetic keeps both engines bit-identical.
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        ((max(col("ts_us")) - min(col("ts_us"))) / lit(1000000.0)).as("duration_s"))
+  }
+  private val q11Sql =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, EPOCH_US(ts) AS ts_us,
+      |    CASE WHEN LAG(EPOCH_US(ts)) OVER w IS NULL
+      |           OR EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      |  SELECT user_id, event_id, ts, ts_us,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_id,
+      |  COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start,
+      |  MAX(ts) AS session_end,
+      |  (MAX(ts_us) - MIN(ts_us)) / CAST(1000000 AS DOUBLE) AS duration_s
+      |FROM sessions GROUP BY user_id, session_id""".stripMargin
+
+  // q12 — semi-structured extraction: JSON props → typed column → agg.
+  // All-integer math (exact). At scale `from_json` with an explicit schema
+  // beats get_json_object for multi-key extraction (single parse); here
+  // one key suffices and both are codegen'd.
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+  private val q12Sql =
+    """SELECT event_type,
+      |  COUNT(*) AS n_events,
+      |  COUNT(k) AS n_with_k,
+      |  SUM(k) AS sum_k,
+      |  MIN(k) AS min_k,
+      |  MAX(k) AS max_k
+      |FROM (SELECT event_type, CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k FROM events) t
+      |GROUP BY event_type""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q10_events_hourly", q10, Some(q10Sql)),
+    QueryDef("q11_sessionize", q11, Some(q11Sql)),
+    QueryDef("q12_props_json", q12, Some(q12Sql)),
+  )
+}

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.load
+import graft.QueryDef
+
+/** Similarity search + vector aggregation over the `embeddings` table
+  * (`vec_id long, embedding array<float>, label int`, 64 dims).
+  *
+  * Cross-engine determinism: both engines cast float→double (exact) and
+  * compute dot products as a strict left fold — Spark's
+  * `aggregate(zip_with(a,b,(x,y)->x*y), 0.0, (acc,x)->acc+x)` and
+  * DuckDB's `list_dot_product` produce bit-identical doubles (verified on
+  * the driver parquet). Centroids avoid float-sum order-dependence by
+  * flooring components to integer micro-units before the (exact) sum.
+  *
+  * Scale design (100 TB): brute-force top-k is O(n²·d) — correct baseline
+  * at test scale, and it broadcasts the smaller side so there is no
+  * shuffle. The scale path is `graft.ops.AnnIndex` (LSH bucketing via
+  * random hyperplane signs): candidates come from an equi-join on bucket
+  * keys, turning all-pairs into per-bucket pairs. Centroid aggregation is
+  * a plain partial-aggregatable groupBy on (label, dim) — at 1000
+  * executors each task combines locally before one small shuffle.
+  */
+object SimilarityOps {
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", expr(
+        "sqrt(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"))
+
+  // q20 — brute-force cosine top-5 per vector (the exactness baseline for
+  // the ANN path). Deterministic ordering: (cos desc, other_id asc) on
+  // bit-identical doubles.
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(load(s, dir, "embeddings"))
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("norm").as("nb"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    a.join(broadcast(b), col("a_id") =!= col("b_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("cos_sim", col("dot") / (col("na") * col("nb")))
+      .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"), col("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+  }
+  private val q20Sql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+      |    LIST_DOT_PRODUCT(a.v, b.v) / (a.norm * b.norm) AS cos_sim
+      |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      |ranked AS (
+      |  SELECT vec_id, neighbor_id, cos_sim,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+      |  FROM pairs)
+      |SELECT vec_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin
+
+  // q21 — per-label centroid in micro-units: posexplode to (label, dim),
+  // floor(x*1e6) → exact integer sums → deterministic mean.
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .withColumn("x_micro", floor(col("x") * 1000000).cast("long"))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x_micro")).as("sum_micro"),
+        (sum(col("x_micro")).cast("double") / count(lit(1))).as("centroid_micro"))
+  private val q21Sql =
+    """SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+      |  COUNT(*) AS n,
+      |  SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS sum_micro,
+      |  CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) AS centroid_micro
+      |FROM embeddings CROSS JOIN GENERATE_SERIES(1, 64) g(i)
+      |GROUP BY label, i""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q20_cosine_topk", q20, Some(q20Sql)),
+    QueryDef("q21_label_centroid", q21, Some(q21Sql)),
+  )
+}

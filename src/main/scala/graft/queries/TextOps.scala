@@ -1,0 +1,277 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import graft.Tables.load
+import graft.QueryDef
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the training-data-pipeline extensions (BASELINE.json north star):
+  * exact dedup, document fingerprinting, token statistics, n-gram Jaccard
+  * near-dup, MinHash signatures, SimHash, and stopword language-ID.
+  *
+  * Cross-engine determinism: every hash is derived from md5 (identical
+  * lowercase hex in Spark and DuckDB) reduced to a 60-bit integer —
+  * `conv(substring(md5(x),1,15),16,10)` in Spark ≡
+  * `CAST('0x'||substring(md5(x),1,15) AS BIGINT)` in DuckDB — so
+  * MinHash/SimHash signatures hash-match bit-for-bit. All scores that
+  * reach the output are ratios of exact integers (identical doubles).
+  *
+  * Scale design (100 TB):
+  *  - tokenization/shingling/hashing are per-row narrow ops (no shuffle);
+  *  - exact dedup and token counts are partial-aggregatable groupBys;
+  *  - the Jaccard candidate join shuffles on the shingle key — at scale
+  *    you'd pre-filter hot shingles (document frequency cap) to bound the
+  *    per-key fan-out, and MinHash banding (q17) is exactly the
+  *    sub-quadratic path that replaces the all-pairs join;
+  *  - SimHash reduces each doc to one i64, so near-dup lookup becomes a
+  *    cheap self-join on band prefixes rather than on content.
+  */
+object TextOps {
+
+  /** 60-bit portable hash of a string column (Spark side). */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB rendering of [[h60]]. */
+  private def h60Sql(e: String): String =
+    s"CAST('0x' || SUBSTRING(MD5($e), 1, 15) AS BIGINT)"
+
+  private def words(c: Column): Column = split(c, " ")
+
+  // q13 — exact dedup + md5 content fingerprint: canonical row = min doc_id
+  // per distinct text. On all-distinct data this is an identity with
+  // n_copies=1 — the operator is the groupBy, not the data.
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), md5(col("text")).as("fingerprint"), col("n_copies"))
+  private val q13Sql =
+    """SELECT MIN(doc_id) AS doc_id, MD5(text) AS fingerprint, COUNT(*) AS n_copies
+      |FROM documents GROUP BY text""".stripMargin
+
+  // q14 — per-document text statistics: token counts, distinct ratio,
+  // average word length, stopword ratio, naive token-budget estimate.
+  // Pure narrow transformation — no shuffle, fully codegen'd HOFs.
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .withColumn("w", words(col("text")))
+      .select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        size(col("w")).cast("long").as("n_words"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct_words"),
+        expr("aggregate(transform(w, x -> length(x)), 0L, (acc, x) -> acc + x)")
+          .as("n_word_chars"),
+        expr("size(filter(w, x -> x IN ('the', 'a')))").cast("long").as("n_stopwords"))
+      .withColumn("avg_word_len",
+        col("n_word_chars").cast("double") / col("n_words"))
+      .withColumn("distinct_ratio",
+        col("n_distinct_words").cast("double") / col("n_words"))
+      .withColumn("stopword_ratio",
+        col("n_stopwords").cast("double") / col("n_words"))
+      .withColumn("est_tokens", floor(col("n_chars_calc") / 4).cast("long"))
+  private val q14Sql =
+    """SELECT doc_id, lang, n_chars,
+      |  CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,
+      |  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words,
+      |  CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_distinct_words,
+      |  LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), LIST_TRANSFORM(STRING_SPLIT(text, ' '), x -> CAST(LENGTH(x) AS BIGINT))), (acc, x) -> acc + x) AS n_word_chars,
+      |  CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN ('the', 'a'))) AS BIGINT) AS n_stopwords,
+      |  CAST(LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), LIST_TRANSFORM(STRING_SPLIT(text, ' '), x -> CAST(LENGTH(x) AS BIGINT))), (acc, x) -> acc + x) AS DOUBLE) / LEN(STRING_SPLIT(text, ' ')) AS avg_word_len,
+      |  CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT) / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS distinct_ratio,
+      |  CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN ('the', 'a'))) AS BIGINT) / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS stopword_ratio,
+      |  CAST(FLOOR(LENGTH(text) / 4) AS BIGINT) AS est_tokens
+      |FROM documents""".stripMargin
+
+  // q15 — corpus token frequency: explode + partial-aggregated count,
+  // global top-20 with deterministic tie-break.
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(explode(words(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(20)
+  private val q15Sql =
+    """SELECT token, COUNT(*) AS n
+      |FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents) t
+      |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin
+
+  /** doc_id + distinct 3-word shingles, docs with ≥3 words. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        .as("shingles"))
+
+  private val shingledSql =
+    """SELECT doc_id,
+      |  LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 2),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      |FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents) t
+      |WHERE LEN(w) >= 3""".stripMargin
+
+  // q16 — n-gram Jaccard near-dup: all-pairs via shingle-key join, top-20
+  // most similar pairs. Scores are ratios of exact shingle counts.
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir).cache()
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val nsh = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(nsh.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(nsh.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .select(col("doc_a"), col("doc_b"), col("common"), col("n_a"), col("n_b"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(20)
+  }
+  private val q16Sql =
+    s"""WITH sh AS ($shingledSql),
+      |ex AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh),
+      |nsh AS (SELECT doc_id, CAST(LEN(shingles) AS BIGINT) AS n_sh FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b, common, na.n_sh AS n_a, nb.n_sh AS n_b,
+      |  CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) AS jaccard
+      |FROM pairs
+      |JOIN nsh na ON na.doc_id = doc_a
+      |JOIN nsh nb ON nb.doc_id = doc_b
+      |ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 20""".stripMargin
+
+  // MinHash permutation constants: h_i(x) = (a_i*x + b_i) mod P, P = 2^31-1.
+  private val P = 2147483647L
+  private val As = Seq(7L, 13L, 31L, 61L, 127L, 251L, 509L, 1021L)
+  private val Bs = Seq(3L, 17L, 29L, 47L, 89L, 101L, 131L, 149L)
+
+  // q17 — MinHash signatures (8 permutations) per document: the
+  // sub-quadratic near-dup path. Banding the signature pairs (sig0,sig1),
+  // (sig2,sig3)… turns near-dup search into an equi-join on band keys —
+  // the 100 TB replacement for q16's all-pairs join.
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val ex = shingled(s, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .withColumn("h", h60(col("shingle")) % P)
+    val sigs = As.indices.map { i =>
+      min((col("h") * As(i) + Bs(i)) % P).as(s"sig$i")
+    }
+    ex.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_shingles"), sigs: _*)
+      .withColumn("band0", col("sig0") * P + col("sig1"))
+      .withColumn("band1", col("sig2") * P + col("sig3"))
+      .withColumn("band2", col("sig4") * P + col("sig5"))
+      .withColumn("band3", col("sig6") * P + col("sig7"))
+  }
+  private val q17Sql = {
+    val sigCols = As.indices.map { i =>
+      s"MIN((${As(i)} * h + ${Bs(i)}) % $P) AS sig$i"
+    }.mkString(",\n      |  ")
+    s"""WITH sh AS ($shingledSql),
+      |ex AS (SELECT doc_id, ${h60Sql("shingle")} % $P AS h
+      |       FROM (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh) t),
+      |sigs AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  $sigCols
+      |  FROM ex GROUP BY doc_id)
+      |SELECT doc_id, n_shingles, sig0, sig1, sig2, sig3, sig4, sig5, sig6, sig7,
+      |  sig0 * $P + sig1 AS band0,
+      |  sig2 * $P + sig3 AS band1,
+      |  sig4 * $P + sig5 AS band2,
+      |  sig6 * $P + sig7 AS band3
+      |FROM sigs""".stripMargin
+  }
+
+  // q18 — SimHash (60-bit) per document over token occurrences: each token
+  // hash votes ±1 per bit position; the signature packs the majority bits.
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("token"))
+      .withColumn("h", h60(col("token")))
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("bit"))
+      .withColumn("vote",
+        when(expr("(shiftright(h, bit) & 1)") === 1, 1L).otherwise(-1L))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("vote")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+        .otherwise(0L)).as("simhash"))
+  private val q18Sql =
+    s"""WITH tok AS (
+      |  SELECT doc_id, ${h60Sql("token")} AS h
+      |  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents) t),
+      |bits AS (
+      |  SELECT doc_id, bit, SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM tok CROSS JOIN GENERATE_SERIES(0, 59) g(bit)
+      |  GROUP BY doc_id, bit)
+      |SELECT doc_id,
+      |  SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS simhash
+      |FROM bits GROUP BY doc_id""".stripMargin
+
+  // Stopword lists per language for the n-gram/stopword language-ID
+  // heuristic. (The synthetic corpus is English-ish regardless of its
+  // `lang` label — the operator, not the accuracy, is under test.)
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "que"),
+    "fr" -> Seq("le", "les", "et", "ou", "avec"),
+    "zh" -> Seq("de_zh", "shi", "bu", "le_zh", "wo"))
+
+  // q19 — language-ID: stopword hit counts per language, argmax with a
+  // fixed precedence tie-break. Integer counts → deterministic.
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    val base = load(s, dir, "documents")
+      .withColumn("w", words(col("text")))
+    val withHits = stopwords.foldLeft(base) { case (df, (l, ws)) =>
+      val inList = ws.map(x => s"'$x'").mkString(", ")
+      df.withColumn(s"hits_$l",
+        expr(s"size(filter(w, x -> x IN ($inList)))").cast("long"))
+    }
+    val m = greatest(stopwords.map { case (l, _) => col(s"hits_$l") }: _*)
+    val predicted = stopwords.foldRight(lit("unknown"): Column) {
+      case ((l, _), acc) => when(col(s"hits_$l") === m && m > 0, l).otherwise(acc)
+    }
+    withHits
+      .withColumn("predicted_lang", predicted)
+      .select(col("doc_id") +: col("lang") +:
+        stopwords.map { case (l, _) => col(s"hits_$l") } :+ col("predicted_lang"): _*)
+  }
+  private val q19Sql = {
+    val hitCols = stopwords.map { case (l, ws) =>
+      val inList = ws.map(x => s"'$x'").mkString(", ")
+      s"CAST(LEN(LIST_FILTER(w, x -> x IN ($inList))) AS BIGINT) AS hits_$l"
+    }.mkString(",\n      |  ")
+    val m = "GREATEST(" + stopwords.map { case (l, _) => s"hits_$l" }.mkString(", ") + ")"
+    val cases = stopwords.map { case (l, _) =>
+      s"WHEN hits_$l = $m AND $m > 0 THEN '$l'"
+    }.mkString("\n      |    ")
+    s"""SELECT doc_id, lang, hits_en, hits_de, hits_es, hits_fr, hits_zh,
+      |  CASE
+      |    $cases
+      |    ELSE 'unknown' END AS predicted_lang
+      |FROM (
+      |  SELECT doc_id, lang,
+      |  $hitCols
+      |  FROM (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS w FROM documents) t) h""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q13_exact_dedup", q13, Some(q13Sql)),
+    QueryDef("q14_text_stats", q14, Some(q14Sql)),
+    QueryDef("q15_token_topk", q15, Some(q15Sql)),
+    QueryDef("q16_ngram_jaccard", q16, Some(q16Sql)),
+    QueryDef("q17_minhash_signatures", q17, Some(q17Sql)),
+    QueryDef("q18_simhash", q18, Some(q18Sql)),
+    QueryDef("q19_lang_id", q19, Some(q19Sql)),
+  )
+}
