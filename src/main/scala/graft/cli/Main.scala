@@ -1,0 +1,62 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+import graft.etl.{Catalog, Clean, DisabledLlmClient, Enrich}
+
+/** CLI mirroring the reference's stage dispatch (`Main.py:345-406`):
+  *
+  *   graft clean  <jsonl_in> <out_dir>
+  *   graft enrich <clean_parquet> <out_dir> [--sample N] [--rate SECONDS]
+  *   graft load   <table>
+  *
+  * Unknown stage → exit 1, same as the reference. The reference's
+  * dual positional/flag parsing gymnastics (`Main.py:382-397`) reduce to
+  * a small config case class.
+  */
+object Main {
+
+  private def session(): SparkSession = SparkSession.builder()
+    .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+    .appName("graft-etl")
+    .config("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "clean" :: in :: out :: Nil =>
+      val spark = session()
+      val path = Clean.write(Clean.run(spark, in), out)
+      println(s"[clean] wrote $path")
+      spark.stop()
+
+    case "enrich" :: in :: out :: rest =>
+      val spark = session()
+      val sampleN = flagValue(rest, "--sample").map(_.toInt)
+      val rateSec = flagValue(rest, "--rate").map(_.toDouble).getOrElse(0.0)
+      val clean = Enrich.sample(spark.read.parquet(in), sampleN)
+      val cfg = Enrich.Config(
+        client = DisabledLlmClient,
+        perCallDelayMs = (rateSec * 1000).toLong)
+      val path = Enrich.write(Enrich.run(spark, clean, cfg), out)
+      println(s"[enrich] wrote $path")
+      spark.stop()
+
+    case "load" :: table :: Nil =>
+      val spark = session()
+      Catalog.repairTable(spark, table)
+      println(s"[load] repaired $table")
+      spark.stop()
+
+    case other =>
+      System.err.println(
+        s"unknown or malformed stage: ${other.mkString(" ")}\n" +
+          "usage: clean <jsonl> <outdir> | enrich <parquet> <outdir> " +
+          "[--sample N] [--rate S] | load <table>")
+      sys.exit(1)
+  }
+
+  private def flagValue(args: List[String], flag: String): Option[String] =
+    args.sliding(2).collectFirst { case `flag` :: v :: Nil => v }
+}

@@ -1,0 +1,102 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.schema.Schemas
+
+/** Stage 1 — extract & clean (reference `extract_and_clean_to_s3`,
+  * `Main.py:130-182`), as ONE lazy Catalyst plan instead of nine eagerly
+  * materialized pandas frames:
+  *
+  *   read JSONL → rename → dropna(title,content,category) → category
+  *   IN-list → try_to_timestamp(date) → drop unparseable → global sort →
+  *   dense 1-based id → project 6 columns.
+  *
+  * Semantics pinned per SURVEY.md §7.5:
+  *  - `try_to_timestamp` (not CAST) reproduces pandas'
+  *    `errors="coerce"` under Spark 4 ANSI mode (`Main.py:160`);
+  *  - id assignment orders by (publish_date, link) — the reference's
+  *    unstable quicksort leaves tie order undefined, so we pin a unique
+  *    total order both engines can agree on (`Main.py:164-165`);
+  *  - `authors` is declared in the schema but pruned by Catalyst before
+  *    the scan ever materializes it (the reference reads it and drops it
+  *    at `Main.py:169`).
+  *
+  * Scale: everything up to the sort is a narrow, whole-stage-codegen'd
+  * pipeline with the filters pushed into the scan. The global sort is one
+  * range-partition exchange. The unpartitioned `row_number` window is the
+  * 100 TB bottleneck (single partition); `cleanScalable` keeps ids dense
+  * without it via per-partition counts (sort → zipWithIndex-style
+  * two-pass), at the cost of leaving the DataFrame lineage briefly.
+  */
+object Clean {
+
+  private val renames = Map(
+    "headline" -> "title",
+    "short_description" -> "content",
+    "date" -> "publish_date")
+
+  /** The pre-id portion of the pipeline: cleaned, filtered, typed. */
+  def prepared(spark: SparkSession, jsonlPath: String): DataFrame =
+    spark.read
+      .schema(Schemas.raw)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(jsonlPath)
+      .filter(col("_corrupt_record").isNull)
+      .withColumnsRenamed(renames)
+      .na.drop(Seq("title", "content", "category"))
+      .filter(col("category").isin(Schemas.categoriesToKeep: _*))
+      .withColumn("publish_date", try_to_timestamp(col("publish_date")))
+      .filter(col("publish_date").isNotNull)
+
+  /** Reference-faithful Stage 1: dense 1..N ids via one global window. */
+  def run(spark: SparkSession, jsonlPath: String): DataFrame = {
+    val w = Window.orderBy(col("publish_date").asc, col("link").asc)
+    prepared(spark, jsonlPath)
+      .withColumn("id_news", row_number().over(w).cast("long"))
+      .select("id_news", "title", "content", "link", "publish_date", "category")
+  }
+
+  /** Scale-path Stage 1: identical output contract (dense 1-based ids in
+    * (publish_date, link) order) without the single-partition window.
+    * Range-partitions by the sort key, counts rows per partition, and
+    * offsets each partition's local index — the classic distributed
+    * zipWithIndex. Two narrow passes over sorted data, no global gather.
+    */
+  def runScalable(spark: SparkSession, jsonlPath: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sorted = prepared(spark, jsonlPath)
+      .select("title", "content", "link", "publish_date", "category")
+      .repartitionByRange(col("publish_date"), col("link"))
+      .sortWithinPartitions(col("publish_date"), col("link"))
+    val counts = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      Iterator((i, it.size.toLong))
+    }.collect().sortBy(_._1)
+    val offsets = counts.map(_._2).scanLeft(1L)(_ + _)
+    val offsetsBc = spark.sparkContext.broadcast(offsets)
+    val withId = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var id = offsetsBc.value(i)
+      it.map { r => val out = Row.fromSeq(id +: r.toSeq); id += 1; out }
+    }
+    val schema = StructType(
+      StructField("id_news", LongType, nullable = false) +: sorted.schema.fields)
+    spark.createDataFrame(withId, schema)
+      .select("id_news", "title", "content", "link", "publish_date", "category")
+  }
+
+  /** Stage-1 sink: timestamped directory keeps the reference's
+    * no-overwrite naming (`Main.py:172-177`) — Spark writes a directory
+    * of part files, so the timestamp moves from filename to dirname.
+    */
+  def write(df: DataFrame, outDir: String): String = {
+    val stamp = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    val path = s"$outDir/clean_data_$stamp"
+    df.write.mode("errorifexists").parquet(path)
+    path
+  }
+}

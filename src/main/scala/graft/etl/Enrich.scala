@@ -1,0 +1,82 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schema.{CleanNews, EnrichedNews}
+
+/** Stage 2 — LLM enrichment (reference `enrich_data_to_s3`,
+  * `Main.py:188-271`).
+  *
+  * The reference iterates rows one at a time (`iterrows`, `Main.py:239`)
+  * with a sleep between calls, in manual 100-row batches whose results are
+  * merged back by a pandas join (`Main.py:254`) and concatenated
+  * (`Main.py:255`). In Spark all of that structure collapses into one
+  * typed `mapPartitions`: partitions ARE the batches, the join/concat
+  * disappear (each row carries its enrichment out of the iterator), and
+  * client setup amortizes once per partition instead of once per run.
+  *
+  * Rate limiting (`Main.py:249-250`): per-row delay inside each task.
+  * Distributed semantics differ from the reference by design — N parallel
+  * tasks × (1/delay) calls/s; size `maxPartitions` × `perCallDelayMs` to
+  * meet a global QPS budget (SURVEY.md §7.5.6). The defaults reproduce
+  * the reference's effective 5 calls/s only at parallelism 1.
+  *
+  * Fault tolerance (`Main.py:99-101,122-124` parity): every client call is
+  * wrapped in Try → error tuple; a poison row degrades to ERROR_API
+  * values, never a task retry storm.
+  */
+object Enrich {
+
+  final case class Config(
+      client: LlmClient = DisabledLlmClient,
+      perCallDelayMs: Long = 0L,
+      maxPartitions: Option[Int] = None)
+
+  /** Optional seeded exact-N sample (reference `Main.py:218-223`,
+    * `--sample` knob). Deterministic given a fixed input; NOT bit-equal
+    * to pandas' RNG (documented semantic freedom, SURVEY.md §7.5.4).
+    */
+  def sample(df: DataFrame, n: Option[Int], seed: Long = 42L): DataFrame =
+    n match {
+      case Some(k) => df.orderBy(rand(seed)).limit(k)
+      case None => df
+    }
+
+  def run(spark: SparkSession, clean: DataFrame, cfg: Config = Config()): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[CleanNews] = clean.as[CleanNews]
+    val sized = cfg.maxPartitions match {
+      case Some(p) => ds.coalesce(p)
+      case None => ds
+    }
+    val client = cfg.client
+    val delay = cfg.perCallDelayMs
+    val enriched = sized.mapPartitions { rows =>
+      rows.map { r =>
+        if (delay > 0) Thread.sleep(delay)
+        val res = scala.util.Try(client.enrich(r.title, r.content))
+          .getOrElse(LlmClient.errorResult)
+        EnrichedNews(
+          r.id_news, r.title, r.content, r.link, r.publish_date, r.category,
+          Option(res.sentiment).getOrElse(LlmClient.notAvailable),
+          Option(res.category).getOrElse(LlmClient.notAvailable),
+          Option(res.summary).getOrElse(LlmClient.notAvailable))
+      }
+    }
+    // current_timestamp() is fixed per query — matches the reference's
+    // evaluate-once `datetime.now()` column (`Main.py:259`).
+    enriched.toDF().withColumn("etl_processing_time", current_timestamp())
+  }
+
+  /** Stage-2 sink, same timestamped-directory semantics as Stage 1
+    * (`Main.py:261-266`).
+    */
+  def write(df: DataFrame, outDir: String): String = {
+    val stamp = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    val path = s"$outDir/final_enriched_data_$stamp"
+    df.write.mode("errorifexists").parquet(path)
+    path
+  }
+}

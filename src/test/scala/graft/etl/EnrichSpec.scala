@@ -1,0 +1,67 @@
+package graft.etl
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.schema.Schemas
+
+class EnrichSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def cleanDf() = {
+    import spark.implicits._
+    Seq(
+      (1L, "Markets rally", "Stocks up", "http://a/1", Timestamp.valueOf("2022-01-01 00:00:00"), "BUSINESS"),
+      (2L, "Tech layoffs", "Cuts deepen", "http://a/2", Timestamp.valueOf("2022-01-02 00:00:00"), "TECH"),
+      (3L, "Rates rise", "Fed hikes", "http://a/3", Timestamp.valueOf("2022-01-03 00:00:00"), "MONEY"))
+      .toDF("id_news", "title", "content", "link", "publish_date", "category")
+  }
+
+  test("disabled client reproduces the reference's DISABLE_LLM tuple") {
+    val out = Enrich.run(spark, cleanDf()).collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getAs[String]("sentiment_llm") == "ERROR_API"))
+    assert(out.forall(_.getAs[String]("category_llm") == "ERROR_API"))
+    assert(out.forall(
+      _.getAs[String]("market_impact_summary") == "LLM disabled for test run."))
+  }
+
+  test("enriched schema matches the golden contract") {
+    val got = Enrich.run(spark, cleanDf()).schema
+    assert(got.fieldNames.toSeq == Schemas.enriched.fieldNames.toSeq)
+  }
+
+  test("etl_processing_time is evaluated once per run (constant column)") {
+    val out = Enrich.run(spark, cleanDf())
+      .select("etl_processing_time").distinct().collect()
+    assert(out.length == 1)
+  }
+
+  test("a throwing client degrades rows to ERROR_API, never fails the job") {
+    val bomb = new LlmClient {
+      override def enrich(t: String, c: String) =
+        throw new RuntimeException("boom")
+    }
+    val out = Enrich.run(spark, cleanDf(), Enrich.Config(client = bomb)).collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getAs[String]("sentiment_llm") == "ERROR_API"))
+  }
+
+  test("hashing stub is deterministic and total") {
+    val a = HashingStubClient.enrich("t", "c")
+    val b = HashingStubClient.enrich("t", "c")
+    assert(a == b)
+    assert(Set("Positive", "Negative", "Neutral").contains(a.sentiment))
+    val n = HashingStubClient.enrich(null, null)
+    assert(n.sentiment != null && n.category != null && n.summary != null)
+  }
+
+  test("seeded sample returns exactly N deterministic rows") {
+    val df = cleanDf()
+    val s1 = Enrich.sample(df, Some(2)).collect().map(_.getLong(0)).toSeq
+    val s2 = Enrich.sample(df, Some(2)).collect().map(_.getLong(0)).toSeq
+    assert(s1.length == 2 && s1 == s2)
+    assert(Enrich.sample(df, None).count() == 3)
+  }
+}
