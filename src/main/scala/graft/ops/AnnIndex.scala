@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sign-random-projection LSH for approximate nearest-neighbor search —
+  * the 100 TB path that replaces the O(n²) brute-force cosine join
+  * (graft.queries.SimilarityOps q20).
+  *
+  * Each vector gets a `nPlanes`-bit signature: bit p is the sign of the
+  * dot product with pseudo-random hyperplane p. Vectors sharing a bucket
+  * (signature) are candidate neighbors; search becomes an equi-join on
+  * the bucket key. For cosine similarity, P(bit differs) = θ/π, so
+  * bucket collisions concentrate on small-angle pairs.
+  *
+  * Determinism (for the DuckDB oracle): hyperplane components are ±1
+  * derived from `splitmix64` of (plane, dim) — a pure-integer recurrence
+  * both engines evaluate identically — and the projection is a strict
+  * sequential fold over dims, so signatures are bit-exact across engines.
+  *
+  * Scale: signature assignment is a narrow per-row map; the candidate
+  * join shuffles on the bucket key only. At 1000 executors the bucket
+  * count (2^nPlanes × any band multiplier) bounds per-reducer fan-in;
+  * skewed buckets (dense regions) are the AQE-skew / salt-the-bucket
+  * case. Multi-probe (flipping low-margin bits) trades recall for cost
+  * without re-sharding.
+  */
+object AnnIndex {
+
+  /** ±1 hyperplane components from a splitmix64-style mix of (plane,dim).
+    * Pure integer math — reproducible in any engine with 64-bit ints.
+    */
+  def planeComponent(plane: Int, dim: Int): Int = {
+    var z = plane.toLong * 1000003L + dim.toLong + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    if ((z & 1L) == 0L) 1 else -1
+  }
+
+  def planes(nPlanes: Int, dims: Int): Seq[Seq[Int]] =
+    (0 until nPlanes).map(p => (0 until dims).map(d => planeComponent(p, d)))
+
+  /** Append a `bucket` column: the nPlanes-bit sign signature of `vecCol`
+    * (array<double>). Projection per plane is a strict left fold so the
+    * oracle can replay it bit-for-bit.
+    */
+  def withBucket(df: DataFrame, vecCol: String, nPlanes: Int, dims: Int): DataFrame = {
+    val ps = planes(nPlanes, dims)
+    val bits: Seq[Column] = ps.zipWithIndex.map { case (w, p) =>
+      // proj_p = ((0 ± v[0]) ± v[1]) ± ... — strict fold, fixed order,
+      // mirrored exactly (0-based → 1-based) by bucketSql below.
+      val proj = w.zipWithIndex.foldLeft("CAST(0 AS DOUBLE)") { case (acc, (s, d)) =>
+        val op = if (s > 0) "+" else "-"
+        s"(($acc) $op $vecCol[$d])"
+      }
+      when(expr(proj) > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    df.withColumn("bucket", bits.reduce(_ + _))
+  }
+
+  /** DuckDB rendering of the same signature, for oracle SQL generation.
+    * `vecExpr` must be a DOUBLE[] expression; element access is 1-based
+    * in DuckDB, so dim d becomes [d+1].
+    */
+  def bucketSql(vecExpr: String, nPlanes: Int, dims: Int): String = {
+    val ps = planes(nPlanes, dims)
+    val bitExprs = ps.zipWithIndex.map { case (w, p) =>
+      val proj = w.zipWithIndex.foldLeft("CAST(0 AS DOUBLE)") { case (acc, (s, d)) =>
+        val op = if (s > 0) "+" else "-"
+        s"(($acc) $op $vecExpr[${d + 1}])"
+      }
+      s"CASE WHEN ($proj) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }
+    bitExprs.mkString("(", " + ", ")")
+  }
+}

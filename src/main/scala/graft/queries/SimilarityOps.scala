@@ -26,22 +26,22 @@ import graft.QueryDef
   */
 object SimilarityOps {
 
-  private def withNorm(df: DataFrame): DataFrame =
+  private def withNorm(s: SparkSession, df: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
     df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", expr(
-        "sqrt(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"))
+      .withColumn("norm", expr("vec_norm(v)"))
+  }
 
   // q20 — brute-force cosine top-5 per vector (the exactness baseline for
   // the ANN path). Deterministic ordering: (cos desc, other_id asc) on
   // bit-identical doubles.
   private def q20(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(load(s, dir, "embeddings"))
+    val e = withNorm(s, load(s, dir, "embeddings"))
     val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("norm").as("na"))
     val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("norm").as("nb"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     a.join(broadcast(b), col("a_id") =!= col("b_id"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("dot", expr("dot_product(va, vb)"))
       .withColumn("cos_sim", col("dot") / (col("na") * col("nb")))
       .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"), col("cos_sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -81,8 +81,68 @@ object SimilarityOps {
       |FROM embeddings CROSS JOIN GENERATE_SERIES(1, 64) g(i)
       |GROUP BY label, i""".stripMargin
 
+  // LSH configuration for the ANN path: 4 hyperplanes → 16 buckets.
+  // At sf0.01 (500 vecs) that's ~31 vecs/bucket — candidate sets two
+  // orders of magnitude below all-pairs at sf0.1+.
+  private val AnnPlanes = 4
+  private val Dims = 64
+
+  // q22 — ANN bucket assignment (sign-random-projection LSH): the
+  // deterministic indexing half of approximate similarity search.
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    graft.ops.AnnIndex.withBucket(e, "v", AnnPlanes, Dims)
+      .select(col("vec_id"), col("bucket"))
+  }
+  private val q22Sql = {
+    val b = graft.ops.AnnIndex.bucketSql("v", AnnPlanes, Dims)
+    s"""SELECT vec_id, $b AS bucket
+      |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) t""".stripMargin
+  }
+
+  // q23 — bucketed ANN top-3: candidates come from an equi-join on the
+  // LSH bucket (vs q20's all-pairs); approximate by construction but
+  // fully deterministic, so the oracle replays it exactly.
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, load(s, dir, "embeddings"))
+    // cache: both join sides reuse the same signature computation
+    val bucketed = graft.ops.AnnIndex.withBucket(e, "v", AnnPlanes, Dims).cache()
+    val a = bucketed.select(col("vec_id").as("a_id"), col("v").as("va"),
+      col("norm").as("na"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("b_id"), col("v").as("vb"),
+      col("norm").as("nb"), col("bucket"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    a.join(b, Seq("bucket")).filter(col("a_id") =!= col("b_id"))
+      .withColumn("dot", expr("dot_product(va, vb)"))
+      .withColumn("cos_sim", col("dot") / (col("na") * col("nb")))
+      .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
+        col("bucket"), col("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+  }
+  private val q23Sql = {
+    val b = graft.ops.AnnIndex.bucketSql("v", AnnPlanes, Dims)
+    s"""WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+      |  FROM embeddings),
+      |bucketed AS (SELECT vec_id, v, norm, $b AS bucket FROM e),
+      |pairs AS (
+      |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, a.bucket AS bucket,
+      |    LIST_DOT_PRODUCT(a.v, b.v) / (a.norm * b.norm) AS cos_sim
+      |  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+      |ranked AS (
+      |  SELECT vec_id, neighbor_id, bucket, cos_sim,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+      |  FROM pairs)
+      |SELECT vec_id, neighbor_id, bucket, cos_sim, rank FROM ranked WHERE rank <= 3""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_cosine_topk", q20, Some(q20Sql)),
     QueryDef("q21_label_centroid", q21, Some(q21Sql)),
+    QueryDef("q22_ann_buckets", q22, Some(q22Sql)),
+    QueryDef("q23_ann_topk", q23, Some(q23Sql)),
   )
 }
