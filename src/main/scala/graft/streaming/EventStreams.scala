@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table — the streaming
+  * twin of `graft.queries.EventsOps` (the reference itself is batch-only,
+  * SURVEY.md §2.7; this is the extension layer the driver's events table
+  * exists for).
+  *
+  * Each builder takes a streaming DataFrame (`spark.readStream`) and
+  * returns the transformed streaming frame; sinks/triggers are the
+  * caller's concern (tests drive them with a memory sink +
+  * `processAllAvailable`, a real deployment writes parquet/Kafka with a
+  * processing-time trigger).
+  *
+  * Scale: all three are watermark-bounded stateful operators — state is
+  * keyed by (window, type) / (session, user) / event_id and evicted once
+  * the watermark passes, so executor state stays O(active windows), not
+  * O(stream history). Partitioning follows the groupBy keys; at 1000
+  * executors the shuffle is the same hash exchange as the batch twin.
+  */
+object EventStreams {
+
+  /** Schema for streaming reads of the events parquet (ts arrives as
+    * TIMESTAMP(NANOS) → LongType under nanosAsLong; normalized here).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** readStream entry for a directory of events parquet. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling 1-hour windows with a 10-minute watermark — the streaming
+    * form of q10_events_hourly.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Built-in gap-based session windows (30 min), the streaming form of
+    * q11_sessionize.
+    */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .select(col("user_id"), col("n_events"), col("session_start"),
+        col("session_end"))
+
+  /** Watermarked streaming dedup on event_id — exactly-once-per-key
+    * delivery over a replayed/at-least-once source.
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class SessionEvent(user_id: Long, ts_us: Long, value: Double)
+  final case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
+  final case class SessionOut(
+      user_id: Long, session_start_us: Long, session_end_us: Long,
+      n_events: Long, sum_value: Double)
+
+  /** Custom stateful sessionizer via flatMapGroupsWithState — the
+    * arbitrary-state API demo (KeyValueGroupedDataset surface). Emits a
+    * session when a gap > 30 min closes it; event-time timeout flushes
+    * idle sessions once the watermark passes.
+    *
+    * Per-group events arrive in no guaranteed order within a batch, so
+    * the updater sorts each batch's buffer — state itself stays O(1) per
+    * user (one open session).
+    */
+  def sessionize(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000000
+    // keep the watermarked `ts` column in the frame — projecting it away
+    // would strip the event-time watermark the timeout relies on
+    val typed = events
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[SessionEvent]
+
+    val update = (user: Long, batch: Iterator[SessionEvent],
+        state: GroupState[SessionState]) => {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(SessionOut(user, s.startUs, s.lastUs, s.n, s.sum))
+      } else {
+        val sorted = batch.toSeq.sortBy(_.ts_us)
+        var cur = state.getOption.orNull
+        val closed = Seq.newBuilder[SessionOut]
+        sorted.foreach { e =>
+          if (cur == null) {
+            cur = SessionState(e.ts_us, e.ts_us, 1L, e.value)
+          } else if (e.ts_us - cur.lastUs > gapUs) {
+            closed += SessionOut(user, cur.startUs, cur.lastUs, cur.n, cur.sum)
+            cur = SessionState(e.ts_us, e.ts_us, 1L, e.value)
+          } else {
+            cur = SessionState(cur.startUs, e.ts_us, cur.n + 1, cur.sum + e.value)
+          }
+        }
+        if (cur != null) {
+          state.update(cur)
+          state.setTimeoutTimestamp(cur.lastUs / 1000 + gapUs / 1000)
+        }
+        closed.result().iterator
+      }
+    }
+
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+      .toDF()
+  }
+}

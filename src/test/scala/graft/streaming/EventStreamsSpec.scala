@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Drives each streaming operator synchronously over the sf0.001 events
+  * parquet with a memory sink, and cross-checks results against the
+  * equivalent batch computation — the streaming/batch parity contract.
+  */
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** FileStreamSource requires a directory; stage the single events
+    * parquet file into one.
+    */
+  private lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      d.resolve("part-00000.parquet"))
+    d.toString
+  }
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String = "append"): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  private def batchEvents() =
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  test("hourly counts match the batch aggregation") {
+    val stream = EventStreams.readEvents(spark, streamDir)
+    runToMemory(EventStreams.hourlyCounts(stream), "hourly", mode = "complete")
+    val got = spark.sql("select sum(n_events) from hourly").head().getLong(0)
+    assert(got == batchEvents().count())
+  }
+
+  test("session windows cover every event exactly once") {
+    val stream = EventStreams.readEvents(spark, streamDir)
+    runToMemory(EventStreams.sessionWindows(stream), "sessions", mode = "complete")
+    val got = spark.sql("select sum(n_events) from sessions").head().getLong(0)
+    assert(got == batchEvents().count())
+  }
+
+  test("streaming dedup keeps one row per event_id") {
+    val stream = EventStreams.readEvents(spark, streamDir)
+    runToMemory(EventStreams.dedupedEvents(stream), "deduped")
+    val n = spark.sql("select count(distinct event_id) from deduped").head().getLong(0)
+    val total = spark.sql("select count(*) from deduped").head().getLong(0)
+    assert(n == total)
+  }
+
+  test("flatMapGroupsWithState sessionizer agrees with the batch q11 sessions") {
+    val stream = EventStreams.readEvents(spark, streamDir)
+    runToMemory(EventStreams.sessionize(spark, stream), "fmgs_sessions")
+    // The stream ends without advancing the watermark past the last
+    // session, so open sessions stay in state; compare closed sessions
+    // against the batch sessionization (q11) restricted to sessions that
+    // end before the final watermark could close them.
+    val streamed = spark.sql(
+      "select user_id, session_start_us, n_events from fmgs_sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.queries.EventsOps.defs.find(_.name == "q11_sessionize").get
+      .fn(spark, dir)
+      .select(col("user_id"), unix_micros(col("session_start")).as("start_us"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty)
+    // every closed streaming session must exist identically in batch
+    assert(streamed.subsetOf(batch),
+      s"streaming sessions not found in batch: ${streamed.diff(batch).take(5)}")
+  }
+}
