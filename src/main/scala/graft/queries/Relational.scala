@@ -188,6 +188,62 @@ object Relational {
       |  CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS BIGINT) AS days_to_y2k
       |FROM orders""".stripMargin
 
+  // q24 — the SQL-text surface (S6 in SURVEY.md §2.1): the reference's
+  // entire ad-hoc query capability was Athena SQL over registered tables;
+  // here the same TPC-H-Q3-shaped statement runs through spark.sql over
+  // temp views, with Catalyst planning it like any DataFrame query.
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem")
+      .foreach(t => load(s, dir, t).createOrReplaceTempView(t))
+    s.sql(
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin)
+  }
+  private val q24Sql =
+    """SELECT l_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  // q25 — analytic window frame: per-customer running revenue (exact
+  // decimal running sum → double per row, so the frame itself is
+  // order-exact in both engines).
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    load(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("running_revenue", sum(dec(col("o_totalprice"))).over(w).cast("double"))
+      .withColumn("order_seq",
+        row_number().over(Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)).cast("long"))
+  }
+  private val q25Sql =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_revenue,
+      |  CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS BIGINT) AS order_seq
+      |FROM orders""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", q1, Some(q1Sql)),
     QueryDef("q2_top_orders", q2, Some(q2Sql)),
@@ -198,5 +254,7 @@ object Relational {
     QueryDef("q7_rollup_qty", q7, Some(q7Sql)),
     QueryDef("q8_nation_setops", q8, Some(q8Sql)),
     QueryDef("q9_scalar_funcs", q9, Some(q9Sql)),
+    QueryDef("q24_sql_surface", q24, Some(q24Sql)),
+    QueryDef("q25_running_revenue", q25, Some(q25Sql)),
   )
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the "is this the plan you'd want at
+  * 100 TB" checks: filters actually pushed to the parquet scan, columns
+  * pruned, dimension joins broadcast, vector hot path codegen'd.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("q1: shipdate predicate reaches the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushed filter in:\n$p")
+  }
+
+  test("q1: scan reads only the five needed columns") {
+    val p = plan("q1_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_orderkey"),
+      s"unpruned columns in: $readSchema")
+  }
+
+  test("q3: dimension joins are broadcast, not shuffled") {
+    val p = plan("q3_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    // nation/region must never be the build side of a sort-merge join
+    assert(!p.contains("SortMergeJoin") ||
+      p.indexOf("BroadcastHashJoin") >= 0)
+  }
+
+  test("q5/q6: semi and anti joins plan as such") {
+    assert(plan("q5_customers_with_open_orders").contains("LeftSemi"))
+    assert(plan("q6_customers_without_orders").contains("LeftAnti"))
+  }
+
+  test("q2: global top-k plans as TakeOrdered, not a full sort") {
+    val p = plan("q2_top_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$p")
+  }
+
+  test("q20: native dot_product runs inside whole-stage codegen") {
+    val df = SparkEntry.queries("q20_cosine_topk")(spark, dir)
+    df.collect() // finalize the AQE plan so codegen stage markers appear
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dot_product"), s"no dot_product in:\n$p")
+    assert(p.contains("*("), s"no whole-stage-codegen stages in:\n$p")
+  }
+
+  test("q23: ANN candidates come from an equi-join on bucket") {
+    val p = plan("q23_ann_topk")
+    // equi-join on the bucket key — hash-partitionable, not a nested loop
+    assert(p.contains("bucket"), s"no bucket key in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"ANN join degenerated to nested loop:\n$p")
+  }
+}
