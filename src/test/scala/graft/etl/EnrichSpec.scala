@@ -57,6 +57,24 @@ class EnrichSpec extends AnyFunSuite {
     assert(n.sentiment != null && n.category != null && n.summary != null)
   }
 
+  test("join-based variant produces the same enrichment as the fused form") {
+    val cols = Schemas.enriched.fieldNames.filterNot(_ == "etl_processing_time")
+    val fused = Enrich.run(spark, cleanDf(),
+      Enrich.Config(client = HashingStubClient))
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    val joined = Enrich.runJoinBased(spark, cleanDf(),
+      Enrich.Config(client = HashingStubClient))
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    assert(fused == joined && fused.size == 3)
+  }
+
+  test("prompt template embeds categories, title, and content") {
+    val p = LlmClient.promptFor("TITLE_X", "CONTENT_Y")
+    assert(p.contains("TITLE_X") && p.contains("CONTENT_Y"))
+    assert(graft.schema.Schemas.categoriesToKeep.forall(p.contains))
+    assert(p.contains("JSON"))
+  }
+
   test("seeded sample returns exactly N deterministic rows") {
     val df = cleanDf()
     val s1 = Enrich.sample(df, Some(2)).collect().map(_.getLong(0)).toSeq
