@@ -28,7 +28,10 @@ object SimilarityOps {
 
   private def withNorm(s: SparkSession, df: DataFrame): DataFrame = {
     graft.functions.VectorExpressions.register(s)
-    df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // single-file parquet → one input partition; spread the probe side so
+    // the O(n·k·d) dot-product work runs at full task parallelism
+    df.repartition(s.sessionState.conf.numShufflePartitions)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", expr("vec_norm(v)"))
   }
 

@@ -39,11 +39,22 @@ object TextOps {
 
   private def words(c: Column): Column = split(c, " ")
 
+  /** documents arrives as a single parquet file → one input partition,
+    * which serializes all per-row shingle/hash work onto one task.
+    * Spread it across the session's shuffle parallelism first — one
+    * narrow-input shuffle of raw text buys full-width tokenize/hash
+    * stages. (At 100 TB the input is many files and this is a no-op
+    * decision; the knob that matters there is maxPartitionBytes.)
+    */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .repartition(s.sessionState.conf.numShufflePartitions)
+
   // q13 — exact dedup + md5 content fingerprint: canonical row = min doc_id
   // per distinct text. On all-distinct data this is an identity with
   // n_copies=1 — the operator is the groupBy, not the data.
   private def q13(s: SparkSession, dir: String): DataFrame =
-    load(s, dir, "documents")
+    docs(s, dir)
       .groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), md5(col("text")).as("fingerprint"), col("n_copies"))
@@ -55,7 +66,7 @@ object TextOps {
   // average word length, stopword ratio, naive token-budget estimate.
   // Pure narrow transformation — no shuffle, fully codegen'd HOFs.
   private def q14(s: SparkSession, dir: String): DataFrame =
-    load(s, dir, "documents")
+    docs(s, dir)
       .withColumn("w", words(col("text")))
       .select(
         col("doc_id"), col("lang"), col("n_chars"),
@@ -88,7 +99,7 @@ object TextOps {
   // q15 — corpus token frequency: explode + partial-aggregated count,
   // global top-20 with deterministic tie-break.
   private def q15(s: SparkSession, dir: String): DataFrame =
-    load(s, dir, "documents")
+    docs(s, dir)
       .select(explode(words(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
@@ -101,7 +112,7 @@ object TextOps {
 
   /** doc_id + distinct 3-word shingles, docs with ≥3 words. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    load(s, dir, "documents")
+    docs(s, dir)
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), array_distinct(expr(
@@ -194,7 +205,7 @@ object TextOps {
   // q18 — SimHash (60-bit) per document over token occurrences: each token
   // hash votes ±1 per bit position; the signature packs the majority bits.
   private def q18(s: SparkSession, dir: String): DataFrame =
-    load(s, dir, "documents")
+    docs(s, dir)
       .select(col("doc_id"), explode(words(col("text"))).as("token"))
       .withColumn("h", h60(col("token")))
       .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("bit"))
@@ -230,7 +241,7 @@ object TextOps {
   // q19 — language-ID: stopword hit counts per language, argmax with a
   // fixed precedence tie-break. Integer counts → deterministic.
   private def q19(s: SparkSession, dir: String): DataFrame = {
-    val base = load(s, dir, "documents")
+    val base = docs(s, dir)
       .withColumn("w", words(col("text")))
     val withHits = stopwords.foldLeft(base) { case (df, (l, ws)) =>
       val inList = ws.map(x => s"'$x'").mkString(", ")
