@@ -31,6 +31,8 @@ object VectorExpressions {
       "dot_product", exprs => DotProductExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "vec_norm", exprs => VecNormExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "rolling_hash", exprs => RollingHashExpr(exprs.head), "built-in")
   }
 }
 

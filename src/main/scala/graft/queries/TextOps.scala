@@ -276,6 +276,29 @@ object TextOps {
       |  FROM (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS w FROM documents) t) h""".stripMargin
   }
 
+  // q26 — content fingerprints + regex token counting: the native
+  // rolling_hash expression (Rabin-Karp recurrence, codegen'd) replayed
+  // in DuckDB via a character fold, plus a BPE-ish regex token count
+  // alongside the whitespace count (the two tokenizer baselines).
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    docs(s, dir).select(
+      col("doc_id"),
+      expr("rolling_hash(text)").as("fingerprint"),
+      size(words(col("text"))).cast("long").as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).cast("long")
+        .as("regex_tokens"))
+  }
+  private val q26Sql =
+    """SELECT doc_id,
+      |  LIST_REDUCE(
+      |    LIST_PREPEND(CAST(0 AS BIGINT),
+      |      LIST_TRANSFORM(STRING_SPLIT(text, ''), ch -> CAST(ASCII(ch) AS BIGINT))),
+      |    (acc, c) -> (31 * acc + c) % 1000000007) AS fingerprint,
+      |  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS ws_tokens,
+      |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+')) AS BIGINT) AS regex_tokens
+      |FROM documents""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q13_exact_dedup", q13, Some(q13Sql)),
     QueryDef("q14_text_stats", q14, Some(q14Sql)),
@@ -284,5 +307,6 @@ object TextOps {
     QueryDef("q17_minhash_signatures", q17, Some(q17Sql)),
     QueryDef("q18_simhash", q18, Some(q18Sql)),
     QueryDef("q19_lang_id", q19, Some(q19Sql)),
+    QueryDef("q26_fingerprints", q26, Some(q26Sql)),
   )
 }

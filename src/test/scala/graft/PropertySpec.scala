@@ -1,0 +1,72 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.{HashingStubClient, LlmClient}
+import graft.ops.AnnIndex
+
+/** Property-based invariants (SURVEY.md §5): totality of the enrichment
+  * function, hash/fingerprint domains, LSH component soundness. Raw
+  * ScalaCheck driven from ScalaTest (no scalatestplus bridge in the
+  * offline cache).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("enrichment is total: any input yields three valid fields") {
+    check(Prop.forAll(Gen.option(Gen.asciiPrintableStr), Gen.option(Gen.asciiPrintableStr)) {
+      (t, c) =>
+        val r = HashingStubClient.enrich(t.orNull, c.orNull)
+        r.sentiment != null && r.category != null && r.summary != null &&
+          Set("Positive", "Negative", "Neutral").contains(r.sentiment)
+    })
+  }
+
+  test("enrichment is deterministic") {
+    check(Prop.forAll(Gen.asciiPrintableStr, Gen.asciiPrintableStr) { (t, c) =>
+      HashingStubClient.enrich(t, c) == HashingStubClient.enrich(t, c)
+    })
+  }
+
+  test("LSH plane components are ±1 and deterministic") {
+    check(Prop.forAll(Gen.choose(0, 63), Gen.choose(0, 255)) { (p, d) =>
+      val v = AnnIndex.planeComponent(p, d)
+      (v == 1 || v == -1) && v == AnnIndex.planeComponent(p, d)
+    })
+  }
+
+  test("LSH planes are not degenerate (both signs occur per plane)") {
+    for (p <- 0 until 8) {
+      val comps = (0 until 64).map(AnnIndex.planeComponent(p, _))
+      assert(comps.contains(1) && comps.contains(-1))
+    }
+  }
+
+  private def rollingHash(s: String): Long =
+    graft.functions.RollingHashExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(s))
+      .eval(null).asInstanceOf[Long]
+
+  test("rolling hash stays in [0, 1e9+7), is deterministic, extends") {
+    check(Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val h = rollingHash(s)
+      h >= 0L && h < 1000000007L && h == rollingHash(s)
+    })
+    check(Prop.forAll(Gen.asciiPrintableStr) { s =>
+      // last-byte sensitivity: (31h+'x') and (31h+'y') differ by 1 mod M
+      rollingHash(s + "x") != rollingHash(s + "y")
+    })
+  }
+
+  test("prompt always embeds the full category contract") {
+    check(Prop.forAll(Gen.asciiPrintableStr, Gen.asciiPrintableStr) { (t, c) =>
+      val p = LlmClient.promptFor(t, c)
+      graft.schema.Schemas.categoriesToKeep.forall(p.contains)
+    })
+  }
+}
