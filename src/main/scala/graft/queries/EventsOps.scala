@@ -124,9 +124,40 @@ object EventsOps {
       |FROM (SELECT event_type, CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k FROM events) t
       |GROUP BY event_type""".stripMargin
 
-  val defs: Seq[QueryDef] = Seq(
+  // q27 — as-of join, composed from built-ins (preference (a) of the
+  // custom-operator ladder): for every purchase, the latest strictly
+  // prior click by the same user. Spark has no native as-of join; the
+  // union-then-window form needs ONE shuffle on user_id (vs a range-join
+  // blowup), the same shape Flink/KDB-style as-of joins compile to.
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("click_us",
+        when(col("event_type") === "click", col("ts_us")))
+      .withColumn("last_click_us", last(col("click_us"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("purchase_us"), col("last_click_us"),
+        (col("ts_us") - col("last_click_us")).as("us_since_click"))
+  }
+  private val q27Sql =
+    """SELECT user_id, event_id AS purchase_id, ts_us AS purchase_us,
+      |  last_click_us, ts_us - last_click_us AS us_since_click
+      |FROM (
+      |  SELECT user_id, event_id, event_type, EPOCH_US(ts) AS ts_us,
+      |    LAST_VALUE(CASE WHEN event_type = 'click' THEN EPOCH_US(ts) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY EPOCH_US(ts), event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+      |  FROM events) t
+      |WHERE event_type = 'purchase'""".stripMargin
+
+  lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q10_events_hourly", q10, Some(q10Sql)),
     QueryDef("q11_sessionize", q11, Some(q11Sql)),
     QueryDef("q12_props_json", q12, Some(q12Sql)),
+    QueryDef("q27_asof_click_purchase", q27, Some(q27Sql)),
   )
 }

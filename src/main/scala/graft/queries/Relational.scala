@@ -244,7 +244,7 @@ object Relational {
       |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS BIGINT) AS order_seq
       |FROM orders""".stripMargin
 
-  val defs: Seq[QueryDef] = Seq(
+  lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", q1, Some(q1Sql)),
     QueryDef("q2_top_orders", q2, Some(q2Sql)),
     QueryDef("q3_revenue_by_nation", q3, Some(q3Sql)),
@@ -256,5 +256,60 @@ object Relational {
     QueryDef("q9_scalar_funcs", q9, Some(q9Sql)),
     QueryDef("q24_sql_surface", q24, Some(q24Sql)),
     QueryDef("q25_running_revenue", q25, Some(q25Sql)),
+    QueryDef("q28_cube_orders", q28, Some(q28Sql)),
+    QueryDef("q29_parts_above_avg", q29, Some(q29Sql)),
+    QueryDef("q30_supplier_balance", q30, Some(q30Sql)),
   )
+
+  // q28 — CUBE grouping sets over (order year, priority): all four
+  // grouping combinations in one pass (partial-aggregated expand).
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+      .cube(col("o_year"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+  private val q28Sql =
+    """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year, o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY CUBE (CAST(YEAR(o_orderdate) AS BIGINT), o_orderpriority)""".stripMargin
+
+  // q29 — scalar subquery: parts priced above the global average retail
+  // price (exact decimal average on both sides).
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    load(s, dir, "part").createOrReplaceTempView("part")
+    s.sql(
+      """SELECT p_partkey, p_name, p_brand, p_retailprice
+        |FROM part
+        |WHERE p_retailprice > (
+        |  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        |  FROM part)""".stripMargin)
+  }
+  private val q29Sql =
+    """SELECT p_partkey, p_name, p_brand, p_retailprice
+      |FROM part
+      |WHERE p_retailprice > (
+      |  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+      |  FROM part)""".stripMargin
+
+  // q30 — supplier account balance by nation (broadcast dim join; the
+  // supplier-side mirror of q3).
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    val sup = load(s, dir, "supplier")
+    val n = load(s, dir, "nation")
+    sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        sum(dec(col("s_acctbal"))).cast("double").as("total_acctbal"),
+        max(col("s_acctbal")).as("max_acctbal"))
+  }
+  private val q30Sql =
+    """SELECT n_name, COUNT(*) AS n_suppliers,
+      |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal,
+      |  MAX(s_acctbal) AS max_acctbal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
 }

@@ -142,7 +142,7 @@ object SimilarityOps {
       |SELECT vec_id, neighbor_id, bucket, cos_sim, rank FROM ranked WHERE rank <= 3""".stripMargin
   }
 
-  val defs: Seq[QueryDef] = Seq(
+  lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_cosine_topk", q20, Some(q20Sql)),
     QueryDef("q21_label_centroid", q21, Some(q21Sql)),
     QueryDef("q22_ann_buckets", q22, Some(q22Sql)),

@@ -299,7 +299,7 @@ object TextOps {
       |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+')) AS BIGINT) AS regex_tokens
       |FROM documents""".stripMargin
 
-  val defs: Seq[QueryDef] = Seq(
+  lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q13_exact_dedup", q13, Some(q13Sql)),
     QueryDef("q14_text_stats", q14, Some(q14Sql)),
     QueryDef("q15_token_topk", q15, Some(q15Sql)),
