@@ -142,10 +142,92 @@ object SimilarityOps {
       |SELECT vec_id, neighbor_id, bucket, cos_sim, rank FROM ranked WHERE rank <= 3""".stripMargin
   }
 
+  // q31 — IVF coarse quantizer: per-label micro-unit centroids become the
+  // cell table; every vector is assigned to its nearest cell (squared
+  // euclidean in micro-units — exact integer-derived doubles, strict
+  // fold, deterministic argmin with cell_id tie-break). The IVF
+  // counterpart of q22's LSH bucketing: at scale, search probes only the
+  // nearest cell(s) instead of the full corpus, and the centroid table is
+  // broadcast (10 cells × 64 dims).
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val emb = load(s, dir, "embeddings")
+    val cent = emb
+      .select(col("label").as("cell_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .withColumn("x_micro", floor(col("x") * 1000000).cast("long"))
+      .groupBy(col("cell_id"), col("dim"))
+      .agg((sum(col("x_micro")).cast("double") / count(lit(1))).as("c"))
+      .groupBy(col("cell_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("cv"))
+    val vecs = emb
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .select(col("vec_id"),
+        expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000000) as double))")
+          .as("vm"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cell_id").asc)
+    vecs.join(broadcast(cent))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(vm, cv, (x, c) -> (x - c) * (x - c)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell_id"), col("dist"))
+  }
+  private val q31Sql =
+    """WITH ex AS (
+      |  SELECT label AS cell_id, i,
+      |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xm
+      |  FROM embeddings CROSS JOIN GENERATE_SERIES(1, 64) g(i)),
+      |cent AS (
+      |  SELECT cell_id, i, CAST(SUM(xm) AS DOUBLE) / COUNT(*) AS c
+      |  FROM ex GROUP BY cell_id, i),
+      |cells AS (
+      |  SELECT cell_id, LIST(c ORDER BY i) AS cv FROM cent GROUP BY cell_id),
+      |vecs AS (
+      |  SELECT vec_id,
+      |    LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> FLOOR(x * 1000000)) AS vm
+      |  FROM embeddings),
+      |dists AS (
+      |  SELECT vec_id, cell_id,
+      |    LIST_REDUCE(
+      |      LIST_PREPEND(CAST(0 AS DOUBLE),
+      |        LIST_TRANSFORM(GENERATE_SERIES(1, 64), i -> (vm[i] - cv[i]) * (vm[i] - cv[i]))),
+      |      (acc, x) -> acc + x) AS dist
+      |  FROM vecs CROSS JOIN cells),
+      |ranked AS (
+      |  SELECT vec_id, cell_id, dist,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell_id ASC) AS rn
+      |  FROM dists)
+      |SELECT vec_id, cell_id, dist FROM ranked WHERE rn = 1""".stripMargin
+
+  // q32 — embedding-cosine near-dup: all pairs above a similarity
+  // threshold (the dedup-family form of q20; at scale the candidate set
+  // comes from q22/q31 buckets instead of all pairs).
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, load(s, dir, "embeddings"))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", expr("dot_product(va, vb)") / (col("na") * col("nb")))
+      .filter(col("cos_sim") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+  }
+  private val q32Sql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  LIST_DOT_PRODUCT(a.v, b.v) / (a.norm * b.norm) AS cos_sim
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE LIST_DOT_PRODUCT(a.v, b.v) / (a.norm * b.norm) >= 0.35""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_cosine_topk", q20, Some(q20Sql)),
     QueryDef("q21_label_centroid", q21, Some(q21Sql)),
     QueryDef("q22_ann_buckets", q22, Some(q22Sql)),
     QueryDef("q23_ann_topk", q23, Some(q23Sql)),
+    QueryDef("q31_ivf_cells", q31, Some(q31Sql)),
+    QueryDef("q32_cosine_neardup", q32, Some(q32Sql)),
   )
 }
