@@ -26,8 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] = 32 executor threads in ONE driver JVM; an 8g heap GC-
-  // thrashes under parallel shuffle/cache pressure (observed 2-8x bench
-  // variance). The box has 128 GiB — give the single JVM real room.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // local[32] = 32 executor threads in ONE driver JVM. Measured on the
+  // sf0.1 bench: 8g GC-thrashes under parallel pressure, and >16g
+  // degrades 2-3x (compressed-oops shift / G1 region sizing — q17 warm
+  // reps: 4.3s @4g, 4.4s @16g, 8-12s @31g, 12-26s @48g). 16g is the
+  // sweet spot: headroom without the big-heap penalties.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.{DotProductExpr, RollingHashExpr, VecNormExpr}
+
+/** Session-extension packaging for the engine's native functions — the
+  * idiomatic way to ship custom Catalyst expressions with a library:
+  *
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  *     ...
+  *
+  * (or `.withExtensions(new GraftExtensions)`). Injected functions are
+  * catalog-visible in every session of the application, unlike the
+  * per-session imperative registration in
+  * [[graft.functions.VectorExpressions.register]] (kept for REPL/test
+  * convenience).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
+      exprs => DotProductExpr(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("vec_norm"),
+      new ExpressionInfo(classOf[VecNormExpr].getName, "vec_norm"),
+      exprs => VecNormExpr(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHashExpr].getName, "rolling_hash"),
+      exprs => RollingHashExpr(exprs.head)))
+  }
+}
