@@ -33,8 +33,14 @@ object Main {
 
     case "enrich" :: in :: out :: rest =>
       val spark = session()
+      // dual positional/flag parsing, reference parity (`Main.py:382-397`):
+      //   enrich <in> <out> [sampleN] [rateSec]   or
+      //   enrich <in> <out> --sample N --rate S
+      val positional = rest.takeWhile(a => !a.startsWith("--"))
       val sampleN = flagValue(rest, "--sample").map(_.toInt)
-      val rateSec = flagValue(rest, "--rate").map(_.toDouble).getOrElse(0.0)
+        .orElse(positional.headOption.map(_.toInt))
+      val rateSec = flagValue(rest, "--rate").map(_.toDouble)
+        .orElse(positional.lift(1).map(_.toDouble)).getOrElse(0.0)
       val clean = Enrich.sample(spark.read.parquet(in), sampleN)
       val cfg = Enrich.Config(
         client = DisabledLlmClient,

@@ -95,6 +95,31 @@ object Multimodal {
       }
   }
 
+  /** "Resize" for image-kind rows: deterministic byte-domain downsample
+    * standing in for a pixel resize — keeps every `factor`-th byte of the
+    * payload and rewrites the metadata dims accordingly. Shape contract
+    * of a real resize: binary in → smaller binary out, metadata kept
+    * consistent, per-partition batch processing.
+    */
+  def resize(spark: SparkSession, media: DataFrame, factor: Int): DataFrame = {
+    import spark.implicits._
+    require(factor > 0, "resize factor must be positive")
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), col("payload"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+      .as[(Long, Array[Byte], Option[Int], Option[Int])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload, w, h) =>
+          val out =
+            if (payload == null) Array.emptyByteArray
+            else payload.grouped(factor).map(_.head).toArray
+          (id, out, w.map(x => math.max(1, x / factor)),
+            h.map(x => math.max(1, x / factor)))
+        }
+      }
+      .toDF("media_id", "payload", "width", "height")
+  }
+
   /** Frame sampling for video-kind rows: emit every `stride`-th 4-byte
     * stripe as a "frame" reference — the shape (one row per sampled
     * frame, bounded fan-out) of real frame extraction.

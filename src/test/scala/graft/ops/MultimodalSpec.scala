@@ -40,6 +40,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.map(_.getAs[Int]("frame_no")).sorted.toSeq == Seq(0, 4, 8, 12))
   }
 
+  test("resize downsamples payload and keeps metadata consistent") {
+    val out = Multimodal.resize(spark, mediaDf(), factor = 2).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Array[Byte]]("payload"),
+        r.getAs[Int]("width"))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 4L)) // image rows only
+    assert(out.head._2.toSeq == Seq[Byte](1, 3, 5, 7)) // every 2nd byte
+    assert(out.head._3 == 1) // width 2 → 1
+    assert(out(1)._2.isEmpty) // null payload degrades to empty
+  }
+
   test("feature schema carries no binary column downstream") {
     val df = Multimodal.featurize(spark, mediaDf()).toDF()
     assert(!df.schema.fields.exists(_.dataType.typeName == "binary"))
