@@ -133,4 +133,56 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
       .toDF()
   }
+
+  final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Spark 4 `transformWithState` (state API v2) demo: per-user running
+    * totals with typed ValueState, emitted on every update. Requires the
+    * RocksDB state store provider (set by [[withRocksDBStateStore]]) —
+    * the provider that scales keyed state past executor heap via native
+    * memory + changelog checkpointing.
+    */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessionEvent, UserTotals] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      state = getHandle.getValueState(
+        "totals", E.tuple(E.scalaLong, E.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long,
+        inputRows: Iterator[SessionEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTotals] = {
+      var (n, sum) = if (state.exists()) state.get() else (0L, 0.0)
+      inputRows.foreach { e => n += 1; sum += e.value }
+      state.update((n, sum))
+      Iterator(UserTotals(key, n, sum))
+    }
+  }
+
+  /** Session configuration for transformWithState (RocksDB-backed). */
+  def withRocksDBStateStore(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  /** Per-user running totals via the state API v2. */
+  def runningTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    withRocksDBStateStore(spark)
+    events
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+      .toDF()
+  }
 }

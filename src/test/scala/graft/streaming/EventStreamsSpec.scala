@@ -57,6 +57,19 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(n == total)
   }
 
+  test("transformWithState running totals match the batch aggregation") {
+    val stream = EventStreams.readEvents(spark, streamDir)
+    runToMemory(EventStreams.runningTotals(spark, stream), "tws_totals", mode = "update")
+    // single micro-batch → one emission per user with final totals
+    val got = spark.sql(
+      "select user_id, n_events, sum_value from tws_totals")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = batchEvents().groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected)
+  }
+
   test("flatMapGroupsWithState sessionizer agrees with the batch q11 sessions") {
     val stream = EventStreams.readEvents(spark, streamDir)
     runToMemory(EventStreams.sessionize(spark, stream), "fmgs_sessions")
