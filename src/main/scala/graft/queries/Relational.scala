@@ -264,7 +264,101 @@ object Relational {
     QueryDef("q28_cube_orders", q28, Some(q28Sql)),
     QueryDef("q29_parts_above_avg", q29, Some(q29Sql)),
     QueryDef("q30_supplier_balance", q30, Some(q30Sql)),
+    QueryDef("q33_string_funcs", q33, Some(q33Sql)),
+    QueryDef("q34_math_funcs", q34, Some(q34Sql)),
+    QueryDef("q35_date_funcs", q35, Some(q35Sql)),
   )
+
+  // q33 — string-function battery over part names: the scalar string
+  // surface the reference's users reach through Athena SQL. Functions
+  // chosen for identical cross-engine semantics.
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_name")).as("name_upper"),
+      lower(col("p_brand")).as("brand_lower"),
+      reverse(col("p_type")).as("type_rev"),
+      regexp_replace(col("p_name"), "[aeiou]", "_").as("name_devoweled"),
+      translate(col("p_brand"), "#", "B").as("brand_translated"),
+      substring(col("p_type"), 1, 5).as("type_prefix"),
+      instr(col("p_type"), "a").cast("long").as("first_a"),
+      length(trim(col("p_name"))).cast("long").as("name_len"),
+      expr("repeat('*', CAST(p_size % 5 AS INT))").as("stars"),
+      expr("split_part(p_type, ' ', 1)").as("type_head"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+  private val q33Sql =
+    """SELECT p_partkey,
+      |  UPPER(p_name) AS name_upper,
+      |  LOWER(p_brand) AS brand_lower,
+      |  REVERSE(p_type) AS type_rev,
+      |  REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
+      |  TRANSLATE(p_brand, '#', 'B') AS brand_translated,
+      |  SUBSTRING(p_type, 1, 5) AS type_prefix,
+      |  CAST(STRPOS(p_type, 'a') AS BIGINT) AS first_a,
+      |  CAST(LENGTH(TRIM(p_name)) AS BIGINT) AS name_len,
+      |  REPEAT('*', CAST(p_size % 5 AS INT)) AS stars,
+      |  SPLIT_PART(p_type, ' ', 1) AS type_head,
+      |  CONCAT_WS('|', p_brand, p_type) AS brand_type
+      |FROM part""".stripMargin
+
+  // q34 — math battery (IEEE-exact operations only: abs/sign/sqrt/
+  // floor/ceil/mod/greatest/least — no libm transcendentals, whose last
+  // ulp is implementation-defined).
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .filter(col("l_linenumber") === 1)
+      .select(
+        col("l_orderkey"),
+        abs(col("l_discount") - col("l_tax")).as("disc_tax_gap"),
+        signum(col("l_discount") - col("l_tax")).as("gap_sign"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        ceil(col("l_extendedprice") / 100).cast("long").as("price_ceil_h"),
+        floor(col("l_extendedprice") / 100).cast("long").as("price_floor_h"),
+        expr("CAST(l_orderkey % 7 AS BIGINT)").as("okey_mod7"),
+        greatest(col("l_discount"), col("l_tax")).as("max_rate"),
+        least(col("l_discount"), col("l_tax")).as("min_rate"))
+  private val q34Sql =
+    """SELECT l_orderkey,
+      |  ABS(l_discount - l_tax) AS disc_tax_gap,
+      |  SIGN(l_discount - l_tax) AS gap_sign,
+      |  SQRT(l_quantity) AS qty_sqrt,
+      |  CAST(CEIL(l_extendedprice / 100) AS BIGINT) AS price_ceil_h,
+      |  CAST(FLOOR(l_extendedprice / 100) AS BIGINT) AS price_floor_h,
+      |  CAST(l_orderkey % 7 AS BIGINT) AS okey_mod7,
+      |  GREATEST(l_discount, l_tax) AS max_rate,
+      |  LEAST(l_discount, l_tax) AS min_rate
+      |FROM lineitem WHERE l_linenumber = 1""".stripMargin
+
+  // q35 — date/time battery over order dates (calendar fields with
+  // engine-identical definitions; dayofweek offsets differ by engine and
+  // are intentionally avoided).
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders")
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        date_trunc("quarter", col("o_orderdate")).as("quarter_start"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        last_day(col("o_orderdate").cast("date")).as("month_end"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+        datediff(lit("1999-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_1999"))
+  private val q35Sql =
+    """SELECT o_orderkey,
+      |  CAST(YEAR(o_orderdate) AS BIGINT) AS y,
+      |  CAST(QUARTER(o_orderdate) AS BIGINT) AS q,
+      |  CAST(MONTH(o_orderdate) AS BIGINT) AS m,
+      |  CAST(DAY(o_orderdate) AS BIGINT) AS d,
+      |  CAST(DATE_TRUNC('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start,
+      |  CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      |  LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+      |  CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS BIGINT) AS days_to_1999
+      |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin
 
   // q28 — CUBE grouping sets over (order year, priority): all four
   // grouping combinations in one pass (partial-aggregated expand).
