@@ -89,8 +89,8 @@ object EventsOps {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |), sessions AS (
       |  SELECT user_id, event_id, ts, ts_us,
-      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM flagged
       |)
       |SELECT user_id, session_id,
@@ -118,7 +118,7 @@ object EventsOps {
     """SELECT event_type,
       |  COUNT(*) AS n_events,
       |  COUNT(k) AS n_with_k,
-      |  SUM(k) AS sum_k,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
       |  MIN(k) AS min_k,
       |  MAX(k) AS max_k
       |FROM (SELECT event_type, CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k FROM events) t

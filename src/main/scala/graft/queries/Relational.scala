@@ -99,13 +99,13 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     load(s, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
   }
   private val q4Sql =
     """SELECT * FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
-      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
       |  FROM orders) t
       |WHERE rn <= 3""".stripMargin
 
@@ -267,7 +267,53 @@ object Relational {
     QueryDef("q33_string_funcs", q33, Some(q33Sql)),
     QueryDef("q34_math_funcs", q34, Some(q34Sql)),
     QueryDef("q35_date_funcs", q35, Some(q35Sql)),
+    QueryDef("q36_outer_joins", q36, Some(q36Sql)),
   )
+
+  // q36 — outer-join family: per-customer urgent-order stats via LEFT
+  // OUTER (null-extension + COALESCE), fused with a FULL OUTER between
+  // the customer-nation and supplier-nation aggregate views.
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    val c = load(s, dir, "customer")
+    val urgent = load(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_urgent"),
+        sum(dec(col("o_totalprice"))).cast("double").as("urgent_rev"))
+    val perCust = c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_outer")
+      .select(col("c_nationkey").as("nationkey"),
+        coalesce(col("n_urgent"), lit(0L)).as("n_urgent"),
+        coalesce(col("urgent_rev"), lit(0.0)).as("urgent_rev"))
+      .groupBy(col("nationkey"))
+      .agg(sum(col("n_urgent")).as("cust_urgent_orders"),
+        count(lit(1)).as("n_customers"))
+    val perSupp = load(s, dir, "supplier")
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    perCust.join(perSupp, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("cust_urgent_orders"), lit(0L)).as("cust_urgent_orders"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+  }
+  private val q36Sql =
+    """WITH urgent AS (
+      |  SELECT o_custkey, COUNT(*) AS n_urgent
+      |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey),
+      |per_cust AS (
+      |  SELECT c_nationkey AS nationkey,
+      |    CAST(SUM(COALESCE(n_urgent, 0)) AS BIGINT) AS cust_urgent_orders,
+      |    COUNT(*) AS n_customers
+      |  FROM customer LEFT OUTER JOIN urgent ON c_custkey = o_custkey
+      |  GROUP BY c_nationkey),
+      |per_supp AS (
+      |  SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+      |  FROM supplier GROUP BY s_nationkey)
+      |SELECT COALESCE(per_cust.nationkey, per_supp.nationkey) AS nationkey,
+      |  COALESCE(n_customers, 0) AS n_customers,
+      |  COALESCE(cust_urgent_orders, 0) AS cust_urgent_orders,
+      |  COALESCE(n_suppliers, 0) AS n_suppliers
+      |FROM per_cust FULL OUTER JOIN per_supp ON per_cust.nationkey = per_supp.nationkey""".stripMargin
 
   // q33 — string-function battery over part names: the scalar string
   // surface the reference's users reach through Athena SQL. Functions
@@ -320,7 +366,7 @@ object Relational {
   private val q34Sql =
     """SELECT l_orderkey,
       |  ABS(l_discount - l_tax) AS disc_tax_gap,
-      |  SIGN(l_discount - l_tax) AS gap_sign,
+      |  CAST(SIGN(l_discount - l_tax) AS DOUBLE) AS gap_sign,
       |  SQRT(l_quantity) AS qty_sqrt,
       |  CAST(CEIL(l_extendedprice / 100) AS BIGINT) AS price_ceil_h,
       |  CAST(FLOOR(l_extendedprice / 100) AS BIGINT) AS price_floor_h,

@@ -79,7 +79,7 @@ object SimilarityOps {
   private val q21Sql =
     """SELECT label, CAST(i - 1 AS BIGINT) AS dim,
       |  COUNT(*) AS n,
-      |  SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS sum_micro,
+      |  CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro,
       |  CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) AS centroid_micro
       |FROM embeddings CROSS JOIN GENERATE_SERIES(1, 64) g(i)
       |GROUP BY label, i""".stripMargin

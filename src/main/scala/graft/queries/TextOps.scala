@@ -225,7 +225,7 @@ object TextOps {
       |  FROM tok CROSS JOIN GENERATE_SERIES(0, 59) g(bit)
       |  GROUP BY doc_id, bit)
       |SELECT doc_id,
-      |  SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS simhash
+      |  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
       |FROM bits GROUP BY doc_id""".stripMargin
 
   // Stopword lists per language for the n-gram/stopword language-ID

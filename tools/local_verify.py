@@ -61,6 +61,17 @@ def main():
             print(f"FAIL {name}: cols spark={spark_cols} duck={duck_cols}")
             n_fail += 1
             continue
+        # arrow-type comparison: catches silent promotions (e.g. DuckDB
+        # SUM(BIGINT) -> HUGEINT) a value-only compare would miss
+        sa = con.sql("SELECT " + ", ".join(f'"{c}"' for c in spark_cols) +
+                     f" FROM '{out_dir}/{name}/*.parquet'").arrow().schema
+        da = con.sql("SELECT " + ", ".join(f'"{c}"' for c in duck_cols) +
+                     f" FROM ({sql}) oracle_q").arrow().schema
+        tdiff = [f"{c}: spark={ta} duck={tb}"
+                 for c, ta, tb in zip(spark_cols, sa.types, da.types)
+                 if str(ta) != str(tb)]
+        if tdiff:
+            print(f"WARN {name}: type drift {'; '.join(tdiff[:4])}")
         if len(spark_rows) != len(duck_rows):
             print(f"FAIL {name}: rows spark={len(spark_rows)} duck={len(duck_rows)}")
             n_fail += 1
