@@ -229,5 +229,34 @@ object SimilarityOps {
     QueryDef("q23_ann_topk", q23, Some(q23Sql)),
     QueryDef("q31_ivf_cells", q31, Some(q31Sql)),
     QueryDef("q32_cosine_neardup", q32, Some(q32Sql)),
+    QueryDef("q37_array_funcs", q37, Some(q37Sql)),
   )
+
+  // q37 — array/higher-order-function battery over embeddings:
+  // size/element access/slice/min/max/count-by-predicate/sort. All
+  // comparison-or-selection operations — float values pass through
+  // untouched, so cross-engine exactness is structural.
+  private def q37(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "embeddings").select(
+      col("vec_id"),
+      size(col("embedding")).cast("long").as("dims"),
+      col("embedding").getItem(0).cast("double").as("first_dim"),
+      element_at(col("embedding"), -1).cast("double").as("last_dim"),
+      array_max(col("embedding")).cast("double").as("max_dim"),
+      array_min(col("embedding")).cast("double").as("min_dim"),
+      expr("size(filter(embedding, x -> x > CAST(0 AS FLOAT)))").cast("long")
+        .as("n_positive"),
+      expr("CAST(slice(embedding, 1, 4) AS ARRAY<DOUBLE>)").as("head4"),
+      expr("CAST(array_sort(slice(embedding, 1, 8)) AS ARRAY<DOUBLE>)").as("head8_sorted"))
+  private val q37Sql =
+    """SELECT vec_id,
+      |  CAST(LEN(embedding) AS BIGINT) AS dims,
+      |  CAST(embedding[1] AS DOUBLE) AS first_dim,
+      |  CAST(embedding[-1] AS DOUBLE) AS last_dim,
+      |  CAST(LIST_MAX(embedding) AS DOUBLE) AS max_dim,
+      |  CAST(LIST_MIN(embedding) AS DOUBLE) AS min_dim,
+      |  CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
+      |  CAST(embedding[1:4] AS DOUBLE[]) AS head4,
+      |  CAST(LIST_SORT(embedding[1:8]) AS DOUBLE[]) AS head8_sorted
+      |FROM embeddings""".stripMargin
 }
