@@ -159,5 +159,28 @@ object EventsOps {
     QueryDef("q11_sessionize", q11, Some(q11Sql)),
     QueryDef("q12_props_json", q12, Some(q12Sql)),
     QueryDef("q27_asof_click_purchase", q27, Some(q27Sql)),
+    QueryDef("q38_map_funcs", q38, Some(q38Sql)),
   )
+
+  // q38 — map-type surface: parse props into MAP<STRING,STRING> once
+  // (`from_json` with an explicit schema — single parse, vs one parse per
+  // get_json_object call) and exercise keys/cardinality/membership/
+  // element access.
+  private def q38(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("m", from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)))
+      .select(
+        col("event_id"),
+        size(col("m")).cast("long").as("n_keys"),
+        map_keys(col("m")).as("keys"),
+        expr("map_contains_key(m, 'k')").as("has_k"),
+        element_at(col("m"), "k").cast("long").as("k_value"))
+  private val q38Sql =
+    """SELECT event_id,
+      |  CAST(LEN(JSON_KEYS(props)) AS BIGINT) AS n_keys,
+      |  JSON_KEYS(props) AS keys,
+      |  LIST_CONTAINS(JSON_KEYS(props), 'k') AS has_k,
+      |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_value
+      |FROM events""".stripMargin
 }
