@@ -59,6 +59,19 @@ object AnnIndex {
     df.withColumn("bucket", bits.reduce(_ + _))
   }
 
+  /** Multi-probe expansion: emit the home bucket plus every bucket at
+    * Hamming distance 1 (one flipped hyperplane sign) for the PROBE side
+    * of an ANN join. Near-boundary vectors — the ones LSH misclassifies —
+    * differ from their true neighbors in exactly the low-margin bit, so
+    * probing the 1-flip neighborhood recovers most of the lost recall for
+    * (nPlanes+1)× candidate cost, without re-sharding the index side.
+    */
+  def withProbeBuckets(df: DataFrame, nPlanes: Int): DataFrame = {
+    val probes = (0 until nPlanes).map(p => expr(s"CAST(${1L << p} AS BIGINT) ^ bucket"))
+    df.withColumn("probe_bucket",
+      explode(array((col("bucket") +: probes): _*)))
+  }
+
   /** DuckDB rendering of the same signature, for oracle SQL generation.
     * `vecExpr` must be a DOUBLE[] expression; element access is 1-based
     * in DuckDB, so dim d becomes [d+1].

