@@ -134,6 +134,28 @@ object EventStreams {
       .toDF()
   }
 
+  /** Stream-stream interval join: purchases within 30 minutes after a
+    * click by the same user. Both sides carry watermarks so the join
+    * state (buffered clicks awaiting purchases and vice versa) is evicted
+    * once event time passes — bounded state, the requirement for a
+    * stream-stream join to run indefinitely.
+    */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases, expr(
+      """user_id = p_user
+        |AND purchase_ts >= click_ts
+        |AND purchase_ts <= click_ts + INTERVAL 30 MINUTES""".stripMargin))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 
   /** Spark 4 `transformWithState` (state API v2) demo: per-user running

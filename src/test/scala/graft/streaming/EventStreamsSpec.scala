@@ -57,6 +57,21 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(n == total)
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val stream = EventStreams.readEvents(spark, streamDir)
+    runToMemory(EventStreams.clickPurchaseJoin(stream), "cp_join")
+    val got = spark.sql("select count(*) from cp_join").head().getLong(0)
+    val ev = batchEvents()
+    val clicks = ev.filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .selectExpr("user_id", "event_id as click_id", "ts as click_ts")
+    val purchases = ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .selectExpr("user_id as p_user", "event_id as purchase_id", "ts as purchase_ts")
+    val expected = clicks.join(purchases, org.apache.spark.sql.functions.expr(
+      "user_id = p_user AND purchase_ts >= click_ts AND purchase_ts <= click_ts + INTERVAL 30 MINUTES"))
+      .count()
+    assert(got == expected && got > 0)
+  }
+
   test("transformWithState running totals match the batch aggregation") {
     val stream = EventStreams.readEvents(spark, streamDir)
     runToMemory(EventStreams.runningTotals(spark, stream), "tws_totals", mode = "update")
