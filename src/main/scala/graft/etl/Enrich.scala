@@ -30,7 +30,14 @@ object Enrich {
   final case class Config(
       client: LlmClient = DisabledLlmClient,
       perCallDelayMs: Long = 0L,
-      maxPartitions: Option[Int] = None)
+      maxPartitions: Option[Int] = None,
+      /** >1 enables bounded-concurrency calls WITHIN each task: an LLM
+        * endpoint is latency-bound, not CPU-bound, so per-task pipelining
+        * multiplies throughput beyond task parallelism. Aggregate QPS ≈
+        * tasks × maxConcurrentPerTask / latency — size both against the
+        * provider budget.
+        */
+      maxConcurrentPerTask: Int = 1)
 
   /** Optional seeded exact-N sample (reference `Main.py:218-223`,
     * `--sample` knob). Deterministic given a fixed input; NOT bit-equal
@@ -51,8 +58,9 @@ object Enrich {
     }
     val client = cfg.client
     val delay = cfg.perCallDelayMs
+    val conc = math.max(1, cfg.maxConcurrentPerTask)
     val enriched = sized.mapPartitions { rows =>
-      rows.map { r =>
+      def one(r: CleanNews): EnrichedNews = {
         if (delay > 0) Thread.sleep(delay)
         val res = scala.util.Try(client.enrich(r.title, r.content))
           .getOrElse(LlmClient.errorResult)
@@ -61,6 +69,27 @@ object Enrich {
           Option(res.sentiment).getOrElse(LlmClient.notAvailable),
           Option(res.category).getOrElse(LlmClient.notAvailable),
           Option(res.summary).getOrElse(LlmClient.notAvailable))
+      }
+      if (conc == 1) rows.map(one)
+      else {
+        // bounded in-task pipelining: process `conc`-sized waves through
+        // a task-local pool; row order within the partition is preserved
+        import java.util.concurrent.Executors
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = Executors.newFixedThreadPool(conc)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        val out = rows.grouped(conc).flatMap { wave =>
+          Await.result(Future.traverse(wave.toSeq)(r => Future(one(r))), Duration.Inf)
+        }
+        new Iterator[EnrichedNews] {
+          override def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h) pool.shutdown()
+            h
+          }
+          override def next(): EnrichedNews = out.next()
+        }
       }
     }
     // current_timestamp() is fixed per query — matches the reference's

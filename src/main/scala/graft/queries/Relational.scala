@@ -268,7 +268,24 @@ object Relational {
     QueryDef("q34_math_funcs", q34, Some(q34Sql)),
     QueryDef("q35_date_funcs", q35, Some(q35Sql)),
     QueryDef("q36_outer_joins", q36, Some(q36Sql)),
+    QueryDef("q40_having_filter", q40, Some(q40Sql)),
   )
+
+  // q40 — post-aggregation predicate (HAVING): big repeat customers, with
+  // the filter applied after the partial-aggregated groupBy (Catalyst
+  // keeps it above the aggregate, never blocking map-side combine).
+  private def q40(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("lifetime_value"))
+      .filter(col("n_orders") >= 15 && col("lifetime_value") > 1000000.0)
+  private val q40Sql =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS lifetime_value
+      |FROM orders GROUP BY o_custkey
+      |HAVING COUNT(*) >= 15 AND CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) > 1000000.0""".stripMargin
 
   // q36 — outer-join family: per-customer urgent-order stats via LEFT
   // OUTER (null-extension + COALESCE), fused with a FULL OUTER between

@@ -75,6 +75,32 @@ class EnrichSpec extends AnyFunSuite {
     assert(p.contains("JSON"))
   }
 
+  test("concurrent enrichment equals sequential (order and values)") {
+    val seq = Enrich.run(spark, cleanDf(),
+      Enrich.Config(client = HashingStubClient))
+      .drop("etl_processing_time").collect().map(_.toSeq).toSet
+    val conc = Enrich.run(spark, cleanDf(),
+      Enrich.Config(client = HashingStubClient, maxConcurrentPerTask = 4))
+      .drop("etl_processing_time").collect().map(_.toSeq).toSet
+    assert(conc == seq)
+  }
+
+  test("concurrent enrichment pipelines the per-call delay") {
+    import org.apache.spark.sql.functions.lit
+    // 12 rows × 100 ms sequential = 1.2 s floor; 4-way pipelining cuts
+    // the floor to ~0.3 s per partition — assert it beats sequential
+    val wide = (1 to 4).map(_ => cleanDf()).reduce(_ union _).coalesce(1)
+    def timed(c: Enrich.Config): Double = {
+      val t0 = System.nanoTime()
+      Enrich.run(spark, wide, c).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val tSeq = timed(Enrich.Config(client = HashingStubClient, perCallDelayMs = 100))
+    val tConc = timed(Enrich.Config(client = HashingStubClient,
+      perCallDelayMs = 100, maxConcurrentPerTask = 4))
+    assert(tConc < tSeq, f"concurrent $tConc%.2f s not faster than sequential $tSeq%.2f s")
+  }
+
   test("seeded sample returns exactly N deterministic rows") {
     val df = cleanDf()
     val s1 = Enrich.sample(df, Some(2)).collect().map(_.getLong(0)).toSeq
