@@ -160,7 +160,48 @@ object EventsOps {
     QueryDef("q12_props_json", q12, Some(q12Sql)),
     QueryDef("q27_asof_click_purchase", q27, Some(q27Sql)),
     QueryDef("q38_map_funcs", q38, Some(q38Sql)),
+    QueryDef("q41_pivot_daily", q41, Some(q41Sql)),
+    QueryDef("q42_percentiles", q42, Some(q42Sql)),
   )
+
+  // q41 — pivot (the reference's Power BI cross-tab): daily event counts
+  // with one column per event type. Explicit value list keeps the output
+  // schema static (required for both the oracle and any sane downstream
+  // consumer — unbounded pivots need a values scan first).
+  private val EventTypes = Seq("click", "view", "purchase", "signup", "error")
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+  private val q41Sql = {
+    val cols = EventTypes.map(t =>
+      s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS \"$t\"").mkString(",\n      |  ")
+    s"""SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+      |  $cols
+      |FROM events GROUP BY DATE_TRUNC('day', ts)""".stripMargin
+  }
+
+  // q42 — exact percentiles: PERCENTILE_DISC selects an actual data value
+  // (no interpolation), so doubles cross engines untouched.
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").as("p25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").as("p95"),
+        min(col("value")).as("p0"),
+        max(col("value")).as("p100"))
+  private val q42Sql =
+    """SELECT event_type,
+      |  PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY value) AS p25,
+      |  PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+      |  PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY value) AS p95,
+      |  MIN(value) AS p0,
+      |  MAX(value) AS p100
+      |FROM events GROUP BY event_type""".stripMargin
 
   // q38 — map-type surface: parse props into MAP<STRING,STRING> once
   // (`from_json` with an explicit schema — single parse, vs one parse per
