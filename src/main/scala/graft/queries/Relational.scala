@@ -269,7 +269,33 @@ object Relational {
     QueryDef("q35_date_funcs", q35, Some(q35Sql)),
     QueryDef("q36_outer_joins", q36, Some(q36Sql)),
     QueryDef("q40_having_filter", q40, Some(q40Sql)),
+    QueryDef("q43_range_frame", q43, Some(q43Sql)),
   )
+
+  // q43 — RANGE window frame over event time: trailing-30-day order
+  // count/revenue per customer — value-based frames (vs q25's row
+  // frames), the moving-aggregate shape time-series dashboards use.
+  // Frame bounds computed on integer epoch-days; sums via the DECIMAL
+  // bridge — deterministic in both engines.
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("order_day"))
+      .rangeBetween(-30, 0)
+    load(s, dir, "orders")
+      .withColumn("order_day", expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"))
+      .select(col("o_custkey"), col("o_orderkey"), col("order_day"), col("o_totalprice"))
+      .withColumn("n_orders_30d", count(lit(1)).over(w))
+      .withColumn("rev_30d", sum(dec(col("o_totalprice"))).over(w).cast("double"))
+  }
+  private val q43Sql =
+    """SELECT o_custkey, o_orderkey, order_day,
+      |  o_totalprice,
+      |  COUNT(*) OVER w AS n_orders_30d,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS rev_30d
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        CAST(EPOCH_US(o_orderdate) // 86400000000 AS BIGINT) AS order_day
+      |      FROM orders) t
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY order_day
+      |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""".stripMargin
 
   // q40 — post-aggregation predicate (HAVING): big repeat customers, with
   // the filter applied after the partial-aggregated groupBy (Catalyst
