@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // 43 queries × several codegen'd stages each overflow the default
+      // 100-entry generated-class cache, forcing recompilation in the
+      // timed pass right after the warm-up compiled everything
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up pass at the smallest scale factor: whole-stage codegen

@@ -15,6 +15,7 @@ object Verify {
       // events.parquet stores TIMESTAMP(NANOS); read as long, normalized
       // to µs in graft.queries.EventsOps.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

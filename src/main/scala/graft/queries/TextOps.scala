@@ -170,12 +170,17 @@ object TextOps {
   // (sig2,sig3)… turns near-dup search into an equi-join on band keys —
   // the 100 TB replacement for q16's all-pairs join.
   private def q17(s: SparkSession, dir: String): DataFrame = {
+    // permutations are projected BEFORE the aggregate so the generated
+    // HashAggregate update is 8 trivial min-compares, not 8 inlined
+    // hash pipelines — smaller codegen, faster Janino compile
+    val permCols = As.indices.map { i =>
+      ((col("h") * As(i) + Bs(i)) % P).as(s"h$i")
+    }
     val ex = shingled(s, dir)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
       .withColumn("h", h60(col("shingle")) % P)
-    val sigs = As.indices.map { i =>
-      min((col("h") * As(i) + Bs(i)) % P).as(s"sig$i")
-    }
+      .select(col("doc_id") +: permCols: _*)
+    val sigs = As.indices.map(i => min(col(s"h$i")).as(s"sig$i"))
     ex.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_shingles"), sigs: _*)
       .withColumn("band0", col("sig0") * P + col("sig1"))
