@@ -270,7 +270,32 @@ object Relational {
     QueryDef("q36_outer_joins", q36, Some(q36Sql)),
     QueryDef("q40_having_filter", q40, Some(q40Sql)),
     QueryDef("q43_range_frame", q43, Some(q43Sql)),
+    QueryDef("q44_null_ordering", q44, Some(q44Sql)),
   )
+
+  // q44 — explicit null ordering on a nullable sort key: Spark defaults
+  // to NULLS FIRST on ASC where DuckDB defaults NULLS LAST, so portable
+  // top-k over nullable columns MUST pin the placement (here: customers
+  // who never ordered urgently sort last, then by key).
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val c = load(s, dir, "customer")
+    val lastUrgent = load(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_urgent"))
+    c.join(lastUrgent, c("c_custkey") === lastUrgent("o_custkey"), "left_outer")
+      .select(col("c_custkey"), col("c_name"), col("last_urgent"))
+      .orderBy(col("last_urgent").desc_nulls_last, col("c_custkey").asc)
+      .limit(10)
+  }
+  private val q44Sql =
+    """SELECT c_custkey, c_name, last_urgent
+      |FROM customer LEFT OUTER JOIN (
+      |  SELECT o_custkey, MAX(o_orderdate) AS last_urgent
+      |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) u
+      |ON c_custkey = u.o_custkey
+      |ORDER BY last_urgent DESC NULLS LAST, c_custkey ASC
+      |LIMIT 10""".stripMargin
 
   // q43 — RANGE window frame over event time: trailing-30-day order
   // count/revenue per customer — value-based frames (vs q25's row
