@@ -51,10 +51,23 @@ object Clean {
       .withColumn("publish_date", try_to_timestamp(col("publish_date")))
       .filter(col("publish_date").isNotNull)
 
-  /** Reference-faithful Stage 1: dense 1..N ids via one global window. */
+  /** Reference-faithful Stage 1: dense 1..N ids via one global window.
+    *
+    * The plan carries an `observe("clean_metrics", ...)` node: row count
+    * and distinct-category count are collected as accumulator-style
+    * metrics DURING the write (no second scan) — the selectivity
+    * accounting the reference logs by re-counting frames
+    * (`Main.py:150-170` prints len(df) at each step). Read them back via
+    * an `org.apache.spark.sql.Observation` or a QueryExecutionListener.
+    */
   def run(spark: SparkSession, jsonlPath: String): DataFrame = {
     val w = Window.orderBy(col("publish_date").asc, col("link").asc)
     prepared(spark, jsonlPath)
+      .observe("clean_metrics",
+        count(lit(1)).as("rows_kept"),
+        approx_count_distinct(col("category")).as("categories_kept"),
+        min(col("publish_date")).as("earliest"),
+        max(col("publish_date")).as("latest"))
       .withColumn("id_news", row_number().over(w).cast("long"))
       .select("id_news", "title", "content", "link", "publish_date", "category")
   }

@@ -65,6 +65,28 @@ class CleanSpec extends AnyFunSuite {
     assert(out.exists(r => r.getAs[String]("title") == ""))
   }
 
+  test("observe() metrics report selectivity without a second scan") {
+        val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      @volatile var metrics: Map[String, Any] = Map.empty
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        qe.observedMetrics.get("clean_metrics").foreach { row =>
+          metrics = row.schema.fieldNames.zip(row.toSeq).toMap
+        }
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Clean.run(spark, fixture()).collect()
+      // allow the async listener a beat
+      var tries = 0
+      while (listener.metrics.isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
+      assert(listener.metrics.get("rows_kept").contains(5L), s"got ${listener.metrics}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("runScalable produces byte-identical output to run") {
     val path = fixture()
     val a = Clean.run(spark, path).collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
