@@ -271,7 +271,59 @@ object Relational {
     QueryDef("q40_having_filter", q40, Some(q40Sql)),
     QueryDef("q43_range_frame", q43, Some(q43Sql)),
     QueryDef("q44_null_ordering", q44, Some(q44Sql)),
+    QueryDef("q45_null_semantics", q45, Some(q45Sql)),
+    QueryDef("q46_window_navigation", q46, Some(q46Sql)),
   )
+
+  // q45 — null-handling battery: NULLIF / COALESCE / null-safe equality /
+  // try_divide — the three-valued-logic corners that silently corrupt
+  // pipelines when engines disagree.
+  private def q45(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "customer").select(
+      col("c_custkey"),
+      expr("NULLIF(c_mktsegment, 'BUILDING')").as("seg_or_null"),
+      coalesce(expr("NULLIF(c_mktsegment, 'BUILDING')"), lit("(building)"))
+        .as("seg_filled"),
+      expr("NULLIF(c_mktsegment, 'BUILDING') <=> NULL").as("is_building"),
+      expr("try_divide(CAST(1 AS DOUBLE), c_acctbal - c_acctbal)").as("div_by_zero"),
+      expr("try_divide(c_acctbal, CAST(2 AS DOUBLE))").as("half_balance"))
+  private val q45Sql =
+    """SELECT c_custkey,
+      |  NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
+      |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(building)') AS seg_filled,
+      |  NULLIF(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL AS is_building,
+      |  CASE WHEN c_acctbal - c_acctbal = 0 THEN NULL
+      |       ELSE CAST(1 AS DOUBLE) / (c_acctbal - c_acctbal) END AS div_by_zero,
+      |  c_acctbal / CAST(2 AS DOUBLE) AS half_balance
+      |FROM customer""".stripMargin
+
+  // q46 — window navigation: first/last/nth/lag/lead with explicit
+  // frames (last_value needs UNBOUNDED FOLLOWING — the default frame
+  // stops at CURRENT ROW and silently returns the current value).
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    load(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("first_price", first(col("o_totalprice")).over(full))
+      .withColumn("last_price", last(col("o_totalprice")).over(full))
+      .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(full))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(order))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(order))
+  }
+  private val q46Sql =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  FIRST_VALUE(o_totalprice) OVER wf AS first_price,
+      |  LAST_VALUE(o_totalprice) OVER wf AS last_price,
+      |  NTH_VALUE(o_totalprice, 2) OVER wf AS second_price,
+      |  LAG(o_totalprice, 1) OVER wo AS prev_price,
+      |  LEAD(o_totalprice, 1) OVER wo AS next_price
+      |FROM orders
+      |WINDOW
+      |  wo AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+      |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
 
   // q44 — explicit null ordering on a nullable sort key: Spark defaults
   // to NULLS FIRST on ASC where DuckDB defaults NULLS LAST, so portable
