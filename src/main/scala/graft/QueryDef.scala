@@ -17,5 +17,6 @@ object QueryDef {
     queries.Relational.defs ++
       queries.EventsOps.defs ++
       queries.TextOps.defs ++
-      queries.SimilarityOps.defs
+      queries.SimilarityOps.defs ++
+      queries.NewsEtl.defs
 }
