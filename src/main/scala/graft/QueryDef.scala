@@ -18,5 +18,6 @@ object QueryDef {
       queries.EventsOps.defs ++
       queries.TextOps.defs ++
       queries.SimilarityOps.defs ++
-      queries.NewsEtl.defs
+      queries.NewsEtl.defs ++
+      queries.Advanced.defs
 }
