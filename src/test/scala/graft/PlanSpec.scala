@@ -81,4 +81,46 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"),
       s"ANN join degenerated to nested loop:\n$p")
   }
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect() // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q48: six-table join uses hash joins only; orderdate filter pushed") {
+    val p = executedPlan("q48_local_supplier_revenue")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"non-hash join in:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"orderdate not pushed to orders scan:\n$p")
+    // the aggregate is partial before its shuffle (map-side combine)
+    assert(p.contains("partial_sum"), s"no partial aggregation in:\n$p")
+  }
+
+  test("q49/q52: grouping sets and multi-distinct plan as one Expand") {
+    assert(executedPlan("q49_grouping_sets").contains("Expand"))
+    assert(executedPlan("q52_multi_distinct").contains("Expand"))
+  }
+
+  test("q50: generator runs narrow — no shuffle anywhere in the plan") {
+    val p = executedPlan("q50_lateral_tokens")
+    assert(p.contains("Generate"), s"no Generate node in:\n$p")
+    assert(!p.contains("Exchange"), s"unexpected shuffle in:\n$p")
+  }
+
+  test("q51: correlated subqueries decorrelate to aggregate + join") {
+    val p = executedPlan("q51_above_customer_avg")
+    // one aggregation per subquery, joined back on the correlation key —
+    // not a per-row rescan (which would appear as a nested-loop join)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"decorrelation failed:\n$p")
+    assert(p.contains("HashAggregate"), s"no aggregate in:\n$p")
+  }
+
+  test("q53: interval join keys the equality, range is a condition") {
+    val p = executedPlan("q53_interval_join")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"interval join degenerated to nested loop:\n$p")
+  }
 }
