@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProductExpr, RollingHashExpr, VecNormExpr}
+import graft.functions.{DotProductExpr, RollingHashExpr, ShinglesExpr, VecNormExpr, VectorExpressions}
 
 /** Session-extension packaging for the engine's native functions — the
   * idiomatic way to ship custom Catalyst expressions with a library:
@@ -34,5 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHashExpr].getName, "rolling_hash"),
       exprs => RollingHashExpr(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "shingles"),
+      exprs => ShinglesExpr(exprs(0), VectorExpressions.literalInt(exprs(1)))))
   }
 }

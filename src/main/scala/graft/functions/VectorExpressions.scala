@@ -33,6 +33,18 @@ object VectorExpressions {
       "vec_norm", exprs => VecNormExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHashExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "shingles", exprs => ShinglesExpr(exprs(0), literalInt(exprs(1))), "built-in")
+  }
+
+  /** The shingle width must be a compile-time constant (it is baked into
+    * the generated code), so only integer literals are accepted.
+    */
+  def literalInt(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other =>
+      throw new IllegalArgumentException(
+        s"shingles(words, n) needs a literal int width, got: $other")
   }
 }
 
