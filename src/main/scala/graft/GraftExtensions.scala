@@ -38,5 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingles"),
       new ExpressionInfo(classOf[ShinglesExpr].getName, "shingles"),
       exprs => ShinglesExpr(exprs(0), VectorExpressions.literalInt(exprs(1)))))
+    // fuse aggregate(zip_with(...)) vector folds into native loops
+    e.injectOptimizerRule(_ => graft.plans.FuseZipFold)
   }
 }

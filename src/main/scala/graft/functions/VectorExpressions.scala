@@ -35,6 +35,11 @@ object VectorExpressions {
       "rolling_hash", exprs => RollingHashExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "shingles", exprs => ShinglesExpr(exprs(0), literalInt(exprs(1))), "built-in")
+    // session-level twin of GraftExtensions' injectOptimizerRule: fuse
+    // declarative aggregate(zip_with(...)) folds into native loops
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.FuseZipFold))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.FuseZipFold
   }
 
   /** The shingle width must be a compile-time constant (it is baked into
