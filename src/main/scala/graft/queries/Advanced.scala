@@ -182,6 +182,78 @@ object Advanced {
       |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
       |GROUP BY p.user_id""".stripMargin
 
+  // q54 — NOT IN with a nullable list: ANSI three-valued logic. Any NULL
+  // in the subquery list makes `x NOT IN (...)` UNKNOWN for every
+  // non-matching x, so rows survive only when the list is null-free for
+  // their partition of the predicate. Spark plans this as a
+  // null-aware anti join; engines that rewrite NOT IN as a plain anti
+  // join silently return wrong rows. Two arms prove both behaviors: the
+  // null-free list keeps rows, the null-poisoned list yields none.
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    load(s, dir, "orders").createOrReplaceTempView("orders")
+    load(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT 'null_free' AS variant, o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT c_custkey FROM customer WHERE c_custkey < 40)
+        |  AND o_orderkey % 13 = 0
+        |UNION ALL
+        |SELECT 'null_poisoned' AS variant, o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey END
+        |   FROM customer WHERE c_custkey < 40)
+        |  AND o_orderkey % 13 = 0""".stripMargin)
+  }
+  private val q54Sql =
+    """SELECT 'null_free' AS variant, o_orderkey, o_custkey FROM orders
+      |WHERE o_custkey NOT IN
+      |  (SELECT c_custkey FROM customer WHERE c_custkey < 40)
+      |  AND o_orderkey % 13 = 0
+      |UNION ALL
+      |SELECT 'null_poisoned' AS variant, o_orderkey, o_custkey FROM orders
+      |WHERE o_custkey NOT IN
+      |  (SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey END
+      |   FROM customer WHERE c_custkey < 40)
+      |  AND o_orderkey % 13 = 0""".stripMargin
+
+  // q55 — correlated EXISTS with an extra local predicate: plans as a
+  // left-semi join on the correlation key with the predicate pushed into
+  // the subquery scan — no per-row re-execution.
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    load(s, dir, "orders").createOrReplaceTempView("orders")
+    load(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin)
+  }
+  private val q55Sql =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin
+
+  // q56 — LATERAL correlated subquery with ORDER BY + LIMIT: top-3
+  // orders per customer, the join-shaped twin of q4's window ranking.
+  // Catalyst decorrelates the lateral limit into a ranking window over
+  // one shuffle by the correlation key — not a per-customer rescan of
+  // orders. Deterministic tie-break on o_orderkey.
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    load(s, dir, "orders").createOrReplaceTempView("orders")
+    load(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 3) t""".stripMargin)
+  }
+  private val q56Sql =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+      |         WHERE o.o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 3) t""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q48_local_supplier_revenue", q48, Some(q48Sql)),
     QueryDef("q49_grouping_sets", q49, Some(q49Sql)),
@@ -189,5 +261,8 @@ object Advanced {
     QueryDef("q51_above_customer_avg", q51, Some(q51Sql)),
     QueryDef("q52_multi_distinct", q52, Some(q52Sql)),
     QueryDef("q53_interval_join", q53, Some(q53Sql)),
+    QueryDef("q54_not_in_null_trap", q54, Some(q54Sql)),
+    QueryDef("q55_exists_predicate", q55, Some(q55Sql)),
+    QueryDef("q56_lateral_topk", q56, Some(q56Sql)),
   )
 }
