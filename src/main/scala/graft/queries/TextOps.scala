@@ -131,6 +131,53 @@ object TextOps {
       |FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents) t
       |WHERE LEN(w) >= 3""".stripMargin
 
+  // q57 — q16's 100 TB form: document-frequency-capped Jaccard. The
+  // all-pairs join's cost is Σ df(shingle)², so one viral shingle in k
+  // docs spawns k² candidate pairs in a single reducer. Capping df ≤ 50
+  // drops those hot keys BEFORE the self-join, bounding every join key's
+  // fan-out; the jaccard is then defined over the capped shingle
+  // universe (n_a/n_b count surviving shingles), which keeps the score a
+  // true set-similarity on what was joined. Same pipeline shape as q16
+  // otherwise, so the two are directly comparable.
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val ex0 = shingled(s, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val df = ex0.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50)
+      .select(col("shingle"))
+    val ex = ex0.join(df, "shingle").cache()
+    val nsh = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(nsh.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(nsh.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .select(col("doc_a"), col("doc_b"), col("common"), col("n_a"), col("n_b"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(20)
+  }
+  private val q57Sql =
+    s"""WITH sh AS ($shingledSql),
+      |ex0 AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh),
+      |keep AS (SELECT shingle FROM ex0 GROUP BY shingle HAVING COUNT(*) <= 50),
+      |ex AS (SELECT doc_id, ex0.shingle FROM ex0 JOIN keep ON ex0.shingle = keep.shingle),
+      |nsh AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b, common, na.n_sh AS n_a, nb.n_sh AS n_b,
+      |  CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) AS jaccard
+      |FROM pairs
+      |JOIN nsh na ON na.doc_id = doc_a
+      |JOIN nsh nb ON nb.doc_id = doc_b
+      |ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 20""".stripMargin
+
   // q16 — n-gram Jaccard near-dup: all-pairs via shingle-key join, top-20
   // most similar pairs. Scores are ratios of exact shingle counts.
   private def q16(s: SparkSession, dir: String): DataFrame = {
@@ -318,5 +365,6 @@ object TextOps {
     QueryDef("q18_simhash", q18, Some(q18Sql)),
     QueryDef("q19_lang_id", q19, Some(q19Sql)),
     QueryDef("q26_fingerprints", q26, Some(q26Sql)),
+    QueryDef("q57_jaccard_dfcap", q57, Some(q57Sql)),
   )
 }
