@@ -123,4 +123,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
       s"interval join degenerated to nested loop:\n$p")
   }
+
+  test("q54: NOT IN plans as a null-aware anti join, not a nested loop") {
+    val p = executedPlan("q54_not_in_null_trap")
+    assert(p.contains("LeftAnti"), s"no anti join in:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"NOT IN degenerated to nested loop:\n$p")
+  }
+
+  test("q56: lateral limit decorrelates to WindowGroupLimit partial top-k") {
+    val p = executedPlan("q56_lateral_topk")
+    assert(p.contains("WindowGroupLimit"), s"no rank-limit pushdown in:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"lateral degenerated to nested loop:\n$p")
+  }
+
+  test("q57: df cap happens before the pair self-join") {
+    val df = SparkEntry.queries("q57_jaccard_dfcap")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the capped explode feeds the self-join; the hot-key filter must sit
+    // upstream of the pair join (df <= 50 aggregate-then-join)
+    val capIdx = p.indexOf("(df")
+    assert(capIdx >= 0 || p.contains("df#"), s"no df-cap stage in:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"))
+  }
 }
