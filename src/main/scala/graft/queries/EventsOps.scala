@@ -214,13 +214,15 @@ object EventsOps {
       .select(
         col("event_id"),
         size(col("m")).cast("long").as("n_keys"),
-        map_keys(col("m")).as("keys"),
+        // serialized (sorted, joined) for the comparer — pandas can't
+        // sort ndarray cells; string arrays join losslessly
+        array_join(array_sort(map_keys(col("m"))), ",").as("keys"),
         expr("map_contains_key(m, 'k')").as("has_k"),
         element_at(col("m"), "k").cast("long").as("k_value"))
   private val q38Sql =
     """SELECT event_id,
       |  CAST(LEN(JSON_KEYS(props)) AS BIGINT) AS n_keys,
-      |  JSON_KEYS(props) AS keys,
+      |  ARRAY_TO_STRING(LIST_SORT(JSON_KEYS(props)), ',') AS keys,
       |  LIST_CONTAINS(JSON_KEYS(props), 'k') AS has_k,
       |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_value
       |FROM events""".stripMargin

@@ -282,6 +282,13 @@ object SimilarityOps {
   // size/element access/slice/min/max/count-by-predicate/sort. All
   // comparison-or-selection operations — float values pass through
   // untouched, so cross-engine exactness is structural.
+  //
+  // Array-typed outputs are serialized to strings for the comparer
+  // (pandas can't sort ndarray cells). Float→string formatting differs
+  // between engines (Java Double.toString vs shortest-repr), so elements
+  // are scaled to integers first: float→double is exact, *1e6 is one
+  // IEEE double multiply, FLOOR is IEEE-defined — identical in both
+  // engines — and only then joined into a string.
   private def q37(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "embeddings").select(
       col("vec_id"),
@@ -292,8 +299,12 @@ object SimilarityOps {
       array_min(col("embedding")).cast("double").as("min_dim"),
       expr("size(filter(embedding, x -> x > CAST(0 AS FLOAT)))").cast("long")
         .as("n_positive"),
-      expr("CAST(slice(embedding, 1, 4) AS ARRAY<DOUBLE>)").as("head4"),
-      expr("CAST(array_sort(slice(embedding, 1, 8)) AS ARRAY<DOUBLE>)").as("head8_sorted"))
+      expr("array_join(transform(slice(embedding, 1, 4), " +
+        "x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS STRING)), ',')")
+        .as("head4"),
+      expr("array_join(transform(array_sort(slice(embedding, 1, 8)), " +
+        "x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS STRING)), ',')")
+        .as("head8_sorted"))
   private val q37Sql =
     """SELECT vec_id,
       |  CAST(LEN(embedding) AS BIGINT) AS dims,
@@ -302,7 +313,9 @@ object SimilarityOps {
       |  CAST(LIST_MAX(embedding) AS DOUBLE) AS max_dim,
       |  CAST(LIST_MIN(embedding) AS DOUBLE) AS min_dim,
       |  CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
-      |  CAST(embedding[1:4] AS DOUBLE[]) AS head4,
-      |  CAST(LIST_SORT(embedding[1:8]) AS DOUBLE[]) AS head8_sorted
+      |  ARRAY_TO_STRING(LIST_TRANSFORM(embedding[1:4],
+      |    x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS VARCHAR)), ',') AS head4,
+      |  ARRAY_TO_STRING(LIST_TRANSFORM(LIST_SORT(embedding[1:8]),
+      |    x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS VARCHAR)), ',') AS head8_sorted
       |FROM embeddings""".stripMargin
 }

@@ -133,26 +133,66 @@ object TextOps {
 
   // q57 — q16's 100 TB form: document-frequency-capped Jaccard. The
   // all-pairs join's cost is Σ df(shingle)², so one viral shingle in k
-  // docs spawns k² candidate pairs in a single reducer. Capping df ≤ 50
-  // drops those hot keys BEFORE the self-join, bounding every join key's
-  // fan-out; the jaccard is then defined over the capped shingle
-  // universe (n_a/n_b count surviving shingles), which keeps the score a
-  // true set-similarity on what was joined. Same pipeline shape as q16
-  // otherwise, so the two are directly comparable.
+  // docs spawns k² candidate pairs in a single reducer. Capping df
+  // bounds every key's fan-out; the jaccard is then defined over the
+  // capped shingle universe (n_a/n_b count surviving shingles), which
+  // keeps the score a true set-similarity on what was joined.
+  //
+  // Cap choice: df ≤ 10 — the web-dedup convention of dropping
+  // boilerplate shingles, and sized to THIS corpus's duplication
+  // profile (sf0.1: df ≤ 25 everywhere, with 62% of the pair mass in
+  // the df∈(10,25] band — a cap above max df would demonstrate
+  // nothing). The cap is the operator's tuning knob, like LSH band
+  // width.
+  //
+  // Shape: ONE shuffle of the exploded shingles — a groupBy(shingle)
+  // with [[graft.functions.BoundedCollectAggregator]] (cap'd state, so a
+  // viral key can never OOM a reducer) — then pairs are generated IN
+  // PLACE from each ≤cap-element id list. This replaces q16's self-join
+  // + pair-count, whose shuffled volume carries the FULL uncapped Σ df²
+  // pair stream. Fewer shuffles, bounded skew, and a 2.8× smaller pair
+  // shuffle at sf0.1.
   private def q57(s: SparkSession, dir: String): DataFrame = {
+    // ObjectHashAggregate (which executes typed Aggregators) falls back
+    // to sort-based aggregation after 128 distinct keys per partition —
+    // a full sort of the exploded shingle frame. The hash map is the
+    // right plan at any shingle cardinality (values are ≤51-long
+    // arrays); raise the fallback threshold.
+    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
+    val bounded = udaf(new graft.functions.BoundedCollectAggregator(10),
+      org.apache.spark.sql.Encoders.scalaLong)
+    // shingle ids are 60-bit hashes (same portable h60 as MinHash q17):
+    // the groupBy shuffle carries fixed-width longs instead of 3-gram
+    // strings, and the aggregate hashes longs, not variable-length text
     val ex0 = shingled(s, dir)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val df = ex0.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 50)
-      .select(col("shingle"))
-    val ex = ex0.join(df, "shingle").cache()
-    val nsh = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val pairs = ex.as("a").join(ex.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("doc_id"), h60(col("shingle")).as("shingle"))
+    // one shuffle: per-shingle doc lists, hot shingles (df > cap) → null
+    // inside the aggregator (state never exceeds cap+1 ids) and dropped
+    // Pair emission includes SELF-pairs (position i ≤ j over the sorted
+    // list, via posexplode + codegen'd slice — no n² blow-up-then-
+    // filter): common(a,a) = |a's kept shingles| = n_sh(a), so ONE
+    // aggregation yields both pair intersections and per-doc set sizes.
+    // That deletes the separate nsh pipeline (a second scan + shuffle)
+    // and the materialization barrier it forced — the whole query is a
+    // single linear pipeline: scan → shuffle(shingle) → capped lists →
+    // pairs → shuffle(pair) → count, plus one tiny self-row join.
+    // Sorted lists make emission canonical: doc_a ≤ doc_b by position.
+    val pairsAll = ex0.groupBy(col("shingle"))
+      .agg(bounded(col("doc_id")).as("ds"))
+      .filter(col("ds").isNotNull)
+      .select(posexplode(col("ds")).as(Seq("i", "x")), col("ds"))
+      .select(col("x"), explode(expr("slice(ds, i + 1, size(ds))")).as("y"))
+      // canonicalize per pair with codegen'd least/greatest rather than
+      // sorting each list (an interpreted object-array sort at the
+      // ObjectHashAggregate boundary)
+      .groupBy(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"))
       .agg(count(lit(1)).as("common"))
-    pairs
+      .cache()
+    val nsh = pairsAll.filter(col("doc_a") === col("doc_b"))
+      .select(col("doc_a").as("doc_id"), col("common").as("n_sh"))
+    pairsAll.filter(col("doc_a") < col("doc_b"))
       .join(nsh.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
       .join(nsh.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
       .withColumn("jaccard",
@@ -163,8 +203,9 @@ object TextOps {
   }
   private val q57Sql =
     s"""WITH sh AS ($shingledSql),
-      |ex0 AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh),
-      |keep AS (SELECT shingle FROM ex0 GROUP BY shingle HAVING COUNT(*) <= 50),
+      |ex0 AS (SELECT doc_id, ${h60Sql("shingle")} AS shingle
+      |        FROM (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh) u),
+      |keep AS (SELECT shingle FROM ex0 GROUP BY shingle HAVING COUNT(*) <= 10),
       |ex AS (SELECT doc_id, ex0.shingle FROM ex0 JOIN keep ON ex0.shingle = keep.shingle),
       |nsh AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
       |pairs AS (

@@ -138,14 +138,18 @@ class PlanSpec extends AnyFunSuite {
       s"lateral degenerated to nested loop:\n$p")
   }
 
-  test("q57: df cap happens before the pair self-join") {
+  test("q57: single-pipeline shape — bounded collect, in-place pairs, no shingle self-join") {
     val df = SparkEntry.queries("q57_jaccard_dfcap")(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    // the capped explode feeds the self-join; the hot-key filter must sit
-    // upstream of the pair join (df <= 50 aggregate-then-join)
-    val capIdx = p.indexOf("(df")
-    assert(capIdx >= 0 || p.contains("df#"), s"no df-cap stage in:\n$p")
+    // the capped lists come from ObjectHashAggregate (bounded collect)…
+    assert(p.contains("ObjectHashAggregate"), s"no bounded-collect aggregate in:\n$p")
+    // …pairs are generated in place from the lists…
+    assert(p.contains("Generate"), s"no pair-emission Generate in:\n$p")
+    // …and there is NO shuffled self-join on the shingle key (that is
+    // q16's all-pairs shape); the only joins are the tiny broadcast
+    // self-row (n_sh) lookups
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join in:\n$p")
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"))
   }
 }
