@@ -189,7 +189,6 @@ object TextOps {
       .groupBy(least(col("x"), col("y")).as("doc_a"),
         greatest(col("x"), col("y")).as("doc_b"))
       .agg(count(lit(1)).as("common"))
-      .cache()
     val nsh = pairsAll.filter(col("doc_a") === col("doc_b"))
       .select(col("doc_a").as("doc_id"), col("common").as("n_sh"))
     pairsAll.filter(col("doc_a") < col("doc_b"))
