@@ -19,5 +19,6 @@ object QueryDef {
       queries.TextOps.defs ++
       queries.SimilarityOps.defs ++
       queries.NewsEtl.defs ++
-      queries.Advanced.defs
+      queries.Advanced.defs ++
+      queries.MultimodalOps.defs
 }

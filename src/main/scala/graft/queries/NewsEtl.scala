@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables.load
 import graft.QueryDef
 
 /** Oracle-checked form of the reference's Stage-1 pipeline
@@ -23,7 +22,12 @@ import graft.QueryDef
   */
 object NewsEtl {
 
-  /** Fixed path because oracleSql is static; Verify rewrites it each run. */
+  /** Fixed path because oracleSql is static; Verify rewrites it each run.
+    * The CONTENT is scale-factor-independent (generated from a fixed
+    * 1..500 range, not from the documents table): every writer — any sf,
+    * test or bench or verify — produces identical bytes, so a run can
+    * never poison a later oracle replay with another scale's fixture.
+    */
   private val FixtureDir = "/tmp/graft_news_fixture_jsonl"
 
   private def q47(s: SparkSession, dir: String): DataFrame = {
@@ -31,15 +35,18 @@ object NewsEtl {
       "SPORTS", "COMEDY") // last two are off-list → filtered
     val catExpr = expr(
       s"element_at(array(${cats.map(c => s"'$c'").mkString(",")}), CAST(doc_id % 7 AS INT) + 1)")
-    val raw = load(s, dir, "documents").select(
+    val raw = s.range(1, 501).select(col("id").as("doc_id")).select(
+      col("doc_id"),
       concat(lit("http://doc/"), col("doc_id")).as("link"),
       // every 17th doc: null headline (dropna casualty)
       when(col("doc_id") % 17 === 0, lit(null: String))
         .otherwise(concat(lit("Headline "), col("doc_id"))).as("headline"),
       catExpr.as("category"),
-      // every 13th doc: null body
+      // every 13th doc: null body; text is a deterministic hash digest —
+      // self-contained, no table dependency
       when(col("doc_id") % 13 === 0, lit(null: String))
-        .otherwise(substring(col("text"), 1, 60)).as("short_description"),
+        .otherwise(concat(lit("body "), md5(concat(lit("doc"), col("doc_id")))))
+        .as("short_description"),
       lit("synthetic").as("authors"),
       // every 31st doc: unparseable date (coerce → dropped); duplicates
       // abound (doc_id % 365) → id tie-break exercised

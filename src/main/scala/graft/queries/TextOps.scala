@@ -62,6 +62,24 @@ object TextOps {
     """SELECT MIN(doc_id) AS doc_id, MD5(text) AS fingerprint, COUNT(*) AS n_copies
       |FROM documents GROUP BY text""".stripMargin
 
+  // q58 — q13's 100 TB form: fingerprint-FIRST exact dedup. q13 groups
+  // on raw `text`, so the dedup shuffle carries every document body to a
+  // reducer; here the narrow map side reduces each row to its 32-byte
+  // md5 before the exchange, and the shuffle moves (fingerprint, doc_id)
+  // only — at 100 TB that is the difference between shuffling the corpus
+  // and shuffling ~40 bytes/doc. Same canonical-row semantics
+  // (min doc_id per distinct content, md5 collision-freedom assumed —
+  // the standard exact-dedup contract).
+  private def q58(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("fingerprint"), col("n_copies"))
+  private val q58Sql =
+    """SELECT MIN(doc_id) AS doc_id, MD5(text) AS fingerprint, COUNT(*) AS n_copies
+      |FROM documents GROUP BY MD5(text)""".stripMargin
+
   // q14 — per-document text statistics: token counts, distinct ratio,
   // average word length, stopword ratio, naive token-budget estimate.
   // Pure narrow transformation — no shuffle, fully codegen'd HOFs.
@@ -406,5 +424,6 @@ object TextOps {
     QueryDef("q19_lang_id", q19, Some(q19Sql)),
     QueryDef("q26_fingerprints", q26, Some(q26Sql)),
     QueryDef("q57_jaccard_dfcap", q57, Some(q57Sql)),
+    QueryDef("q58_dedup_fingerprint", q58, Some(q58Sql)),
   )
 }
