@@ -40,5 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => ShinglesExpr(exprs(0), VectorExpressions.literalInt(exprs(1)))))
     // fuse aggregate(zip_with(...)) vector folds into native loops
     e.injectOptimizerRule(_ => graft.plans.FuseZipFold)
+    // plan the custom top-k-per-group logical node (graft.ops.TopK)
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

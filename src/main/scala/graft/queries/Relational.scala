@@ -93,14 +93,24 @@ object Relational {
       |GROUP BY r_name, n_name""".stripMargin
 
   // q4 — window ranking: top-3 orders per customer. Shuffles once on the
-  // partition key; deterministic tie-break on o_orderkey.
+  // partition key; deterministic tie-break on o_orderkey. With
+  // spark.graft.topk.native=true the same contract runs through the
+  // custom physical operator instead (one streaming group-scan, O(1)
+  // state — graft.plans.TopKPerGroupExec); TopKSpec pins the two forms
+  // row-identical.
   private def q4(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    load(s, dir, "orders")
+    val base = load(s, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 3)
+    if (s.conf.getOption("spark.graft.topk.native").exists(_.toBoolean))
+      graft.ops.TopK.perGroup(base, Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3, "rn")
+    else {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      base
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+    }
   }
   private val q4Sql =
     """SELECT * FROM (
