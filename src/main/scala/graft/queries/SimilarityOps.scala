@@ -115,14 +115,14 @@ object SimilarityOps {
       col("norm").as("na"), col("bucket"))
     val b = bucketed.select(col("vec_id").as("b_id"), col("v").as("vb"),
       col("norm").as("nb"), col("bucket"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    a.join(b, Seq("bucket")).filter(col("a_id") =!= col("b_id"))
+    val pairs = a.join(b, Seq("bucket")).filter(col("a_id") =!= col("b_id"))
       .withColumn("dot", expr("dot_product(va, vb)"))
       .withColumn("cos_sim", col("dot") / (col("na") * col("nb")))
       .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
         col("bucket"), col("cos_sim"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 3)
+    // rank via the native TopKPerGroup operator (streaming group-scan)
+    graft.ops.TopK.perGroup(pairs, Seq("vec_id"),
+      Seq(col("cos_sim").desc, col("neighbor_id").asc), 3, "rank")
   }
   private val q23Sql = {
     val b = graft.ops.AnnIndex.bucketSql("v", AnnPlanes, Dims)
@@ -236,6 +236,12 @@ object SimilarityOps {
   // q39 — multi-probe ANN top-3: the probe side expands to its home
   // bucket plus all 1-flip neighbors (recall 0.12 → 0.54 @top-1 on the
   // test embeddings vs single-bucket), still an equi-join on bucket keys.
+  // No pair dedup is needed: a candidate's bucket is one fixed value and
+  // the 9 probe buckets are pairwise distinct, so each (a, b) pair can
+  // match through AT MOST ONE probe — the DISTINCT this query originally
+  // carried was a no-op that re-shuffled the full pair stream. Ranking
+  // runs through the native TopKPerGroup operator (one streaming
+  // group-scan) instead of window + filter.
   private def q39(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(s, load(s, dir, "embeddings"))
     val bucketed = graft.ops.AnnIndex.withBucket(e, "v", AnnPlanes, Dims).cache()
@@ -244,15 +250,12 @@ object SimilarityOps {
         col("norm").as("na"), col("bucket")), AnnPlanes)
     val b = bucketed.select(col("vec_id").as("b_id"), col("v").as("vb"),
       col("norm").as("nb"), col("bucket").as("b_bucket"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    probes.join(b, col("probe_bucket") === col("b_bucket"))
+    val pairs = probes.join(b, col("probe_bucket") === col("b_bucket"))
       .filter(col("a_id") =!= col("b_id"))
-      .select(col("a_id"), col("b_id"),
+      .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
         (expr("dot_product(va, vb)") / (col("na") * col("nb"))).as("cos_sim"))
-      .distinct() // a pair can match via several probes
-      .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"), col("cos_sim"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 3)
+    graft.ops.TopK.perGroup(pairs, Seq("vec_id"),
+      Seq(col("cos_sim").desc, col("neighbor_id").asc), 3, "rank")
   }
   private val q39Sql = {
     val bsql = graft.ops.AnnIndex.bucketSql("v", AnnPlanes, Dims)
@@ -267,7 +270,7 @@ object SimilarityOps {
       |  SELECT vec_id, v, norm, UNNEST(LIST_VALUE($probeList)) AS probe_bucket
       |  FROM bucketed),
       |pairs AS (
-      |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+      |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
       |    LIST_DOT_PRODUCT(a.v, b.v) / (a.norm * b.norm) AS cos_sim
       |  FROM probes a JOIN bucketed b
       |    ON a.probe_bucket = b.bucket AND a.vec_id <> b.vec_id),
