@@ -149,7 +149,7 @@ object SimilarityOps {
   // counterpart of q22's LSH bucketing: at scale, search probes only the
   // nearest cell(s) instead of the full corpus, and the centroid table is
   // broadcast (10 cells × 64 dims).
-  private def q31(s: SparkSession, dir: String): DataFrame = {
+  private def ivfAssigned(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     val emb = load(s, dir, "embeddings")
     val cent = emb
@@ -173,8 +173,10 @@ object SimilarityOps {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cell_id"), col("dist"))
   }
-  private val q31Sql =
-    """WITH ex AS (
+  private def q31(s: SparkSession, dir: String): DataFrame = ivfAssigned(s, dir)
+  /** Shared CTE chain: centroid cells + nearest-cell assignment. */
+  private val ivfSqlCtes =
+    """ex AS (
       |  SELECT label AS cell_id, i,
       |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xm
       |  FROM embeddings CROSS JOIN GENERATE_SERIES(1, 64) g(i)),
@@ -194,11 +196,55 @@ object SimilarityOps {
       |        LIST_TRANSFORM(GENERATE_SERIES(1, 64), i -> (vm[i] - cv[i]) * (vm[i] - cv[i]))),
       |      (acc, x) -> acc + x) AS dist
       |  FROM vecs CROSS JOIN cells),
-      |ranked AS (
+      |assigned AS (
       |  SELECT vec_id, cell_id, dist,
       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell_id ASC) AS rn
-      |  FROM dists)
-      |SELECT vec_id, cell_id, dist FROM ranked WHERE rn = 1""".stripMargin
+      |  FROM dists)""".stripMargin
+  private val q31Sql =
+    s"""WITH $ivfSqlCtes
+      |SELECT vec_id, cell_id, dist FROM assigned WHERE rn = 1""".stripMargin
+
+  // q62 — IVF probe search: the search half that q31's coarse quantizer
+  // exists for. Each vector probes its own cell (nprobe=1): candidates
+  // come from an equi-join on cell_id — the quantizer shards the corpus
+  // so search touches ~n/cells vectors instead of n — then exact cosine
+  // ranks them through the native TopKPerGroup operator. At 100 TB the
+  // cell table is broadcast (cells × dims doubles) and candidate
+  // generation stays an equi-join; widening recall = probing the p
+  // nearest cells, which multiplies candidates by p, never by n.
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val assigned = ivfAssigned(s, dir).select(col("vec_id"), col("cell_id"))
+    val e = withNorm(s, load(s, dir, "embeddings"))
+    val av = assigned.join(e, Seq("vec_id")).cache()
+    val a = av.select(col("vec_id"), col("v").as("va"), col("norm").as("na"), col("cell_id"))
+    val b = av.select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
+      col("norm").as("nb"), col("cell_id"))
+    val pairs = a.join(b, Seq("cell_id")).filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"), col("cell_id"),
+        (expr("dot_product(va, vb)") / (col("na") * col("nb"))).as("cos_sim"))
+    graft.ops.TopK.perGroup(pairs, Seq("vec_id"),
+      Seq(col("cos_sim").desc, col("neighbor_id").asc), 3, "rank")
+  }
+  private val q62Sql =
+    s"""WITH $ivfSqlCtes,
+      |cellmap AS (SELECT vec_id, cell_id FROM assigned WHERE rn = 1),
+      |e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+      |  FROM embeddings),
+      |av AS (
+      |  SELECT m.vec_id, m.cell_id, e.v, e.norm
+      |  FROM cellmap m JOIN e ON m.vec_id = e.vec_id),
+      |pairs AS (
+      |  SELECT a.vec_id, b.vec_id AS neighbor_id, a.cell_id,
+      |    LIST_DOT_PRODUCT(a.v, b.v) / (a.norm * b.norm) AS cos_sim
+      |  FROM av a JOIN av b ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id),
+      |rankedq AS (
+      |  SELECT vec_id, neighbor_id, cell_id, cos_sim,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+      |  FROM pairs)
+      |SELECT vec_id, neighbor_id, cell_id, cos_sim, rank
+      |FROM rankedq WHERE rank <= 3""".stripMargin
 
   // q32 — embedding-cosine near-dup: all pairs above a similarity
   // threshold (the dedup-family form of q20; at scale the candidate set
@@ -231,6 +277,7 @@ object SimilarityOps {
     QueryDef("q32_cosine_neardup", q32, Some(q32Sql)),
     QueryDef("q37_array_funcs", q37, Some(q37Sql)),
     QueryDef("q39_ann_multiprobe", q39, Some(q39Sql)),
+    QueryDef("q62_ivf_search", q62, Some(q62Sql)),
   )
 
   // q39 — multi-probe ANN top-3: the probe side expands to its home

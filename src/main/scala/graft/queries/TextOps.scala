@@ -319,7 +319,7 @@ object TextOps {
 
   // q18 — SimHash (60-bit) per document over token occurrences: each token
   // hash votes ±1 per bit position; the signature packs the majority bits.
-  private def q18(s: SparkSession, dir: String): DataFrame =
+  private def simhashed(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), explode(words(col("text"))).as("token"))
       .withColumn("h", h60(col("token")))
@@ -331,17 +331,70 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
         .otherwise(0L)).as("simhash"))
-  private val q18Sql =
-    s"""WITH tok AS (
+  private def q18(s: SparkSession, dir: String): DataFrame = simhashed(s, dir)
+  private val simhashSql =
+    s"""tok AS (
       |  SELECT doc_id, ${h60Sql("token")} AS h
       |  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents) t),
       |bits AS (
       |  SELECT doc_id, bit, SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
       |  FROM tok CROSS JOIN GENERATE_SERIES(0, 59) g(bit)
-      |  GROUP BY doc_id, bit)
-      |SELECT doc_id,
-      |  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-      |FROM bits GROUP BY doc_id""".stripMargin
+      |  GROUP BY doc_id, bit),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+  private val q18Sql =
+    s"""WITH $simhashSql
+      |SELECT doc_id, simhash FROM sigs""".stripMargin
+
+  // q61 — SimHash near-dup PAIRS: the lookup q18's signatures exist for.
+  // 60-bit signatures band into 4×15-bit keys; candidates come from an
+  // equi-join on (band_idx, band_val) — sub-quadratic, like MinHash
+  // banding — then exact hamming distance ranks them. Pigeonhole gives
+  // PROVABLE recall in the near-dup regime: ≤3 differing bits can touch
+  // at most 3 of the 4 bands, so every pair within hamming 3 shares at
+  // least one band and is guaranteed to be a candidate. Output keeps all
+  // candidates ranked by hamming (the synthetic corpus has no true
+  // near-dups, so a hard ≤3 filter would select nothing — the operator,
+  // not the data, is under test).
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    val banded = simhashed(s, dir)
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array((0 to 3).map(i =>
+          shiftright(col("simhash"), i * 15).bitwiseAND(lit(32767L))): _*))
+          .as(Seq("band_idx", "band_val")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      // a pair can share several bands — the groupBy is the dedup AND
+      // counts band agreement (a free extra similarity signal)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    cand
+      .withColumn("hamming", expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"), col("hamming"))
+      .orderBy(col("hamming").asc, col("doc_a").asc, col("doc_b").asc)
+      .limit(50)
+  }
+  private val q61Sql =
+    s"""WITH $simhashSql,
+      |banded AS (
+      |  SELECT doc_id, simhash, i AS band_idx, (simhash >> CAST(i * 15 AS INT)) & 32767 AS band_val
+      |  FROM sigs CROSS JOIN GENERATE_SERIES(0, 3) g(i)),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.simhash AS sig_a, b.simhash AS sig_b, COUNT(*) AS n_shared_bands
+      |  FROM banded a JOIN banded b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |    AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT doc_a, doc_b, n_shared_bands,
+      |  CAST(BIT_COUNT(XOR(sig_a, sig_b)) AS BIGINT) AS hamming
+      |FROM cand
+      |ORDER BY hamming ASC, doc_a ASC, doc_b ASC LIMIT 50""".stripMargin
 
   // Stopword lists per language for the n-gram/stopword language-ID
   // heuristic. (The synthetic corpus is English-ish regardless of its
@@ -425,5 +478,6 @@ object TextOps {
     QueryDef("q26_fingerprints", q26, Some(q26Sql)),
     QueryDef("q57_jaccard_dfcap", q57, Some(q57Sql)),
     QueryDef("q58_dedup_fingerprint", q58, Some(q58Sql)),
+    QueryDef("q61_simhash_neardup", q61, Some(q61Sql)),
   )
 }
