@@ -179,31 +179,29 @@ object TextOps {
     s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
     val bounded = udaf(new graft.functions.BoundedCollectAggregator(10),
       org.apache.spark.sql.Encoders.scalaLong)
-    // shingle ids are 60-bit hashes (same portable h60 as MinHash q17):
-    // the groupBy shuffle carries fixed-width longs instead of 3-gram
-    // strings, and the aggregate hashes longs, not variable-length text
+    // (At 100 TB you'd hash shingles to fixed-width longs before this
+    // shuffle — q17 does exactly that; at bench scale the md5 pass costs
+    // more than the string keys save, measured both ways.)
     val ex0 = shingled(s, dir)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .select(col("doc_id"), h60(col("shingle")).as("shingle"))
     // one shuffle: per-shingle doc lists, hot shingles (df > cap) → null
-    // inside the aggregator (state never exceeds cap+1 ids) and dropped
-    // Pair emission includes SELF-pairs (position i ≤ j over the sorted
-    // list, via posexplode + codegen'd slice — no n² blow-up-then-
-    // filter): common(a,a) = |a's kept shingles| = n_sh(a), so ONE
-    // aggregation yields both pair intersections and per-doc set sizes.
-    // That deletes the separate nsh pipeline (a second scan + shuffle)
-    // and the materialization barrier it forced — the whole query is a
-    // single linear pipeline: scan → shuffle(shingle) → capped lists →
-    // pairs → shuffle(pair) → count, plus one tiny self-row join.
-    // Sorted lists make emission canonical: doc_a ≤ doc_b by position.
+    // inside the aggregator (state never exceeds cap+1 ids) and dropped.
+    // Pair emission includes SELF-pairs (position i ≤ j via posexplode +
+    // codegen'd slice — no n² blow-up-then-filter): common(a,a) =
+    // |a's kept shingles| = n_sh(a), so ONE aggregation yields both pair
+    // intersections and per-doc set sizes, and no separate n_sh pipeline
+    // exists. The shingle-key exchange is reused across the two readers
+    // (pairs / self-rows); re-running the post-shuffle aggregate +
+    // generate chain per reader measures FASTER than materializing the
+    // object-array lists into the block cache (A/B'd at sf0.1), so no
+    // explicit cache. least/greatest canonicalizes each pair instead of
+    // sorting lists (an interpreted object-array sort at the
+    // ObjectHashAggregate boundary).
     val pairsAll = ex0.groupBy(col("shingle"))
       .agg(bounded(col("doc_id")).as("ds"))
       .filter(col("ds").isNotNull)
       .select(posexplode(col("ds")).as(Seq("i", "x")), col("ds"))
       .select(col("x"), explode(expr("slice(ds, i + 1, size(ds))")).as("y"))
-      // canonicalize per pair with codegen'd least/greatest rather than
-      // sorting each list (an interpreted object-array sort at the
-      // ObjectHashAggregate boundary)
       .groupBy(least(col("x"), col("y")).as("doc_a"),
         greatest(col("x"), col("y")).as("doc_b"))
       .agg(count(lit(1)).as("common"))
@@ -220,8 +218,7 @@ object TextOps {
   }
   private val q57Sql =
     s"""WITH sh AS ($shingledSql),
-      |ex0 AS (SELECT doc_id, ${h60Sql("shingle")} AS shingle
-      |        FROM (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh) u),
+      |ex0 AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh),
       |keep AS (SELECT shingle FROM ex0 GROUP BY shingle HAVING COUNT(*) <= 10),
       |ex AS (SELECT doc_id, ex0.shingle FROM ex0 JOIN keep ON ex0.shingle = keep.shingle),
       |nsh AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
