@@ -47,22 +47,34 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        // queries cache intermediate frames per invocation; drop them so
-        // every rep pays the same (full) cost and memory stays bounded
-        spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> median(times)
+    // Reps are INTERLEAVED round-robin (all queries rep 1, then all
+    // rep 2, …), not consecutive per query: this host stalls in
+    // multi-minute windows (~95% idle CPU), and consecutive reps let one
+    // window poison every sample of whichever query it lands on
+    // (observed: a 0.7 s query reporting a 15 s median). With rounds
+    // minutes apart, per-query medians reject a bad window. The min is
+    // reported alongside as the interference-free steady-state floor.
+    val entries = SparkEntry.queries.toSeq
+    val samples = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector())
+    for (_ <- 1 to reps; (name, fn) <- entries) {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // queries cache intermediate frames per invocation; drop them so
+      // every rep pays the same (full) cost and memory stays bounded
+      spark.catalog.clearCache()
+      samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val med = entries.map { case (name, _) => name -> median(samples(name)) }
+    val mins = entries.map { case (name, _) => name -> samples(name).min }
+    def renderMap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = med.map(_._2).sum
+    val totalMin = mins.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+        s""""queries":${renderMap(med)},""" +
+        s""""total_min":$totalMin,"queries_min":${renderMap(mins)},"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try {
       val w = new java.io.PrintWriter(out, "UTF-8")
