@@ -20,5 +20,6 @@ object QueryDef {
       queries.SimilarityOps.defs ++
       queries.NewsEtl.defs ++
       queries.Advanced.defs ++
-      queries.MultimodalOps.defs
+      queries.MultimodalOps.defs ++
+      queries.ScaleOps.defs
 }
