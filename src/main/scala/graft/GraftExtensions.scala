@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProductExpr, RollingHashExpr, ShinglesExpr, VecNormExpr, VectorExpressions}
+import graft.functions.{CountInExpr, DotProductExpr, RollingHashExpr, ShinglesExpr, VecNormExpr, VectorExpressions}
 
 /** Session-extension packaging for the engine's native functions — the
   * idiomatic way to ship custom Catalyst expressions with a library:
@@ -38,6 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingles"),
       new ExpressionInfo(classOf[ShinglesExpr].getName, "shingles"),
       exprs => ShinglesExpr(exprs(0), VectorExpressions.literalInt(exprs(1)))))
+    e.injectFunction((
+      FunctionIdentifier("count_in"),
+      new ExpressionInfo(classOf[CountInExpr].getName, "count_in"),
+      exprs => CountInExpr(exprs.head,
+        exprs.tail.map(VectorExpressions.literalString))))
     // fuse aggregate(zip_with(...)) vector folds into native loops
     e.injectOptimizerRule(_ => graft.plans.FuseZipFold)
     // plan the custom top-k-per-group logical node (graft.ops.TopK)

@@ -35,6 +35,9 @@ object VectorExpressions {
       "rolling_hash", exprs => RollingHashExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "shingles", exprs => ShinglesExpr(exprs(0), literalInt(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "count_in", exprs =>
+        CountInExpr(exprs.head, exprs.tail.map(literalString)), "built-in")
     // session-level twin of GraftExtensions' injectOptimizerRule: fuse
     // declarative aggregate(zip_with(...)) folds into native loops
     if (!spark.experimental.extraOptimizations.contains(graft.plans.FuseZipFold))
@@ -50,6 +53,17 @@ object VectorExpressions {
     case other =>
       throw new IllegalArgumentException(
         s"shingles(words, n) needs a literal int width, got: $other")
+  }
+
+  /** count_in's member set is baked into the operator at plan time, so
+    * only string literals are accepted.
+    */
+  def literalString(e: Expression): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+      v.toString
+    case other =>
+      throw new IllegalArgumentException(
+        s"count_in(arr, members…) needs literal string members, got: $other")
   }
 }
 

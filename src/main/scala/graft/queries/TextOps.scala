@@ -46,9 +46,11 @@ object TextOps {
     * stages. (At 100 TB the input is many files and this is a no-op
     * decision; the knob that matters there is maxPartitionBytes.)
     */
-  private def docs(s: SparkSession, dir: String): DataFrame =
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
     load(s, dir, "documents")
       .repartition(s.sessionState.conf.numShufflePartitions)
+  }
 
   // q13 — exact dedup + md5 content fingerprint: canonical row = min doc_id
   // per distinct text. On all-distinct data this is an identity with
@@ -93,7 +95,9 @@ object TextOps {
         size(array_distinct(col("w"))).cast("long").as("n_distinct_words"),
         expr("aggregate(transform(w, x -> length(x)), 0L, (acc, x) -> acc + x)")
           .as("n_word_chars"),
-        expr("size(filter(w, x -> x IN ('the', 'a')))").cast("long").as("n_stopwords"))
+        // native count_in: the HOF filter pays an interpreted lambda
+        // frame per token (see functions/CountInExpr)
+        expr("count_in(w, 'the', 'a')").as("n_stopwords"))
       .withColumn("avg_word_len",
         col("n_word_chars").cast("double") / col("n_words"))
       .withColumn("distinct_ratio",
@@ -410,8 +414,9 @@ object TextOps {
       .withColumn("w", words(col("text")))
     val withHits = stopwords.foldLeft(base) { case (df, (l, ws)) =>
       val inList = ws.map(x => s"'$x'").mkString(", ")
-      df.withColumn(s"hits_$l",
-        expr(s"size(filter(w, x -> x IN ($inList)))").cast("long"))
+      // native count_in — five interpreted HOF filters per row was the
+      // dominant cost of this query
+      df.withColumn(s"hits_$l", expr(s"count_in(w, $inList)"))
     }
     val m = greatest(stopwords.map { case (l, _) => col(s"hits_$l") }: _*)
     val predicted = stopwords.foldRight(lit("unknown"): Column) {

@@ -69,4 +69,18 @@ class PropertySpec extends AnyFunSuite {
       graft.schema.Schemas.categoriesToKeep.forall(p.contains)
     })
   }
+
+  test("count_in equals the declarative filter-count, nulls never match") {
+    val members = Seq("the", "a")
+    val set = graft.functions.CountInExpr.buildSet(members.toArray)
+    check(Prop.forAll(Gen.listOf(Gen.oneOf("the", "a", "x", "yy", ""))) { ws =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ws.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+      graft.functions.CountInExpr.compute(arr, set) ==
+        ws.count(members.contains).toLong
+    })
+    val withNull = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString("the"), null))
+    assert(graft.functions.CountInExpr.compute(withNull, set) == 1L)
+  }
 }
