@@ -469,6 +469,48 @@ object TextOps {
       |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+')) AS BIGINT) AS regex_tokens
       |FROM documents""".stripMargin
 
+  // q65 — deterministic train/val/test split: the standard
+  // hash-mod-100 assignment (80/10/10) every training-data pipeline
+  // needs. Content-hash based, so the split is stable under
+  // re-partitioning, re-ordering, incremental re-runs, and engine
+  // choice — the property that makes downstream training reproducible.
+  // Narrow per-row op + a tiny partial-agg rollup.
+  private def q65(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("bucket", h60(col("text")) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("first_doc"))
+  private val q65Sql =
+    s"""SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs, SUM(n_chars) AS total_chars, MIN(doc_id) AS first_doc
+      |FROM (SELECT doc_id, n_chars, ${h60Sql("text")} % 100 AS b FROM documents) t
+      |GROUP BY 1""".stripMargin
+
+  // q66 — stratified per-language sample: k deterministic exemplars per
+  // lang, selected by content-hash order (stable, engine-independent —
+  // rand()-based sampling would never hash-match an oracle). Runs
+  // through the native TopKPerGroup operator: one streaming group-scan,
+  // no window machinery, same shape at any corpus size.
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val hashed = docs(s, dir)
+      .select(col("lang"), col("doc_id"), h60(col("text")).as("h"))
+    graft.ops.TopK.perGroup(hashed, Seq("lang"),
+      Seq(col("h").asc, col("doc_id").asc), 5, "pick")
+      .select(col("lang"), col("doc_id"), col("pick"))
+  }
+  private val q66Sql =
+    s"""SELECT lang, doc_id, pick FROM (
+      |  SELECT lang, doc_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ${h60Sql("text")} ASC, doc_id ASC) AS BIGINT) AS pick
+      |  FROM documents) t
+      |WHERE pick <= 5""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q13_exact_dedup", q13, Some(q13Sql)),
     QueryDef("q14_text_stats", q14, Some(q14Sql)),
@@ -481,5 +523,7 @@ object TextOps {
     QueryDef("q57_jaccard_dfcap", q57, Some(q57Sql)),
     QueryDef("q58_dedup_fingerprint", q58, Some(q58Sql)),
     QueryDef("q61_simhash_neardup", q61, Some(q61Sql)),
+    QueryDef("q65_hash_split", q65, Some(q65Sql)),
+    QueryDef("q66_stratified_sample", q66, Some(q66Sql)),
   )
 }
