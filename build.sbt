@@ -15,6 +15,11 @@ run / fork := true
 // the driver machine-parses Bench's JSON line and the `info]` prefix
 // the logger adds broke that in round 1 ("parsed": null).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// …and round 2 was STILL "parsed": null — sbt's "[success] Total time"
+// epilogue printed after Bench's JSON, and the driver parses the LAST
+// line of stdout. Suppress the epilogue so the JSON line is final.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // read by the command engine, not a task
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

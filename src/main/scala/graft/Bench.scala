@@ -28,6 +28,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // object-agg hash-map threshold — see GraftSession scaladoc
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
       // 57 queries × several codegen'd stages each overflow the default
       // 100-entry generated-class cache, forcing recompilation in the
       // timed pass right after the warm-up compiled everything

@@ -28,5 +28,13 @@ object GraftSession {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ObjectHashAggregate (the exec behind collect_list / typed
+      // Aggregators, e.g. q57's BoundedCollectAggregator) falls back to
+      // SORT-based aggregation after 128 distinct keys per partition —
+      // a full sort of the pre-shuffle frame. The hash map is the right
+      // plan whenever per-key state is bounded, which holds for every
+      // object agg in this engine; set it once, at session scope, rather
+      // than mutating the shared session from inside a query builder.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
       .config("spark.ui.enabled", "false")
 }

@@ -15,6 +15,8 @@ object Verify {
       // events.parquet stores TIMESTAMP(NANOS); read as long, normalized
       // to µs in graft.queries.EventsOps.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // object-agg hash-map threshold — see GraftSession scaladoc
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

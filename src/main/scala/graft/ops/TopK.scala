@@ -28,11 +28,27 @@ object TopK {
         spark.experimental.extraStrategies :+ TopKPerGroupStrategy
     }
     val analyzed = df.queryExecution.analyzed
+    // Match the analyzer's binding semantics: resolve names with the
+    // session's resolver (case-insensitive by default) and reject
+    // ambiguity instead of silently picking the first duplicate —
+    // e.g. post-join frames can carry two attributes named "id".
+    val resolver = spark.sessionState.conf.resolver
     def attr(name: String): Attribute =
-      analyzed.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $name not in ${analyzed.output.map(_.name)}"))
-    val group: Seq[Expression] = groupCols.map(attr)
+      analyzed.output.filter(a => resolver(a.name, name)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column $name not in ${analyzed.output.map(_.name)}")
+        case many => throw new IllegalArgumentException(
+          s"column $name is ambiguous: matches ${many.map(_.qualifiedName)}")
+      }
+    // The exec detects group boundaries by UnsafeRow BINARY equality on
+    // the projected keys, and the analyzer's NormalizeFloatingNumbers
+    // rule doesn't know this custom node — so normalize float/double
+    // keys here (0.0 ≡ -0.0, canonical NaN), keeping both the hash
+    // partitioning and the boundary check consistent with the window
+    // row_number() contract this operator mirrors.
+    val group: Seq[Expression] = groupCols.map(c =>
+      org.apache.spark.sql.GraftPlanShim.normalizeFloatingNumbers(attr(c)))
     val order: Seq[SortOrder] = orderCols.map { c =>
       org.apache.spark.sql.GraftPlanShim.expressionOf(c) match {
         case s: SortOrder => s.copy(child = resolve(s.child, attr))

@@ -179,8 +179,10 @@ object TextOps {
     // to sort-based aggregation after 128 distinct keys per partition —
     // a full sort of the exploded shingle frame. The hash map is the
     // right plan at any shingle cardinality (values are ≤51-long
-    // arrays); raise the fallback threshold.
-    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
+    // arrays); every graft session builder raises the fallback threshold
+    // (see GraftSession) — session scope, because the conf is read at
+    // EXECUTION time (a set/restore around this lazy builder would be a
+    // no-op, and a permanent set here mutated the caller's session).
     val bounded = udaf(new graft.functions.BoundedCollectAggregator(10),
       org.apache.spark.sql.Encoders.scalaLong)
     // (At 100 TB you'd hash shingles to fixed-width longs before this
@@ -488,7 +490,7 @@ object TextOps {
         min(col("doc_id")).as("first_doc"))
   private val q65Sql =
     s"""SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
-      |  COUNT(*) AS n_docs, SUM(n_chars) AS total_chars, MIN(doc_id) AS first_doc
+      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars, MIN(doc_id) AS first_doc
       |FROM (SELECT doc_id, n_chars, ${h60Sql("text")} % 100 AS b FROM documents) t
       |GROUP BY 1""".stripMargin
 

@@ -20,4 +20,14 @@ object GraftPlanShim {
     */
   def expressionOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** `NormalizeFloatingNumbers.normalize` is `private[sql]`; graft's
+    * custom group-scan operator needs it to canonicalize float/double
+    * group keys (0.0 ≡ -0.0, one NaN bit pattern) exactly the way the
+    * analyzer would for a built-in Window/Aggregate.
+    */
+  def normalizeFloatingNumbers(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }
