@@ -268,6 +268,42 @@ object SimilarityOps {
       |FROM e a JOIN e b ON a.vec_id < b.vec_id
       |WHERE LIST_DOT_PRODUCT(a.v, b.v) / (a.norm * b.norm) >= 0.35""".stripMargin
 
+  // q70 — int8 symmetric quantization of the embedding column: the
+  // compression step a 100 TB vector store runs before serving (4×
+  // smaller, SIMD-friendly dot products). Per-vector scale =
+  // 127 / max|v|, elements round to [-127, 127]. Entirely narrow —
+  // per-row transform, no shuffle, streams at scan speed. Cross-engine
+  // exactness: float→double cast is exact, one IEEE multiply + divide
+  // each, and both engines round halves away from zero; the quantized
+  // ints are emitted as CSV (array cells don't survive the comparer's
+  // sort — q37's lesson) plus an integer checksum.
+  private def q70(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("max_abs", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("qscale",
+        when(col("max_abs") === 0d, lit(0d)).otherwise(lit(127.0) / col("max_abs")))
+      .withColumn("q", expr("transform(v, x -> CAST(ROUND(x * qscale) AS INT))"))
+      .select(col("vec_id"), col("qscale"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + abs(x))")
+          .as("sum_abs_q"),
+        array_join(col("q"), ",").as("q_csv"))
+  private val q70Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, v, LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) AS max_abs
+      |  FROM e),
+      |qt AS (
+      |  SELECT vec_id,
+      |    CASE WHEN max_abs = 0 THEN 0.0 ELSE 127.0 / max_abs END AS qscale,
+      |    LIST_TRANSFORM(v, x -> CAST(ROUND(x *
+      |      (CASE WHEN max_abs = 0 THEN 0.0 ELSE 127.0 / max_abs END)) AS INT)) AS q
+      |  FROM m)
+      |SELECT vec_id, qscale,
+      |  CAST(LIST_SUM(LIST_TRANSFORM(q, x -> ABS(x))) AS BIGINT) AS sum_abs_q,
+      |  ARRAY_TO_STRING(q, ',') AS q_csv
+      |FROM qt""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_cosine_topk", q20, Some(q20Sql)),
     QueryDef("q21_label_centroid", q21, Some(q21Sql)),
@@ -278,6 +314,7 @@ object SimilarityOps {
     QueryDef("q37_array_funcs", q37, Some(q37Sql)),
     QueryDef("q39_ann_multiprobe", q39, Some(q39Sql)),
     QueryDef("q62_ivf_search", q62, Some(q62Sql)),
+    QueryDef("q70_embed_quantize", q70, Some(q70Sql)),
   )
 
   // q39 — multi-probe ANN top-3: the probe side expands to its home

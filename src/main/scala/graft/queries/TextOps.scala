@@ -471,6 +471,165 @@ object TextOps {
       |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+')) AS BIGINT) AS regex_tokens
       |FROM documents""".stripMargin
 
+  // q67 — near-dup CLUSTERS: the transitive-closure step after candidate
+  // generation. q61 emits near-dup PAIRS; dedup needs per-doc cluster
+  // ids — pair (a,b) + pair (b,c) must collapse a,b,c into ONE group
+  // even though (a,c) never collided in any band. Components come from
+  // graft.ops.ConnectedComponents (min-label propagation — one
+  // partial-agg shuffle per round, driver sees only a convergence
+  // scalar); cluster_id = min doc_id in the component is the canonical
+  // representative a dedup pass would keep.
+  //
+  // Scale-critical shape: the propagation runs on the MEMBERSHIP
+  // (doc, band-bucket) relation via ConnectedComponents.labelViaBuckets
+  // — never on the materialized band-collision pair graph. A bucket's
+  // members are all mutually reachable through the bucket, so the
+  // components are identical, but a hot bucket of k docs costs k
+  // membership rows instead of k²/2 pairs (sf0.1: 20k memberships vs
+  // 272k pairs, and the banded self-join vanishes from the plan). The
+  // pair expansion is exactly the thing that melts down on a viral
+  // near-dup cluster at 100 TB; the membership form never creates it.
+  // (The DuckDB oracle DOES use the pair-closure formulation — the
+  // equivalence of the two is part of what the gate checks.)
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val memberships = simhashed(s, dir)
+      .select(col("doc_id"), posexplode(array((0 to 3).map(i =>
+        shiftright(col("simhash"), i * 15).bitwiseAND(lit(32767L))): _*))
+        .as(Seq("band_idx", "band_val")))
+      .select(col("doc_id").as("id"),
+        (col("band_idx").cast("long") * 32768L + col("band_val")).as("bucket"))
+    val labeled = graft.ops.ConnectedComponents.labelViaBuckets(memberships)
+    val sizes = labeled.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+  }
+  // Oracle: the same fixpoint via a recursive CTE — DuckDB's recursive
+  // UNION dedups against all prior rows, so label propagation
+  // terminates; MIN over every label that ever reached a node = the
+  // component min (edges are mirrored into both directions).
+  private val q67Sql =
+    s"""WITH RECURSIVE $simhashSql,
+      |banded AS (
+      |  SELECT doc_id, i AS band_idx, (simhash >> CAST(i * 15 AS INT)) & 32767 AS band_val
+      |  FROM sigs CROSS JOIN GENERATE_SERIES(0, 3) g(i)),
+      |edges AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM banded a JOIN banded b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |    AND a.doc_id < b.doc_id),
+      |und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+      |lbl(id, label) AS (
+      |  SELECT doc_id, doc_id FROM sigs
+      |  UNION
+      |  SELECT u.dst, l.label FROM lbl l JOIN und u ON u.src = l.id),
+      |comp AS (SELECT id, MIN(label) AS cluster_id FROM lbl GROUP BY id)
+      |SELECT c.id AS doc_id, c.cluster_id, s.cluster_size
+      |FROM comp c JOIN (
+      |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      |  FROM comp GROUP BY 1) s USING (cluster_id)""".stripMargin
+
+  // q68 — TF-IDF top-k terms per document, the classic relevance /
+  // keyword-extraction signal. The idf is INTEGER-exact on both
+  // engines — weight = tf * ((N*1000) div df), all BIGINT arithmetic —
+  // because ln() differs in final ulps across libm implementations and
+  // would break the bitwise oracle hash; the ranking it induces is the
+  // same (x -> (N*1000) div x is monotone-decreasing like -ln). Shape:
+  // tf and df are partial-aggregatable groupBys, N is a broadcast
+  // scalar, and the per-doc top-5 runs on the native TopKPerGroup
+  // group-scan (no window machinery).
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .withColumn("weight", expr("tf * ((n_docs * 1000) div df)"))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("weight"))
+    graft.ops.TopK.perGroup(scored, Seq("doc_id"),
+      Seq(col("weight").desc, col("token").asc), 5, "rnk")
+  }
+  private val q68Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT doc_id, token, tf, df, weight, rnk FROM (
+      |  SELECT doc_id, token, tf, df, tf * ((n_docs * 1000) // df) AS weight,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY tf * ((n_docs * 1000) // df) DESC, token ASC) AS BIGINT) AS rnk
+      |  FROM tf JOIN dfreq USING (token) CROSS JOIN n) t
+      |WHERE rnk <= 5""".stripMargin
+
+  // q69 — sliding-window token chunking: documents → overlapping
+  // fixed-size chunks (32 tokens, stride 24 → 8-token overlap), the
+  // tokenize-and-chunk step every LLM training pipeline runs before
+  // batching. Entirely narrow — per-row sequence + slice, no shuffle —
+  // so at 100 TB it streams at scan speed; the chunk text itself stays
+  // out of the output (chunks are handed off as (doc, idx, hash) keys,
+  // the hash doubling as the chunk-level exact-dedup fingerprint).
+  private def q69(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(expr("sequence(0, size(w) - 1, 24)")).as("st"))
+      .select(col("doc_id"), expr("st div 24").as("chunk_idx"),
+        expr("slice(w, st + 1, 32)").as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        h60(array_join(col("chunk"), " ")).as("chunk_hash"))
+  private val q69Sql =
+    s"""WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+      |st AS (
+      |  SELECT doc_id, w, UNNEST(GENERATE_SERIES(0, LEN(w) - 1, 24)) AS st
+      |  FROM t),
+      |ch AS (
+      |  SELECT doc_id, st // 24 AS chunk_idx,
+      |    LIST_SLICE(w, st + 1, st + 32) AS chunk
+      |  FROM st)
+      |SELECT doc_id, chunk_idx, CAST(LEN(chunk) AS BIGINT) AS n_tokens,
+      |  ${h60Sql("ARRAY_TO_STRING(chunk, ' ')")} AS chunk_hash
+      |FROM ch""".stripMargin
+
+  // q71 — benchmark decontamination: find TRAIN documents sharing any
+  // 3-shingle with a TEST document (the q65 hash split defines the
+  // sides), the overlap check run before every serious training run so
+  // eval numbers aren't inflated by leakage. The test side is BROADCAST:
+  // a benchmark suite is tiny next to a 100 TB train corpus, so the
+  // shingle join is map-side — the train shingle stream never shuffles.
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir)
+      .select(col("doc_id"), (h60(col("text")) % 100).as("bucket"),
+        words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("bucket"),
+        explode(expr("shingles(w, 3)")).as("shingle"))
+    val train = sh.filter(col("bucket") < 80)
+      .select(col("doc_id").as("train_doc"), col("shingle"))
+    val test = sh.filter(col("bucket") >= 90)
+      .select(col("doc_id").as("test_doc"), col("shingle"))
+    train.join(broadcast(test), "shingle")
+      .groupBy(col("train_doc"))
+      .agg(countDistinct(col("shingle")).as("n_shared"),
+        min(col("test_doc")).as("first_test_doc"))
+  }
+  private val q71Sql =
+    s"""WITH sh AS (
+      |  SELECT doc_id, ${h60Sql("text")} % 100 AS bucket,
+      |    UNNEST(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 2),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+      |  FROM (SELECT doc_id, text, STRING_SPLIT(text, ' ') AS w FROM documents) t
+      |  WHERE LEN(w) >= 3),
+      |tr AS (SELECT doc_id AS train_doc, shingle FROM sh WHERE bucket < 80),
+      |te AS (SELECT doc_id AS test_doc, shingle FROM sh WHERE bucket >= 90)
+      |SELECT train_doc, CAST(COUNT(DISTINCT tr.shingle) AS BIGINT) AS n_shared,
+      |  MIN(test_doc) AS first_test_doc
+      |FROM tr JOIN te USING (shingle)
+      |GROUP BY train_doc""".stripMargin
+
   // q65 — deterministic train/val/test split: the standard
   // hash-mod-100 assignment (80/10/10) every training-data pipeline
   // needs. Content-hash based, so the split is stable under
@@ -527,5 +686,9 @@ object TextOps {
     QueryDef("q61_simhash_neardup", q61, Some(q61Sql)),
     QueryDef("q65_hash_split", q65, Some(q65Sql)),
     QueryDef("q66_stratified_sample", q66, Some(q66Sql)),
+    QueryDef("q67_neardup_clusters", q67, Some(q67Sql)),
+    QueryDef("q68_tfidf_topk", q68, Some(q68Sql)),
+    QueryDef("q69_token_chunks", q69, Some(q69Sql)),
+    QueryDef("q71_decontaminate", q71, Some(q71Sql)),
   )
 }

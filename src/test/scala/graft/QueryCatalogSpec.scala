@@ -48,4 +48,73 @@ class QueryCatalogSpec extends AnyFunSuite {
     val total = spark.read.parquet(s"$dir/documents.parquet").count()
     assert(n <= total && n > 0)
   }
+
+  test("q67 assigns every doc exactly one cluster, labeled by the cluster min") {
+    val rows = SparkEntry.queries("q67_neardup_clusters")(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.length == total) // one assignment per doc
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getAs[Long]("doc_id")).min == cid) // min-id representative
+      assert(members.forall(_.getAs[Long]("cluster_size") == members.length))
+    }
+  }
+
+  test("q68 emits at most 5 ranked terms per doc, weights non-increasing") {
+    val rows = SparkEntry.queries("q68_tfidf_topk")(spark, dir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    rows.foreach { case (_, terms) =>
+      assert(terms.length <= 5)
+      val byRank = terms.sortBy(_.getAs[Long]("rnk"))
+      assert(byRank.map(_.getAs[Long]("rnk")).toSeq == (1L to terms.length))
+      val w = byRank.map(_.getAs[Long]("weight")).toSeq
+      assert(w == w.sorted.reverse, s"weights not non-increasing: $w")
+    }
+  }
+
+  test("q69 chunks tile each doc: stride 24, max 32 tokens, full coverage") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    val chunks = SparkEntry.queries("q69_token_chunks")(spark, dir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val tokens = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    chunks.foreach { case (doc, cs) =>
+      val n = tokens(doc)
+      val idx = cs.map(_.getAs[Long]("chunk_idx")).sorted.toSeq
+      assert(idx == (0L until ((n + 23) / 24)).toSeq) // every stride start < n, none beyond
+      cs.foreach { c =>
+        val nt = c.getAs[Long]("n_tokens")
+        assert(nt >= 1 && nt <= 32)
+        // every chunk but possibly the tail ones is full or runs to the end
+        val st = c.getAs[Long]("chunk_idx") * 24
+        assert(nt == math.min(32L, n - st))
+      }
+    }
+  }
+
+  test("q70 quantized values stay in [-127, 127] and scale is non-negative") {
+    val rows = SparkEntry.queries("q70_embed_quantize")(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("qscale") >= 0d)
+      val vals = r.getAs[String]("q_csv").split(",").map(_.toInt)
+      assert(vals.forall(v => v >= -127 && v <= 127))
+      assert(vals.map(v => math.abs(v).toLong).sum == r.getAs[Long]("sum_abs_q"))
+    }
+  }
+
+  test("q71 reports only train-side docs with genuinely shared shingles") {
+    import org.apache.spark.sql.functions.{col, conv, md5, substring}
+    val contaminated = SparkEntry.queries("q71_decontaminate")(spark, dir).collect()
+    assert(contaminated.nonEmpty) // probed: the synthetic corpus overlaps
+    val buckets = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        (conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long") % 100).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    contaminated.foreach { r =>
+      assert(buckets(r.getAs[Long]("train_doc")) < 80)
+      assert(buckets(r.getAs[Long]("first_test_doc")) >= 90)
+      assert(r.getAs[Long]("n_shared") >= 1)
+    }
+  }
 }
