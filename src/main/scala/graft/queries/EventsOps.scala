@@ -162,7 +162,26 @@ object EventsOps {
     QueryDef("q38_map_funcs", q38, Some(q38Sql)),
     QueryDef("q41_pivot_daily", q41, Some(q41Sql)),
     QueryDef("q42_percentiles", q42, Some(q42Sql)),
+    QueryDef("q72_sketch_distinct", q72, None),
   )
+
+  // q72 — sketch aggregates: HyperLogLog++ distinct counts and t-digest
+  // approximate percentiles next to their exact twins. Sketches are THE
+  // 100 TB cardinality tool — fixed-size partial state, partial-agg
+  // mergeable, one small shuffle regardless of input size — but their
+  // estimates are implementation-specific (Spark HLL++ vs DuckDB's HLL
+  // differ by design), so this query has NO oracle SQL: the driver
+  // records a rows-only check, and the accuracy contract (<5% relative
+  // error at this cardinality) is pinned in QueryCatalogSpec instead.
+  private def q72(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("users_hll"),
+        countDistinct(col("user_id")).as("users_exact"),
+        expr("approx_percentile(value, 0.5, 1000)").as("p50_approx"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50_exact"))
+      .orderBy(col("event_type"))
 
   // q41 — pivot (the reference's Power BI cross-tab): daily event counts
   // with one column per event type. Explicit value list keeps the output

@@ -630,6 +630,63 @@ object TextOps {
       |FROM tr JOIN te USING (shingle)
       |GROUP BY train_doc""".stripMargin
 
+  // q73 — MinHash estimator accuracy: for the 20 most-similar exact
+  // pairs (q16's output), the fraction of agreeing MinHash components
+  // (q17's signatures) is an unbiased estimate of the Jaccard —
+  // P[min-perm collides] = J. This query audits the estimator the whole
+  // banding architecture rests on, exactly the way you'd validate it on
+  // a sample before trusting bands at 100 TB. Everything is integer
+  // counts and md5-derived hashes, so both engines agree bitwise; the
+  // 20-pair exact side is the bounded piece, and the signature table
+  // joins to it broadcast (8 longs per doc).
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    val exact = q16(s, dir).select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val sigs = q17(s, dir)
+      .select(col("doc_id") +: As.indices.map(i => col(s"sig$i")): _*)
+    val a = sigs.toDF("doc_a" +: As.indices.map(i => s"a$i"): _*)
+    val b = sigs.toDF("doc_b" +: As.indices.map(i => s"b$i"): _*)
+    val agree = As.indices.map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+    exact.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("n_sig_match", agree)
+      .withColumn("jaccard_est", col("n_sig_match").cast("double") / As.size)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("n_sig_match"), col("jaccard_est"))
+  }
+  private val q73Sql = {
+    val sigCols = As.indices.map { i =>
+      s"MIN((${As(i)} * h + ${Bs(i)}) % $P) AS sig$i"
+    }.mkString(",\n      |  ")
+    val agree = As.indices.map(i =>
+      s"CASE WHEN sa.sig$i = sb.sig$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH sh AS ($shingledSql),
+      |ex AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh),
+      |nsh AS (SELECT doc_id, CAST(LEN(shingles) AS BIGINT) AS n_sh FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |exact AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) AS jaccard
+      |  FROM pairs
+      |  JOIN nsh na ON na.doc_id = doc_a
+      |  JOIN nsh nb ON nb.doc_id = doc_b
+      |  ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 20),
+      |hashed AS (SELECT doc_id, ${h60Sql("shingle")} % $P AS h
+      |           FROM (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh) t),
+      |sigs AS (
+      |  SELECT doc_id,
+      |  $sigCols
+      |  FROM hashed GROUP BY doc_id)
+      |SELECT e.doc_a, e.doc_b, e.jaccard,
+      |  CAST($agree AS BIGINT) AS n_sig_match,
+      |  CAST($agree AS DOUBLE) / ${As.size} AS jaccard_est
+      |FROM exact e
+      |JOIN sigs sa ON sa.doc_id = e.doc_a
+      |JOIN sigs sb ON sb.doc_id = e.doc_b""".stripMargin
+  }
+
   // q65 — deterministic train/val/test split: the standard
   // hash-mod-100 assignment (80/10/10) every training-data pipeline
   // needs. Content-hash based, so the split is stable under
@@ -690,5 +747,6 @@ object TextOps {
     QueryDef("q68_tfidf_topk", q68, Some(q68Sql)),
     QueryDef("q69_token_chunks", q69, Some(q69Sql)),
     QueryDef("q71_decontaminate", q71, Some(q71Sql)),
+    QueryDef("q73_minhash_estimate", q73, Some(q73Sql)),
   )
 }

@@ -16,7 +16,12 @@ class QueryCatalogSpec extends AnyFunSuite {
   }
 
   test("every query has an oracle or a documented omission") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // q72: sketch estimates (HLL++/t-digest) are implementation-specific
+    // by design — cross-engine hash equality is impossible; its accuracy
+    // contract is pinned by the spec below instead.
+    val documentedOmissions = Set("q72_sketch_distinct")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
+      documentedOmissions
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
 
@@ -100,6 +105,22 @@ class QueryCatalogSpec extends AnyFunSuite {
       val vals = r.getAs[String]("q_csv").split(",").map(_.toInt)
       assert(vals.forall(v => v >= -127 && v <= 127))
       assert(vals.map(v => math.abs(v).toLong).sum == r.getAs[Long]("sum_abs_q"))
+    }
+  }
+
+  test("q72 sketch estimates stay within tolerance of their exact twins") {
+    val rows = SparkEntry.queries("q72_sketch_distinct")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("users_exact").toDouble
+      val hll = r.getAs[Long]("users_hll").toDouble
+      assert(math.abs(hll - exact) / exact < 0.05,
+        s"HLL off by ${math.abs(hll - exact) / exact}")
+      // t-digest with accuracy 1000 on this cardinality is near-exact;
+      // allow a loose band anchored on the exact disc percentile
+      val p50e = r.getAs[Double]("p50_exact")
+      val p50a = r.getAs[Double]("p50_approx")
+      assert(math.abs(p50a - p50e) <= math.max(0.1 * math.abs(p50e), 1e-6))
     }
   }
 
