@@ -152,4 +152,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join in:\n$p")
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"))
   }
+
+  test("q68: per-doc ranking runs on the native TopKPerGroup operator") {
+    val p = plan("q68_tfidf_topk")
+    assert(p.contains("TopKPerGroup"), s"no native top-k operator in:\n$p")
+  }
+
+  test("q69: chunking is narrow — no aggregation or join anywhere") {
+    val df = SparkEntry.queries("q69_token_chunks")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"chunking should be generate+project only:\n$p")
+    // the only exchange is the deliberate single-file-input spread
+    assert(!p.contains("ENSURE_REQUIREMENTS"),
+      s"planner-inserted shuffle in a narrow pipeline:\n$p")
+  }
+
+  test("q70: quantization is a pure narrow scan (no exchange at all)") {
+    val df = SparkEntry.queries("q70_embed_quantize")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"quantization must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"))
+  }
+
+  test("q71: the test-side shingle stream is broadcast, never shuffle-joined") {
+    val df = SparkEntry.queries("q71_decontaminate")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"train shingles were shuffled for the join:\n$p")
+  }
 }
