@@ -67,8 +67,45 @@ object ScaleOps {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderstatus""".stripMargin
 
+  // q74 — Z-order keys ([[graft.ops.ZOrder]]) through the gate: the
+  // Morton key of (l_partkey, l_suppkey) per lineitem row — range-bucket
+  // each column to 16 bits against its global min/max, then interleave.
+  // The layout win (two-column file skipping) is pinned in ZOrderSpec;
+  // THIS query proves the key itself is engine-exact: pure integer
+  // arithmetic + five shift-mask stages, bit-identical in DuckDB.
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    val li = load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+    graft.ops.ZOrder.withZ(li, "l_partkey", "l_suppkey")
+      .select(col("l_orderkey"), col("l_linenumber"), col("z"))
+  }
+  private val q74Sql = {
+    // Morton "part1by1" spread, decimal renderings of the magic masks
+    def spreadSql(e: String): String =
+      Seq((16, "281470681808895"), (8, "71777214294589695"),
+        (4, "1085102592571150095"), (2, "3689348814741910323"),
+        (1, "6148914691236517205"))
+        .foldLeft(s"($e & 65535)") { case (x, (sh, m)) =>
+          s"(($x | ($x << $sh)) & $m)"
+        }
+    s"""WITH b AS (
+      |  SELECT MIN(l_partkey) AS minx, MAX(l_partkey) AS maxx,
+      |         MIN(l_suppkey) AS miny, MAX(l_suppkey) AS maxy
+      |  FROM lineitem),
+      |bk AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    (CAST(l_partkey - minx AS BIGINT) * 65536) // (CAST(maxx - minx AS BIGINT) + 1) AS bx,
+      |    (CAST(l_suppkey - miny AS BIGINT) * 65536) // (CAST(maxy - miny AS BIGINT) + 1) AS by
+      |  FROM lineitem CROSS JOIN b)
+      |SELECT l_orderkey, l_linenumber,
+      |  (${spreadSql("bx")} | (${spreadSql("by")} << 1)) AS z
+      |FROM bk""".stripMargin
+  }
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q63_salted_agg", q63, Some(q63Sql)),
     QueryDef("q64_bucketed_join", q64, Some(q64Sql)),
+    QueryDef("q74_zorder_keys", q74, Some(q74Sql)),
   )
 }

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class ZOrderSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("spread/zValue interleave bits exactly (reference values)") {
+    import spark.implicits._
+    val rows = Seq((0L, 0L), (65535L, 0L), (0L, 65535L), (1L, 1L), (0xFFL, 0x0FL))
+      .toDF("x", "y")
+      .select(ZOrder.zValue(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0))
+    def morton(x: Long, y: Long): Long =
+      (0 until 16).map(i => (((x >> i) & 1) << (2 * i)) | (((y >> i) & 1) << (2 * i + 1))).sum
+    val expected = Seq((0L, 0L), (65535L, 0L), (0L, 65535L), (1L, 1L), (0xFFL, 0x0FL))
+      .map { case (x, y) => morton(x, y) }
+    assert(rows.toSeq == expected)
+  }
+
+  test("bucket16 is order-preserving and spans [0, 65535]") {
+    import spark.implicits._
+    val df = (0L to 1000L).toDF("v")
+    val b = df.select(ZOrder.bucket16(col("v"), lit(0L), lit(1000L)).as("b"))
+      .collect().map(_.getLong(0))
+    assert(b.head == 0L && b.last == 65470L) // floor(1000*65536/1001)
+    assert(b.sameElements(b.sorted))
+    assert(b.forall(x => x >= 0 && x <= 65535))
+  }
+
+  test("z-ordered files have tight min-max ranges on BOTH columns") {
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    ZOrder.write(li, "l_partkey", "l_suppkey", s"$base/z", nFiles = 8)
+
+    // avg fraction of the global value range each FILE spans, per column
+    def coverage(path: String, c: String): Double = {
+      val stats = spark.read.parquet(path)
+        .groupBy(input_file_name()).agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+        .collect()
+      val glo = li.agg(min(col(c)), max(col(c))).head
+      val span = (glo.getLong(1) - glo.getLong(0)).toDouble
+      stats.map(r => (r.getLong(2) - r.getLong(1)) / span).sum / stats.length
+    }
+    val covX = coverage(s"$base/z", "l_partkey")
+    val covY = coverage(s"$base/z", "l_suppkey")
+    // 8 Morton segments → each file covers a fraction of both dimensions;
+    // a plain sort on one column leaves the other near 1.0
+    assert(covX < 0.7, s"l_partkey per-file coverage too wide: $covX")
+    assert(covY < 0.7, s"l_suppkey per-file coverage too wide: $covY")
+
+    // baseline: sorting by x alone leaves y unclustered (near-full span)
+    li.repartitionByRange(8, col("l_partkey"))
+      .sortWithinPartitions(col("l_partkey"))
+      .write.parquet(s"$base/sorted_x")
+    val baseY = coverage(s"$base/sorted_x", "l_suppkey")
+    assert(baseY > 0.9, s"baseline unexpectedly clustered: $baseY")
+    assert(covY < baseY, "z-order must beat single-column sort on the second column")
+  }
+
+  test("z-ordered write preserves content exactly") {
+    val base = java.nio.file.Files.createTempDirectory("zorder_c").toString
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    ZOrder.write(li, "l_partkey", "l_suppkey", s"$base/z", nFiles = 4)
+    val got = spark.read.parquet(s"$base/z")
+    assert(got.count() == li.count())
+    assert(got.except(li).isEmpty && li.except(got).isEmpty)
+    assert(got.columns.sorted.sameElements(li.columns.sorted))
+  }
+}
