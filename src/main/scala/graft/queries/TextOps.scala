@@ -687,6 +687,53 @@ object TextOps {
       |JOIN sigs sb ON sb.doc_id = e.doc_b""".stripMargin
   }
 
+  // q75 — quality GATE: the step after quality SCORING (q14) — corpus
+  // curation drops the tails. Per-language p10/p90 length bands (exact
+  // discrete percentiles — engine-stable, unlike interpolation) plus a
+  // lexical-diversity floor; output is the per-language keep/drop
+  // accounting a pipeline owner reviews before committing a filter.
+  // Shape: one partial-agg stats pass, a TINY per-lang band table
+  // broadcast back (two scalars per language — at 100 TB still a
+  // handful of rows), then a narrow gate + final partial agg.
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val st = docs(s, dir)
+      .withColumn("w", words(col("text")))
+      .select(col("doc_id"), col("lang"),
+        size(col("w")).cast("long").as("n_words"),
+        (size(array_distinct(col("w"))).cast("long").cast("double") /
+          size(col("w")).cast("long")).as("distinct_ratio"))
+    val bands = st.groupBy(col("lang")).agg(
+      expr("CAST(percentile_disc(0.1) WITHIN GROUP (ORDER BY n_words) AS BIGINT)")
+        .as("p10"),
+      expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_words) AS BIGINT)")
+        .as("p90"))
+    st.join(broadcast(bands), "lang")
+      .withColumn("keep",
+        col("n_words").between(col("p10"), col("p90")) &&
+          col("distinct_ratio") >= 0.3)
+      .groupBy(col("lang"), col("p10"), col("p90"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("lang"), col("p10"), col("p90"), col("n_total"), col("n_kept"))
+  }
+  private val q75Sql =
+    """WITH st AS (
+      |  SELECT doc_id, lang,
+      |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words,
+      |    CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT) /
+      |      CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS distinct_ratio
+      |  FROM documents),
+      |b AS (
+      |  SELECT lang,
+      |    CAST(PERCENTILE_DISC(0.1) WITHIN GROUP (ORDER BY n_words) AS BIGINT) AS p10,
+      |    CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY n_words) AS BIGINT) AS p90
+      |  FROM st GROUP BY lang)
+      |SELECT st.lang, p10, p90, COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN n_words BETWEEN p10 AND p90 AND distinct_ratio >= 0.3
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM st JOIN b ON st.lang = b.lang
+      |GROUP BY st.lang, p10, p90""".stripMargin
+
   // q65 — deterministic train/val/test split: the standard
   // hash-mod-100 assignment (80/10/10) every training-data pipeline
   // needs. Content-hash based, so the split is stable under
@@ -748,5 +795,6 @@ object TextOps {
     QueryDef("q69_token_chunks", q69, Some(q69Sql)),
     QueryDef("q71_decontaminate", q71, Some(q71Sql)),
     QueryDef("q73_minhash_estimate", q73, Some(q73Sql)),
+    QueryDef("q75_quality_gate", q75, Some(q75Sql)),
   )
 }
