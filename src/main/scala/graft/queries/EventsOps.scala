@@ -163,7 +163,31 @@ object EventsOps {
     QueryDef("q41_pivot_daily", q41, Some(q41Sql)),
     QueryDef("q42_percentiles", q42, Some(q42Sql)),
     QueryDef("q72_sketch_distinct", q72, None),
+    QueryDef("q76_unpivot_daily", q76, Some(q76Sql)),
   )
+
+  // q76 — unpivot/melt: the inverse of q41's pivot, taking the wide
+  // daily cross-tab back to tidy (day, event_type, n) triples — the
+  // standard prep step before feeding wide exports into a long-format
+  // pipeline. Spark's native `unpivot` (Expand under the hood — one
+  // narrow pass, rows × 5, no shuffle beyond q41's aggregation); the
+  // oracle replays it as the portable UNION ALL form. Zero-count cells
+  // survive (unpivot keeps non-null values), so the round trip is
+  // lossless — pinned by the row count = days × types.
+  private def q76(s: SparkSession, dir: String): DataFrame =
+    q41(s, dir).unpivot(
+      ids = Array(col("day")),
+      values = EventTypes.map(col).toArray,
+      variableColumnName = "event_type",
+      valueColumnName = "n")
+  // lazy: EventTypes/q41Sql are declared later in this object, and a
+  // strict val here would read them as null during object init
+  private lazy val q76Sql = {
+    val arms = EventTypes.map(t =>
+      s"SELECT day, '$t' AS event_type, \"$t\" AS n FROM wide").mkString("\n      |UNION ALL ")
+    s"""WITH wide AS ($q41Sql)
+      |$arms""".stripMargin
+  }
 
   // q72 — sketch aggregates: HyperLogLog++ distinct counts and t-digest
   // approximate percentiles next to their exact twins. Sketches are THE
