@@ -34,15 +34,6 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** @param nodes a frame with one column `id` (long).
-    * @param edges a frame with columns `src`, `dst` (longs) — treated as
-    *              undirected; duplicates and either orientation are fine
-    *              (min-aggregation absorbs them, so callers need not pay
-    *              a distinct shuffle).
-    * @param maxRounds hard cap on propagation rounds (safety valve; the
-    *                  loop exits as soon as labels stop changing).
-    * @return (`id`, `label`) with label = min node id in the component.
-    */
   /** Components of a MEMBERSHIP (hypergraph) relation — the shape LSH
     * dedup actually produces: `members` rows are (id, bucket), and two
     * ids are connected iff they share a bucket. Equivalent to [[label]]
@@ -88,10 +79,22 @@ object ConnectedComponents {
       prevSum = s
       labels = next
       round += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $round sum=$s converged=$converged")
     }
     labels
   }
 
+  /** General pair-edge form.
+    * @param nodes a frame with one column `id` (long).
+    * @param edges a frame with columns `src`, `dst` (longs) — treated as
+    *              undirected; duplicates and either orientation are fine
+    *              (min-aggregation absorbs them, so callers need not pay
+    *              a distinct shuffle).
+    * @param maxRounds hard cap on propagation rounds (safety valve; the
+    *                  loop exits as soon as labels stop changing).
+    * @return (`id`, `label`) with label = min node id in the component.
+    */
   def label(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 50): DataFrame = {
     // Materialize the mirrored edge list ONCE: every round (and every
     // convergence check) re-reads it, and without this the upstream
