@@ -22,18 +22,13 @@ object Bench {
     // query (observed stall windows span minutes and hit several
     // consecutive samples; see the round-robin note below)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
-    val spark = SparkSession.builder()
+    val spark = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // object-agg hash-map threshold — see GraftSession scaladoc
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
       // 57 queries × several codegen'd stages each overflow the default
       // 100-entry generated-class cache, forcing recompilation in the
       // timed pass right after the warm-up compiled everything
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.sql.codegen.cache.maxEntries", "2000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up pass at the smallest scale factor: whole-stage codegen

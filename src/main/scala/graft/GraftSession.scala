@@ -16,25 +16,36 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Session confs every graft entry point shares (Verify/Bench/
+    * BenchOne/Explain/tests apply these on top of their own master and
+    * parallelism settings — one definition, six call sites).
+    */
+  val sharedConfs: Seq[(String, String)] = Seq(
+    "spark.sql.session.timeZone" -> "UTC",
+    // events.parquet stores TIMESTAMP(NANOS); read as long, normalized
+    // to µs in graft.queries.EventsOps
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // ObjectHashAggregate (collect_list / typed Aggregators, e.g. q57's
+    // BoundedCollectAggregator) falls back to SORT-based aggregation
+    // after 128 distinct keys per partition — a full sort of the
+    // pre-shuffle frame. The hash map is the right plan whenever
+    // per-key state is bounded, which holds for every object agg in
+    // this engine.
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "10000000",
+    "spark.ui.enabled" -> "false")
+
+  /** Apply [[sharedConfs]] to any builder. */
+  def tune(b: SparkSession.Builder): SparkSession.Builder =
+    sharedConfs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
   def builder(
       master: String = sys.env.getOrElse("SPARK_MASTER", "local[*]"),
       appName: String = "graft"): SparkSession.Builder =
-    SparkSession.builder()
+    tune(SparkSession.builder()
       .master(master)
       .appName(appName)
       .withExtensions(new GraftExtensions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // ObjectHashAggregate (the exec behind collect_list / typed
-      // Aggregators, e.g. q57's BoundedCollectAggregator) falls back to
-      // SORT-based aggregation after 128 distinct keys per partition —
-      // a full sort of the pre-shuffle frame. The hash map is the right
-      // plan whenever per-key state is bounded, which holds for every
-      // object agg in this engine; set it once, at session scope, rather
-      // than mutating the shared session from inside a query builder.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
-      .config("spark.ui.enabled", "false")
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")))
 }

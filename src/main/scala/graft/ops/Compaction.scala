@@ -36,6 +36,12 @@ object Compaction {
   /** Compact `inDir` (parquet) into `outDir` with ~`targetBytes` files.
     * Returns before/after file statistics. `outDir` must not exist
     * (no-overwrite contract, same as the reference's sinks).
+    *
+    * Hive-partitioned inputs are sized correctly (recursive listing),
+    * but the rewrite is FLAT — partition columns become data columns.
+    * To keep a partitioned layout, run compact() per partition
+    * directory (the normal maintenance-job shape: compact exactly the
+    * partitions whose file counts drifted).
     */
   def compact(
       spark: SparkSession,
@@ -55,15 +61,26 @@ object Compaction {
 
   /** (parquet file count, total bytes) for a directory, via the Hadoop
     * FileSystem API — works for any FS the session can reach (local,
-    * HDFS, object stores).
+    * HDFS, object stores). RECURSIVE: Hive-partitioned layouts nest the
+    * data files under key=value subdirectories, and a non-recursive
+    * listing would report 0 files / 0 bytes and silently missize the
+    * compaction.
     */
   def dirStats(spark: SparkSession, dir: String): (Int, Long) = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(path).filter { st =>
-      val n = st.getPath.getName
-      st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    val it = fs.listFiles(path, /* recursive = */ true)
+    var n = 0
+    var bytes = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && name.endsWith(".parquet") &&
+          !name.startsWith("_") && !name.startsWith(".")) {
+        n += 1
+        bytes += st.getLen
+      }
     }
-    (files.length, files.map(_.getLen).sum)
+    (n, bytes)
   }
 }

@@ -14,25 +14,69 @@ import org.apache.spark.sql.functions._
   * transitive closure of those pairs — pair (a,b) + pair (b,c) must
   * collapse a, b, c into one cluster even though (a,c) never collided.
   *
-  * Scale shape, per round: ONE shuffle — a partial-aggregatable
-  * `min(label)` grouped by neighbor (map-side combine shrinks it before
-  * the exchange) — plus an equi-join back to the label table on the
-  * node id. The driver-side convergence check reads a single scalar
-  * (sum of labels, which strictly decreases while any label changes),
-  * the standard driver-loop pattern for iterative dataflow — no row
-  * data ever reaches the driver. `localCheckpoint` after every round
-  * truncates lineage so the plan stays O(1) across rounds instead of
-  * re-deriving round k from rounds 1..k-1.
+  * Scale shape, per round: partial-aggregatable `min(label)` shuffles
+  * (map-side combine shrinks them before the exchange) plus equi-joins
+  * back to the label table. The driver-side convergence check reads a
+  * single scalar (sum of labels, which strictly decreases while any
+  * label changes — summed in DECIMAL(38,0) so it cannot wrap at any
+  * node-count/id scale), the standard driver-loop pattern for
+  * iterative dataflow — no row data ever reaches the driver.
+  * `localCheckpoint` after every round truncates lineage so the plan
+  * stays O(1) across rounds instead of re-deriving round k from rounds
+  * 1..k-1. Per-round path compression (label ← label(label)) turns
+  * diameter-bound convergence into O(log diameter)-ish for the price
+  * of one label-table self-join.
   *
-  * Rounds needed = graph diameter. Near-dup graphs are dense and
-  * shallow (band collisions cluster tightly), so a handful of rounds
-  * converge. For adversarial long-chain graphs at 100 TB, alternating
+  * If `maxRounds` truncates before the fixpoint a warning is printed —
+  * partial labels are otherwise indistinguishable from converged ones.
+  * For adversarial long-chain graphs at 100 TB, alternating
   * large-star/small-star (Kiveris et al., "Connected Components in
   * MapReduce and Beyond", SoCC '14) reaches the same fixpoint in
-  * O(log² n) rounds using these same per-round building blocks; this
-  * method is the seam where it would slot in.
+  * O(log² n) rounds using these same per-round building blocks; the
+  * step function below is the seam where it would slot in.
   */
 object ConnectedComponents {
+
+  /** Shared fixpoint driver: `step` maps the current (id, label) table
+    * to the next one (monotone — labels only decrease); iterate with
+    * path compression until the label sum stops changing.
+    */
+  private def fixpoint(
+      init: DataFrame, step: DataFrame => DataFrame, maxRounds: Int): DataFrame = {
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
+    var labels = init.localCheckpoint()
+    var prevSum = labelSum(labels)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val propagated = step(labels)
+      // Path compression — label(x) ← min(label(x), label(label(x))).
+      // Labels are always ids of component members, so the lookup stays
+      // inside the component; chasing one extra hop per round turns
+      // diameter-bound convergence into O(log diameter)-ish, for the
+      // price of one small self-join of the label table.
+      val next = propagated.as("a")
+        .join(propagated.select(col("id").as("lid"), col("label").as("llabel")),
+          col("a.label") === col("lid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.label"), coalesce(col("llabel"), col("a.label"))).as("label"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+      round += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $round sum=$s converged=$converged")
+    }
+    if (!converged)
+      System.err.println(
+        s"[cc] WARNING: stopped at maxRounds=$maxRounds before the fixpoint — " +
+          "labels are PARTIAL (components may still be split)")
+    labels
+  }
 
   /** Components of a MEMBERSHIP (hypergraph) relation — the shape LSH
     * dedup actually produces: `members` rows are (id, bucket), and two
@@ -48,41 +92,16 @@ object ConnectedComponents {
     */
   def labelViaBuckets(members: DataFrame, maxRounds: Int = 50): DataFrame = {
     val mem = members.select(col("id"), col("bucket")).localCheckpoint()
-    var labels = mem.select(col("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
-    var prevSum = labelSum(labels)
-    var round = 0
-    var converged = false
-    while (!converged && round < maxRounds) {
+    val init = mem.select(col("id")).distinct().withColumn("label", col("id"))
+    fixpoint(init, labels => {
       val bucketMin = mem.join(labels, "id")
         .groupBy(col("bucket")).agg(min(col("label")).as("bmin"))
       val viaBuckets = mem.join(bucketMin, "bucket")
         .groupBy(col("id")).agg(min(col("bmin")).as("nbr_min"))
-      val propagated = labels.join(viaBuckets, Seq("id"), "left")
+      labels.join(viaBuckets, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-      // Path compression — label(x) ← min(label(x), label(label(x))).
-      // Labels are always ids of component members, so the lookup stays
-      // inside the component; chasing one extra hop per round turns
-      // diameter-bound convergence into O(log diameter)-ish, for the
-      // price of one small self-join of the label table.
-      val next = propagated.as("a")
-        .join(propagated.select(col("id").as("lid"), col("label").as("llabel")),
-          col("a.label") === col("lid"), "left")
-        .select(col("a.id").as("id"),
-          least(col("a.label"), coalesce(col("llabel"), col("a.label"))).as("label"))
-        .localCheckpoint()
-      val s = labelSum(next)
-      converged = s == prevSum
-      prevSum = s
-      labels = next
-      round += 1
-      if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(s"[cc] round $round sum=$s converged=$converged")
-    }
-    labels
+    }, maxRounds)
   }
 
   /** General pair-edge form.
@@ -92,37 +111,26 @@ object ConnectedComponents {
     *              (min-aggregation absorbs them, so callers need not pay
     *              a distinct shuffle).
     * @param maxRounds hard cap on propagation rounds (safety valve; the
-    *                  loop exits as soon as labels stop changing).
+    *                  loop exits as soon as labels stop changing, and
+    *                  warns if the cap truncated propagation).
     * @return (`id`, `label`) with label = min node id in the component.
     */
   def label(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 50): DataFrame = {
     // Materialize the mirrored edge list ONCE: every round (and every
     // convergence check) re-reads it, and without this the upstream
-    // edge-generation pipeline (e.g. q67's SimHash band self-join) would
+    // edge-generation pipeline (e.g. a SimHash band self-join) would
     // re-execute per action — measured 5× the whole query's cost.
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
-    var prevSum = labelSum(labels)
-    var round = 0
-    var converged = false
-    while (!converged && round < maxRounds) {
+    val init = nodes.select(col("id"), col("id").as("label"))
+    fixpoint(init, labels => {
       val nbrMin = und.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .localCheckpoint()
-      val s = labelSum(next)
-      converged = s == prevSum
-      prevSum = s
-      labels = next
-      round += 1
-    }
-    labels
+    }, maxRounds)
   }
 }

@@ -189,8 +189,8 @@ object EventsOps {
       |$arms""".stripMargin
   }
 
-  // q72 — sketch aggregates: HyperLogLog++ distinct counts and t-digest
-  // approximate percentiles next to their exact twins. Sketches are THE
+  // q72 — sketch aggregates: HyperLogLog++ distinct counts and
+  // Greenwald-Khanna approximate percentiles next to their exact twins. Sketches are THE
   // 100 TB cardinality tool — fixed-size partial state, partial-agg
   // mergeable, one small shuffle regardless of input size — but their
   // estimates are implementation-specific (Spark HLL++ vs DuckDB's HLL

@@ -601,12 +601,16 @@ object TextOps {
   // a benchmark suite is tiny next to a 100 TB train corpus, so the
   // shingle join is map-side — the train shingle stream never shuffles.
   private def q71(s: SparkSession, dir: String): DataFrame = {
+    // cached: the train filter and the broadcast test build are separate
+    // subtrees, and without the cache each re-runs the full corpus scan
+    // + md5 + shingling (the dominant cost of this query)
     val sh = docs(s, dir)
       .select(col("doc_id"), (h60(col("text")) % 100).as("bucket"),
         words(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), col("bucket"),
         explode(expr("shingles(w, 3)")).as("shingle"))
+      .cache()
     val train = sh.filter(col("bucket") < 80)
       .select(col("doc_id").as("train_doc"), col("shingle"))
     val test = sh.filter(col("bucket") >= 90)

@@ -16,7 +16,7 @@ class QueryCatalogSpec extends AnyFunSuite {
   }
 
   test("every query has an oracle or a documented omission") {
-    // q72: sketch estimates (HLL++/t-digest) are implementation-specific
+    // q72: sketch estimates (HLL++/Greenwald-Khanna) are implementation-specific
     // by design — cross-engine hash equality is impossible; its accuracy
     // contract is pinned by the spec below instead.
     val documentedOmissions = Set("q72_sketch_distinct")
@@ -116,7 +116,8 @@ class QueryCatalogSpec extends AnyFunSuite {
       val hll = r.getAs[Long]("users_hll").toDouble
       assert(math.abs(hll - exact) / exact < 0.05,
         s"HLL off by ${math.abs(hll - exact) / exact}")
-      // t-digest with accuracy 1000 on this cardinality is near-exact;
+      // the GK quantile summary at accuracy 1000 on this cardinality is
+      // near-exact;
       // allow a loose band anchored on the exact disc percentile
       val p50e = r.getAs[Double]("p50_exact")
       val p50a = r.getAs[Double]("p50_approx")

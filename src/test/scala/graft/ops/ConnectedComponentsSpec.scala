@@ -54,7 +54,9 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       (1L to 5L).toDF("id"), (1L to 4L).map(i => (i, i + 1)).toDF("src", "dst"),
       maxRounds = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // after one round node 3 has seen only its direct neighbors (min = 2)
-    assert(labels(2L) == 1L && labels(3L) == 2L)
+    // one round = neighbor min + one path-compression hop: node 4 sees
+    // neighbor 3 (labeled 3 pre-round), then compresses via label(3)=2;
+    // node 5 likewise stops at 3 — the chain is NOT fully collapsed
+    assert(labels(2L) == 1L && labels(4L) == 2L && labels(5L) == 3L)
   }
 }
