@@ -40,6 +40,16 @@ class CompactionSpec extends AnyFunSuite {
     assert(keys(out) == keys(in))
   }
 
+  test("dirStats sees files inside Hive-partitioned layouts (recursive)") {
+    val (in, _) = freshDirs()
+    spark.read.parquet(s"$dir/orders.parquet")
+      .withColumn("yr", year(col("o_orderdate")))
+      .write.partitionBy("yr").parquet(in)
+    val (n, bytes) = Compaction.dirStats(spark, in)
+    assert(n > 0, "partitioned data files not found")
+    assert(bytes > 0)
+  }
+
   test("no-overwrite contract: compacting onto an existing dir fails") {
     val (in, out) = freshDirs()
     spark.range(10).write.parquet(in)
