@@ -15,6 +15,12 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("catalog names are unique (a duplicate would shadow a query in the Map)") {
+    val names = QueryDef.all.map(_.name)
+    assert(names.distinct.length == names.length,
+      s"duplicates: ${names.diff(names.distinct)}")
+  }
+
   test("every query has an oracle or a documented omission") {
     // q72: sketch estimates (HLL++/Greenwald-Khanna) are implementation-specific
     // by design — cross-engine hash equality is impossible; its accuracy
