@@ -738,6 +738,70 @@ object TextOps {
       |FROM st JOIN b ON st.lang = b.lang
       |GROUP BY st.lang, p10, p90""".stripMargin
 
+  // q77 — repetition signals: the Gopher-rule quality family (Rae et
+  // al. 2021 §A1.1) — machine-generated and boilerplate text shows up
+  // as repetition, measured three ways: adjacent duplicate words, the
+  // most-common word's share of the document, and the most-common
+  // 2-gram's share. All ratios of exact integer counts (engine-stable).
+  // Shape: the adjacent-repeat count is per-row narrow; the dominance
+  // ratios need one (doc, term) partial-agg shuffle each — the same
+  // shape as TF (q68), map-side combined, never a full-corpus sort.
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .withColumn("w", words(col("text")))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("n_adjacent_repeats",
+        expr("CAST(size(filter(sequence(1, size(w) - 1), " +
+          "i -> element_at(w, i) = element_at(w, i + 1))) AS BIGINT)"))
+    val tf = base.select(col("doc_id"), explode(col("w")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_word"))
+    val grams = base.filter(col("n_words") >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_gram"))
+    base.select(col("doc_id"), col("n_words"), col("n_adjacent_repeats"))
+      .join(tf, "doc_id")
+      .join(grams, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_adjacent_repeats"),
+        (col("top_word").cast("double") / col("n_words")).as("top_word_ratio"),
+        (coalesce(col("top_gram"), lit(0L)).cast("double") /
+          (col("n_words") - 1)).as("top_2gram_ratio"))
+  }
+  private val q77Sql =
+    """WITH base AS (
+      |  SELECT doc_id, STRING_SPLIT(text, ' ') AS w,
+      |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words
+      |  FROM documents),
+      |adj AS (
+      |  SELECT doc_id, n_words,
+      |    CAST(LEN(LIST_FILTER(GENERATE_SERIES(1, LEN(w) - 1),
+      |      i -> w[i] = w[i+1])) AS BIGINT) AS n_adjacent_repeats
+      |  FROM base),
+      |tf AS (
+      |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_word FROM (
+      |    SELECT doc_id, t, COUNT(*) AS c
+      |    FROM (SELECT doc_id, UNNEST(w) AS t FROM base) x
+      |    GROUP BY doc_id, t) y
+      |  GROUP BY doc_id),
+      |grams AS (
+      |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_gram FROM (
+      |    SELECT doc_id, g, COUNT(*) AS c
+      |    FROM (SELECT doc_id,
+      |            UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 1),
+      |              i -> w[i] || ' ' || w[i+1])) AS g
+      |          FROM base WHERE LEN(w) >= 2) x
+      |    GROUP BY doc_id, g) y
+      |  GROUP BY doc_id)
+      |SELECT adj.doc_id, adj.n_words, adj.n_adjacent_repeats,
+      |  CAST(top_word AS DOUBLE) / adj.n_words AS top_word_ratio,
+      |  CAST(COALESCE(top_gram, 0) AS DOUBLE) / (adj.n_words - 1) AS top_2gram_ratio
+      |FROM adj
+      |JOIN tf ON tf.doc_id = adj.doc_id
+      |LEFT JOIN grams ON grams.doc_id = adj.doc_id""".stripMargin
+
   // q65 — deterministic train/val/test split: the standard
   // hash-mod-100 assignment (80/10/10) every training-data pipeline
   // needs. Content-hash based, so the split is stable under
@@ -800,5 +864,6 @@ object TextOps {
     QueryDef("q71_decontaminate", q71, Some(q71Sql)),
     QueryDef("q73_minhash_estimate", q73, Some(q73Sql)),
     QueryDef("q75_quality_gate", q75, Some(q75Sql)),
+    QueryDef("q77_repetition_signals", q77, Some(q77Sql)),
   )
 }
