@@ -738,6 +738,41 @@ object TextOps {
       |FROM st JOIN b ON st.lang = b.lang
       |GROUP BY st.lang, p10, p90""".stripMargin
 
+  // q78 — Bloom-pruned decontamination: q71's answer in the scale
+  // regime where the held-out side is too big to broadcast as a hash
+  // table but its KEYS fit a Bloom filter (bits per key, independent of
+  // shingle width). Build the filter over TEST shingles distributed
+  // (treeAggregate), probe the TRAIN shingle stream map-side with
+  // Spark's native BloomFilterMightContain (codegen, no UDF), and only
+  // the surviving ~overlap rows enter the exact join — which makes the
+  // result byte-identical to the unpruned q71 (no false negatives;
+  // false positives are eliminated by the join). Same oracle as q71.
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    // cached for the same reason as q71: the train/test sides and the
+    // bloom build are three subtrees over one expensive shingle scan
+    val sh = docs(s, dir)
+      .select(col("doc_id"), (h60(col("text")) % 100).as("bucket"),
+        words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("bucket"),
+        explode(expr("shingles(w, 3)")).as("shingle"))
+      .cache()
+    val train = sh.filter(col("bucket") < 80)
+      .select(col("doc_id").as("train_doc"), col("shingle"))
+    val test = sh.filter(col("bucket") >= 90)
+      .select(col("doc_id").as("test_doc"), col("shingle"))
+    // sized for the sf under test; at 100 TB take NDV from table stats
+    val bloom = graft.ops.BloomPrune.build(
+      test, col("shingle"), expectedItems = 1 << 17, fpp = 0.01)
+    train.filter(bloom.mightContain(col("shingle")))
+      .join(test, "shingle")
+      .groupBy(col("train_doc"))
+      .agg(countDistinct(col("shingle")).as("n_shared"),
+        min(col("test_doc")).as("first_test_doc"))
+  }
+  // identical answer to q71 by construction — same oracle text
+  private def q78Sql: String = q71Sql
+
   // q77 — repetition signals: the Gopher-rule quality family (Rae et
   // al. 2021 §A1.1) — machine-generated and boilerplate text shows up
   // as repetition, measured three ways: adjacent duplicate words, the
@@ -865,5 +900,6 @@ object TextOps {
     QueryDef("q73_minhash_estimate", q73, Some(q73Sql)),
     QueryDef("q75_quality_gate", q75, Some(q75Sql)),
     QueryDef("q77_repetition_signals", q77, Some(q77Sql)),
+    QueryDef("q78_bloom_decontaminate", q78, Some(q78Sql)),
   )
 }

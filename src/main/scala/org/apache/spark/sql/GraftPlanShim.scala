@@ -21,6 +21,14 @@ object GraftPlanShim {
   def expressionOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Catalyst expression → Column (the inverse of [[expressionOf]]):
+    * lets the library hand Spark's own non-registered expressions (e.g.
+    * `BloomFilterMightContain`, the runtime-filter probe) back to the
+    * DataFrame API.
+    */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
   /** `NormalizeFloatingNumbers.normalize` is `private[sql]`; graft's
     * custom group-scan operator needs it to canonicalize float/double
     * group keys (0.0 ≡ -0.0, one NaN bit pattern) exactly the way the
