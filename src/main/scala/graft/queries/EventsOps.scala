@@ -154,8 +154,49 @@ object EventsOps {
       |  FROM events) t
       |WHERE event_type = 'purchase'""".stripMargin
 
+  // q83 — ordered funnel: view → first click AFTER that view → first
+  // purchase AFTER that click, per user. The sequential "after the
+  // previous stage" dependency is three partial-aggregatable min-aggs
+  // chained by user_id equi-joins — every shuffle is on the same
+  // user_id key, so one hash partitioning serves all stages (no
+  // re-shuffle between them; at 100 TB this is three map-side-combined
+  // passes, never a per-user sort of the whole event log). Times as µs
+  // longs for cross-engine hashing (same bridge as q27).
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("view_us"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts_us") > col("view_us"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("click_us"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts_us") > col("click_us"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("purchase_us"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("view_us"), col("click_us"), col("purchase_us"),
+        (lit(1L) + when(col("click_us").isNotNull, 1L).otherwise(0L)
+          + when(col("purchase_us").isNotNull, 1L).otherwise(0L)).as("stage"))
+  }
+  private val q83Sql =
+    """WITH ev AS (SELECT user_id, event_type, EPOCH_US(ts) AS ts_us FROM events),
+      |v AS (SELECT user_id, MIN(ts_us) AS view_us FROM ev
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT ev.user_id, MIN(ev.ts_us) AS click_us
+      |      FROM ev JOIN v ON ev.user_id = v.user_id AND ev.ts_us > v.view_us
+      |      WHERE ev.event_type = 'click' GROUP BY ev.user_id),
+      |p AS (SELECT ev.user_id, MIN(ev.ts_us) AS purchase_us
+      |      FROM ev JOIN c ON ev.user_id = c.user_id AND ev.ts_us > c.click_us
+      |      WHERE ev.event_type = 'purchase' GROUP BY ev.user_id)
+      |SELECT v.user_id, view_us, click_us, purchase_us,
+      |  CAST(1 + CASE WHEN click_us IS NULL THEN 0 ELSE 1 END
+      |         + CASE WHEN purchase_us IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage
+      |FROM v LEFT JOIN c ON c.user_id = v.user_id
+      |       LEFT JOIN p ON p.user_id = v.user_id""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q10_events_hourly", q10, Some(q10Sql)),
+    QueryDef("q83_event_funnel", q83, Some(q83Sql)),
     QueryDef("q11_sessionize", q11, Some(q11Sql)),
     QueryDef("q12_props_json", q12, Some(q12Sql)),
     QueryDef("q27_asof_click_purchase", q27, Some(q27Sql)),

@@ -103,9 +103,99 @@ object ScaleOps {
       |FROM bk""".stripMargin
   }
 
+  /** 60-bit portable md5-derived hash (same bridge as TextOps). */
+  private def h60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  private def h60Sql(e: String): String =
+    s"CAST('0x' || SUBSTRING(MD5($e), 1, 15) AS BIGINT)"
+
+  /** Deterministic "next crawl" of `documents`, derived in-query so the
+    * oracle can replay it: content-hash bucket 0 → deleted, 1 → n_chars
+    * bumped (an update), 2 → also re-ingested under a fresh id (an
+    * insert). Shared by q79 (diff) and q80 (merge).
+    */
+  private def evolved(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents").withColumn("bucket", h60(col("text")) % 20)
+  private val evolvedSql =
+    s"SELECT doc_id, text, lang, source, n_chars, ${h60Sql("text")} % 20 AS bucket FROM documents"
+
+  // q79 — snapshot diff (CDC): row-level delta between two crawls of the
+  // corpus — the input every incremental pipeline stage (re-dedup,
+  // re-index, re-embed) wants instead of the full 100 TB snapshot. One
+  // full-outer hash join on the key (shuffle-free under bucketed
+  // layout); null-safe column compare inside codegen.
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    val base = evolved(s, dir)
+    val old = base.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val nw = base.filter(col("bucket") =!= 0)
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(col("bucket") === 1, col("n_chars") + 1)
+          .otherwise(col("n_chars")).as("n_chars"))
+      .unionByName(base.filter(col("bucket") === 2)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
+          col("source"), col("n_chars")))
+    graft.ops.SnapshotDiff.diff(old, nw, Seq("doc_id"))
+      .select(col("doc_id"), col("change"), col("old_n_chars"),
+        col("new_n_chars"),
+        coalesce(col("new_source"), col("old_source")).as("source"))
+  }
+  private val q79Sql =
+    s"""WITH b AS ($evolvedSql),
+      |old AS (SELECT doc_id, lang, source, n_chars, TRUE AS in_old FROM b),
+      |new AS (
+      |  SELECT doc_id, lang, source,
+      |    CASE WHEN bucket = 1 THEN n_chars + 1 ELSE n_chars END AS n_chars,
+      |    TRUE AS in_new
+      |  FROM b WHERE bucket <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, source, n_chars, TRUE FROM b WHERE bucket = 2)
+      |SELECT doc_id,
+      |  CASE WHEN in_old IS NULL THEN 'insert'
+      |       WHEN in_new IS NULL THEN 'delete'
+      |       WHEN o.n_chars IS DISTINCT FROM n.n_chars
+      |         OR o.lang IS DISTINCT FROM n.lang
+      |         OR o.source IS DISTINCT FROM n.source THEN 'update' END AS change,
+      |  o.n_chars AS old_n_chars, n.n_chars AS new_n_chars,
+      |  COALESCE(n.source, o.source) AS source
+      |FROM old o FULL OUTER JOIN new n USING (doc_id)
+      |WHERE change IS NOT NULL""".stripMargin
+
+  // q80 — merge/upsert: fold a tagged change set (upserts + delete
+  // tombstones) into the current snapshot. The snapshot side only
+  // anti-joins the broadcast change KEYS — it never shuffles, which is
+  // what makes a daily merge affordable against 100 TB. Result is the
+  // full next snapshot, fingerprinted by md5(text).
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    val base = evolved(s, dir)
+    def proj(idCol: org.apache.spark.sql.Column, nChars: org.apache.spark.sql.Column) =
+      Seq(idCol.as("doc_id"), col("lang"), col("source"),
+        nChars.as("n_chars"), md5(col("text")).as("text_md5"))
+    val current = base.select(proj(col("doc_id"), col("n_chars")): _*)
+    val changes =
+      base.filter(col("bucket") === 1)
+        .select(proj(col("doc_id"), col("n_chars") + 1) :+ lit("upsert").as("op"): _*)
+        .unionByName(base.filter(col("bucket") === 0)
+          .select(proj(col("doc_id"), col("n_chars")) :+ lit("delete").as("op"): _*))
+        .unionByName(base.filter(col("bucket") === 2)
+          .select(proj(col("doc_id") + 1000000, col("n_chars")) :+ lit("upsert").as("op"): _*))
+    graft.ops.SnapshotDiff.merge(current, changes, Seq("doc_id"))
+  }
+  private val q80Sql =
+    s"""WITH b AS ($evolvedSql)
+      |SELECT doc_id, lang, source, n_chars, MD5(text) AS text_md5
+      |FROM b WHERE bucket NOT IN (0, 1)
+      |UNION ALL
+      |SELECT doc_id, lang, source, n_chars + 1 AS n_chars, MD5(text) AS text_md5
+      |FROM b WHERE bucket = 1
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, lang, source, n_chars, MD5(text) AS text_md5
+      |FROM b WHERE bucket = 2""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q63_salted_agg", q63, Some(q63Sql)),
     QueryDef("q64_bucketed_join", q64, Some(q64Sql)),
     QueryDef("q74_zorder_keys", q74, Some(q74Sql)),
+    QueryDef("q79_snapshot_diff", q79, Some(q79Sql)),
+    QueryDef("q80_merge_upsert", q80, Some(q80Sql)),
   )
 }

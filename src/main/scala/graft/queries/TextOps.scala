@@ -773,6 +773,37 @@ object TextOps {
   // identical answer to q71 by construction — same oracle text
   private def q78Sql: String = q71Sql
 
+  // q81 — source-mixture sampling: the data-mixing step of LLM training
+  // prep — each source gets a sampling weight (here derived from the
+  // source name's hash, standing in for curator-assigned mixture
+  // weights) and docs are kept by content-hash threshold, so the sample
+  // is deterministic, engine-independent, and stable under re-runs and
+  // re-partitioning (rand() would be none of these). Shape: one narrow
+  // per-row pass + a 20-group partial agg — scan-speed at any corpus
+  // size.
+  private def q81(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("weight_permille", h60(col("source")) % 800 + 100)
+      .withColumn("kept",
+        (h60(col("text")) % 1000 < col("weight_permille")).cast("long"))
+      .groupBy(col("source"))
+      .agg(max(col("weight_permille")).as("weight_permille"),
+        count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"),
+        (sum(col("kept")).cast("double") / count(lit(1))).as("kept_rate"))
+  private val q81Sql =
+    s"""SELECT source,
+      |  CAST(MAX(w) AS BIGINT) AS weight_permille,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+      |  CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS kept_rate
+      |FROM (
+      |  SELECT source, ${h60Sql("source")} % 800 + 100 AS w,
+      |    CASE WHEN ${h60Sql("text")} % 1000 < ${h60Sql("source")} % 800 + 100
+      |         THEN 1 ELSE 0 END AS kept
+      |  FROM documents) t
+      |GROUP BY source""".stripMargin
+
   // q77 — repetition signals: the Gopher-rule quality family (Rae et
   // al. 2021 §A1.1) — machine-generated and boilerplate text shows up
   // as repetition, measured three ways: adjacent duplicate words, the
@@ -901,5 +932,6 @@ object TextOps {
     QueryDef("q75_quality_gate", q75, Some(q75Sql)),
     QueryDef("q77_repetition_signals", q77, Some(q77Sql)),
     QueryDef("q78_bloom_decontaminate", q78, Some(q78Sql)),
+    QueryDef("q81_source_mixture", q81, Some(q81Sql)),
   )
 }
