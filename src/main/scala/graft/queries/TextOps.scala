@@ -868,6 +868,37 @@ object TextOps {
       |JOIN tf ON tf.doc_id = adj.doc_id
       |LEFT JOIN grams ON grams.doc_id = adj.doc_id""".stripMargin
 
+  // q82 — sequence packing: assign docs to fixed-token-budget packs,
+  // the step that turns a filtered corpus into dataloader-ready bins.
+  // Greedy streaming packing in content-hash order WITHIN a shard:
+  // shard = h60 % 16 (thousands of shards at 100 TB), per-shard window
+  // cumsum of token counts, pack = start-offset div budget — a doc
+  // joins the pack where its start offset lands, so packs overflow by
+  // at most one doc (standard streaming-packing semantics). One
+  // shuffle on shard; the sort is per-shard, never global.
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+    val w = win.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(win.unboundedPreceding, win.currentRow)
+    docs(s, dir)
+      .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tokens"),
+        h60(col("text")).as("h"))
+      .withColumn("shard", col("h") % 16)
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr("(cum - n_tokens) div 2048").as("pack_id"))
+  }
+  private val q82Sql =
+    s"""SELECT doc_id, shard, n_tokens, (cum - n_tokens) // 2048 AS pack_id
+      |FROM (
+      |  SELECT doc_id, h % 16 AS shard, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY h % 16 ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM (
+      |    SELECT doc_id, ${h60Sql("text")} AS h,
+      |      CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+      |    FROM documents) t) p""".stripMargin
+
   // q65 — deterministic train/val/test split: the standard
   // hash-mod-100 assignment (80/10/10) every training-data pipeline
   // needs. Content-hash based, so the split is stable under
@@ -933,5 +964,6 @@ object TextOps {
     QueryDef("q77_repetition_signals", q77, Some(q77Sql)),
     QueryDef("q78_bloom_decontaminate", q78, Some(q78Sql)),
     QueryDef("q81_source_mixture", q81, Some(q81Sql)),
+    QueryDef("q82_sequence_packing", q82, Some(q82Sql)),
   )
 }

@@ -40,6 +40,48 @@ object EventSinks {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming CDC upsert: maintain a keyed snapshot as a versioned
+    * parquet series. Each micro-batch is a change set (rows tagged
+    * `opCol` ∈ upsert|delete, at most one row per key — dedup upstream,
+    * e.g. latest-by-timestamp); version `v=<batchId>` is
+    * `SnapshotDiff.merge(latest version < batchId, batch)`. A replayed
+    * batch rewrites the SAME version dir, so retries converge
+    * (exactly-once by idempotence), and every committed version is an
+    * immutable, time-travelable snapshot.
+    *
+    * At 100 TB the per-batch cost is the merge's: the snapshot side
+    * only anti-joins the broadcast change keys (it never shuffles),
+    * and old-version retention is a compaction/GC policy
+    * ([[graft.ops.Compaction]] territory) — the same ledger design
+    * table formats (Delta/Iceberg) implement with manifest files.
+    */
+  def startSnapshotUpsertSink(
+      changes: DataFrame, keys: Seq[String], path: String,
+      checkpoint: String, opCol: String = "op"): StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val hPath = new org.apache.hadoop.fs.Path(path)
+        val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val versions =
+          if (!fs.exists(hPath)) Seq.empty[Long]
+          else fs.listStatus(hPath).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+        val current = versions.filter(_ < id).sorted.lastOption match {
+          case Some(v) => s.read.parquet(s"$path/v=$v")
+          case None => s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(
+              batch.schema.filterNot(_.name == opCol)))
+        }
+        graft.ops.SnapshotDiff.merge(current, batch, keys, opCol)
+          .write.mode("overwrite").parquet(s"$path/v=$id")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Idempotent-by-batch sink for targets without a commit log. The
     * batch write overwrites ONLY its own `batch_id=<id>` partition
     * (dynamic overwrite), so a replayed batch converges instead of

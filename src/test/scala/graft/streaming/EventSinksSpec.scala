@@ -40,6 +40,47 @@ class EventSinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == nEvents)
   }
 
+  test("snapshot upsert sink: versioned merge across incremental batches") {
+    import spark.implicits._
+    val changeDir = java.nio.file.Files.createTempDirectory("cdc_stream").toString
+    val (out, ckpt) = (
+      java.nio.file.Files.createTempDirectory("cdc_snap").toString,
+      java.nio.file.Files.createTempDirectory("cdc_ckpt").toString)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, v STRING, op STRING")
+    def run(): Unit = EventSinks.startSnapshotUpsertSink(
+      spark.readStream.schema(schema).parquet(changeDir),
+      Seq("id"), out, ckpt).awaitTermination()
+    // the file source only lists top-level files: write each change set
+    // to a scratch dir, then move its part file into the stream dir
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("cdc_chg").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(changeDir, s"$name.parquet"))
+    }
+
+    // batch 0: ten upserts → v=0 snapshot has ids 1..10
+    addFile((1L to 10L).map(i => (i, s"a$i", "upsert")).toDF("id", "v", "op"), "b0")
+    run()
+    val v0 = spark.read.parquet(s"$out/v=0")
+    assert(v0.count() == 10 && v0.columns.sorted.sameElements(Array("id", "v")))
+
+    // batch 1: delete 1..5, update 6, insert 11 → cumulative snapshot
+    addFile(((1L to 5L).map(i => (i, null.asInstanceOf[String], "delete"))
+      :+ (6L, "B6", "upsert") :+ (11L, "a11", "upsert"))
+      .toDF("id", "v", "op"), "b1")
+    run()
+    val v1 = spark.read.parquet(s"$out/v=1")
+      .as[(Long, String)].collect().toMap
+    assert(v1.keySet == (6L to 11L).toSet)
+    assert(v1(6L) == "B6" && v1(7L) == "a7" && v1(11L) == "a11")
+    // earlier versions remain immutable (time travel)
+    assert(spark.read.parquet(s"$out/v=0").count() == 10)
+  }
+
   test("foreachBatch sink partitions by batch id and replay converges") {
     val (out, ckpt) = freshDirs()
     val events = EventStreams.readEvents(spark, streamDir)
