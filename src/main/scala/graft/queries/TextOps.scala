@@ -899,6 +899,38 @@ object TextOps {
       |      CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
       |    FROM documents) t) p""".stripMargin
 
+  // q84 — hybrid near-dup verification: the two-stage shape every real
+  // dedup pipeline converges to — CHEAP text-side candidate generation
+  // (q61's SimHash bands, sub-quadratic) followed by SEMANTIC
+  // verification (embedding cosine) of just those candidates. The
+  // candidate set is tiny relative to the corpus, so it broadcasts to
+  // both vec_id equi-joins and the embeddings table never shuffles —
+  // the all-pairs cosine blowup (q32's baseline) is never touched.
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", expr("vec_norm(v)"))
+    val cand = q61(s, dir)
+    cand
+      .join(e.select(col("vec_id").as("doc_a"), col("v").as("va"),
+        col("norm").as("na")), "doc_a")
+      .join(e.select(col("vec_id").as("doc_b"), col("v").as("vb"),
+        col("norm").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"), col("hamming"),
+        (expr("dot_product(va, vb)") / (col("na") * col("nb"))).as("cos_sim"))
+  }
+  private val q84Sql =
+    s"""WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+      |  FROM embeddings)
+      |SELECT c.doc_a, c.doc_b, c.n_shared_bands, c.hamming,
+      |  LIST_DOT_PRODUCT(a.v, b.v) / (a.norm * b.norm) AS cos_sim
+      |FROM ($q61Sql) c
+      |JOIN e a ON a.vec_id = c.doc_a
+      |JOIN e b ON b.vec_id = c.doc_b""".stripMargin
+
   // q65 — deterministic train/val/test split: the standard
   // hash-mod-100 assignment (80/10/10) every training-data pipeline
   // needs. Content-hash based, so the split is stable under
@@ -965,5 +997,6 @@ object TextOps {
     QueryDef("q78_bloom_decontaminate", q78, Some(q78Sql)),
     QueryDef("q81_source_mixture", q81, Some(q81Sql)),
     QueryDef("q82_sequence_packing", q82, Some(q82Sql)),
+    QueryDef("q84_hybrid_neardup", q84, Some(q84Sql)),
   )
 }
