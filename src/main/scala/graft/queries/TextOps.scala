@@ -931,6 +931,30 @@ object TextOps {
       |JOIN e a ON a.vec_id = c.doc_a
       |JOIN e b ON b.vec_id = c.doc_b""".stripMargin
 
+  // q85 — boilerplate-prefix detection: document openings repeated
+  // across documents AND sources (site chrome, license headers, scraped
+  // nav text — the stuff boilerplate-removal strips before training).
+  // Grouping key is the first-2-word prefix: one partial-aggregatable
+  // groupBy on a short string key — map-side combined, and a truly hot
+  // boilerplate prefix is exactly the skew case ops/Salting handles.
+  private def q85(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("prefix", array_join(slice(words(col("text")), 1, 2), " "))
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 3 && col("n_sources") >= 2)
+  private val q85Sql =
+    """SELECT prefix, COUNT(*) AS n_docs,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      |  MIN(doc_id) AS first_doc
+      |FROM (SELECT ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:2], ' ') AS prefix,
+      |        source, doc_id
+      |      FROM documents) t
+      |GROUP BY prefix
+      |HAVING COUNT(*) >= 3 AND COUNT(DISTINCT source) >= 2""".stripMargin
+
   // q65 — deterministic train/val/test split: the standard
   // hash-mod-100 assignment (80/10/10) every training-data pipeline
   // needs. Content-hash based, so the split is stable under
@@ -998,5 +1022,6 @@ object TextOps {
     QueryDef("q81_source_mixture", q81, Some(q81Sql)),
     QueryDef("q82_sequence_packing", q82, Some(q82Sql)),
     QueryDef("q84_hybrid_neardup", q84, Some(q84Sql)),
+    QueryDef("q85_boilerplate_prefixes", q85, Some(q85Sql)),
   )
 }

@@ -185,4 +185,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"train shingles were shuffled for the join:\n$p")
   }
+
+  test("q78: bloom probe is a native might_contain filter before the join") {
+    val df = SparkEntry.queries("q78_bloom_decontaminate")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), s"no native bloom probe in:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("UDF"),
+      s"bloom probe fell off the codegen path:\n$p")
+  }
+
+  test("q80: the snapshot side anti-joins broadcast change keys (no snapshot shuffle)") {
+    val df = SparkEntry.queries("q80_merge_upsert")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"merge did not broadcast the change keys:\n$p")
+  }
+
+  test("q82: packing sorts per shard, never globally") {
+    val p = plan("q82_sequence_packing")
+    assert(p.contains("Window"), s"no window in:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"global range sort leaked into the packing plan:\n$p")
+  }
+
+  test("q83: all three funnel stages shuffle on the same user_id key") {
+    val df = SparkEntry.queries("q83_event_funnel")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // hashpartitioning should only ever target user_id — a second
+    // partitioning expression would mean a mid-funnel re-shuffle
+    val parts = "hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(parts.subsetOf(Set("user_id")), s"unexpected shuffle keys $parts in:\n$p")
+  }
 }
