@@ -31,7 +31,9 @@ object SnapshotDiff {
   /** Row-level diff of two same-schema snapshots keyed by `keys`:
     * returns `keys ++ (change: insert|delete|update) ++ old_/new_`
     * copies of the non-key columns. Unchanged rows are dropped.
-    * Keys must be non-null (the usual snapshot-key contract).
+    * Keys must be non-null and unique per snapshot (the usual
+    * snapshot-key contract; duplicate keys would multiply through the
+    * join rather than error).
     */
   def diff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
     require(oldDf.columns.sorted.sameElements(newDf.columns.sorted),
@@ -59,7 +61,10 @@ object SnapshotDiff {
   /** Apply a change set to a snapshot: rows of `changes` tagged
     * `opCol` = "upsert" replace/insert by key; "delete" removes the
     * key. Big side anti-joins the (small) change keys — broadcastable,
-    * so the snapshot never shuffles.
+    * so the snapshot never shuffles. Every key present in `changes` is
+    * removed first and only "upsert" rows re-added (an unknown op value
+    * degrades to delete rather than duplicating a key); at most one
+    * change row per key.
     */
   def merge(current: DataFrame, changes: DataFrame, keys: Seq[String],
       opCol: String = "op"): DataFrame = {

@@ -191,11 +191,71 @@ object ScaleOps {
       |SELECT doc_id + 1000000 AS doc_id, lang, source, n_chars, MD5(text) AS text_md5
       |FROM b WHERE bucket = 2""".stripMargin
 
+  // q86 — incremental dedup: the composition the CDC operators exist
+  // for — only the DELTA (q79's inserts+updates, here with text
+  // carried) is fingerprinted and checked against the corpus, instead
+  // of re-running q13 over the full 100 TB. The tiny delta BROADCASTS
+  // to the corpus fingerprint scan, so the big side never shuffles;
+  // re-ingested docs (same text, fresh id) surface as dup_of their
+  // original. Self-matches (an update's own old row) are excluded by id.
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    val base = evolved(s, dir)
+    val cols = Seq("doc_id", "lang", "source", "n_chars", "text")
+    val old = base.select(cols.map(col): _*)
+    val nw = base.filter(col("bucket") =!= 0)
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(col("bucket") === 1, col("n_chars") + 1)
+          .otherwise(col("n_chars")).as("n_chars"), col("text"))
+      .unionByName(base.filter(col("bucket") === 2)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
+          col("source"), col("n_chars"), col("text")))
+    val delta = graft.ops.SnapshotDiff.diff(old, nw, Seq("doc_id"))
+      .filter(col("change").isin("insert", "update"))
+      .select(col("doc_id"), col("change"), md5(col("new_text")).as("fp"))
+    val existing = base.select(md5(col("text")).as("fp"),
+      col("doc_id").as("existing_id"))
+    val matches = existing
+      .join(broadcast(delta.select(col("doc_id"), col("fp"))), "fp")
+      .filter(col("existing_id") =!= col("doc_id"))
+      .groupBy(col("doc_id")).agg(min(col("existing_id")).as("dup_of"))
+    delta.join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("change"), col("fp"), col("dup_of"),
+        when(col("dup_of").isNull, 0L).otherwise(1L).as("is_dup"))
+  }
+  private val q86Sql =
+    s"""WITH b AS ($evolvedSql),
+      |old AS (SELECT doc_id, lang, source, n_chars, text FROM b),
+      |new AS (
+      |  SELECT doc_id, lang, source,
+      |    CASE WHEN bucket = 1 THEN n_chars + 1 ELSE n_chars END AS n_chars, text
+      |  FROM b WHERE bucket <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, source, n_chars, text FROM b WHERE bucket = 2),
+      |delta AS (
+      |  SELECT n.doc_id,
+      |    CASE WHEN o.doc_id IS NULL THEN 'insert' ELSE 'update' END AS change,
+      |    MD5(n.text) AS fp
+      |  FROM new n LEFT JOIN old o ON o.doc_id = n.doc_id
+      |  WHERE o.doc_id IS NULL
+      |     OR o.n_chars IS DISTINCT FROM n.n_chars
+      |     OR o.lang IS DISTINCT FROM n.lang
+      |     OR o.source IS DISTINCT FROM n.source
+      |     OR o.text IS DISTINCT FROM n.text),
+      |m AS (
+      |  SELECT d.doc_id, MIN(e.doc_id) AS dup_of
+      |  FROM delta d JOIN (SELECT doc_id, MD5(text) AS fp FROM b) e
+      |    ON e.fp = d.fp AND e.doc_id <> d.doc_id
+      |  GROUP BY d.doc_id)
+      |SELECT d.doc_id, d.change, d.fp, m.dup_of,
+      |  CAST(CASE WHEN m.dup_of IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+      |FROM delta d LEFT JOIN m ON m.doc_id = d.doc_id""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q63_salted_agg", q63, Some(q63Sql)),
     QueryDef("q64_bucketed_join", q64, Some(q64Sql)),
     QueryDef("q74_zorder_keys", q74, Some(q74Sql)),
     QueryDef("q79_snapshot_diff", q79, Some(q79Sql)),
     QueryDef("q80_merge_upsert", q80, Some(q80Sql)),
+    QueryDef("q86_incremental_dedup", q86, Some(q86Sql)),
   )
 }
