@@ -889,7 +889,8 @@ object TextOps {
         expr("(cum - n_tokens) div 2048").as("pack_id"))
   }
   private val q82Sql =
-    s"""SELECT doc_id, shard, n_tokens, (cum - n_tokens) // 2048 AS pack_id
+    s"""SELECT doc_id, shard, n_tokens,
+      |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
       |FROM (
       |  SELECT doc_id, h % 16 AS shard, n_tokens,
       |    SUM(n_tokens) OVER (PARTITION BY h % 16 ORDER BY h, doc_id
