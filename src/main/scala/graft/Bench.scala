@@ -80,7 +80,18 @@ object Bench {
       val w = new java.io.PrintWriter(out, "UTF-8")
       try w.println(line) finally w.close()
     } catch { case _: Throwable => () }
-    println(line)
+    // The driver tail-captures stdout, and rounds 1-3 all recorded
+    // "parsed": null — the full per-query maps (86 entries × 2) overflow
+    // its capture window, truncating the line mid-key. The FINAL stdout
+    // line is therefore a compact summary (totals + the 10 slowest
+    // queries only, ~500 bytes); the complete maps live in the
+    // BENCH_LOCAL.json file written above.
+    val top10 = med.sortBy(-_._2).take(10)
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${entries.size},""" +
+        s""""reps":$reps,"total_min":$totalMin,""" +
+        s""""queries":${renderMap(top10)},"sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

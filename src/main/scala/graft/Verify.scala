@@ -20,6 +20,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries cache intermediate frames (q71/q78 shingle scans, ANN
+      // signatures); drop them so one query's cache doesn't pin
+      // executor memory across the remaining ~85
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

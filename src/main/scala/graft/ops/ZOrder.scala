@@ -63,17 +63,38 @@ object ZOrder {
     ((a - (a % b)) / b).cast("long")
   }
 
+  /** Largest value range [[bucket16]] is exact for: (c - min) * 65536
+    * must stay under 2^53 so the multiple-reduced double division
+    * cannot round. Beyond it the buckets would silently wrap to
+    * garbage, so [[withZ]] fails loudly instead.
+    */
+  val MaxRange: Long = 1L << 37
+
   /** The full per-row z-key for two long/int columns of `df`, computed
     * against the frame's own min/max (one broadcast scalar row).
+    * Fails at runtime (raise_error inside the projection — no extra
+    * pass) if either column's range exceeds [[MaxRange]]: hash-valued
+    * or wide-range keys would otherwise overflow bucket16 silently and
+    * produce a useless layout. For such keys, pre-bucket (e.g.
+    * pmod(xxhash64(c), 2^16)) before z-ordering.
     */
   def withZ(df: DataFrame, colX: String, colY: String, as: String = "z"): DataFrame = {
     val bounds = df.agg(
       min(col(colX)).as("minx"), max(col(colX)).as("maxx"),
       min(col(colY)).as("miny"), max(col(colY)).as("maxy"))
+    def inRange(mn: String, mx: String) =
+      col(mx).cast("long") - col(mn).cast("long") <= MaxRange
     df.crossJoin(broadcast(bounds))
-      .withColumn(as, zValue(
-        bucket16(col(colX), col("minx"), col("maxx")),
-        bucket16(col(colY), col("miny"), col("maxy"))))
+      .withColumn(as,
+        when(inRange("minx", "maxx") && inRange("miny", "maxy"), zValue(
+          bucket16(col(colX), col("minx"), col("maxx")),
+          bucket16(col(colY), col("miny"), col("maxy"))))
+        .otherwise(raise_error(concat(
+          lit(s"ZOrder.withZ: column range exceeds 2^37 ($colX: ["),
+          col("minx").cast("string"), lit(", "), col("maxx").cast("string"),
+          lit(s"], $colY: ["),
+          col("miny").cast("string"), lit(", "), col("maxy").cast("string"),
+          lit("]) — bucket16 would overflow; pre-bucket wide/hash keys first")))))
       .drop("minx", "maxx", "miny", "maxy")
   }
 

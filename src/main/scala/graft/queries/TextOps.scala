@@ -816,9 +816,13 @@ object TextOps {
     val base = docs(s, dir)
       .withColumn("w", words(col("text")))
       .withColumn("n_words", size(col("w")).cast("long"))
+      // size(w) >= 2 guard: sequence(1, 0) defaults to step -1 and
+      // yields [1, 0], whose element_at(w, 0) always throws
+      // INVALID_INDEX_OF_ZERO on a single-word doc (DuckDB's
+      // GENERATE_SERIES(1, 0) is empty — no guard needed there)
       .withColumn("n_adjacent_repeats",
-        expr("CAST(size(filter(sequence(1, size(w) - 1), " +
-          "i -> element_at(w, i) = element_at(w, i + 1))) AS BIGINT)"))
+        expr("CAST(IF(size(w) < 2, 0, size(filter(sequence(1, size(w) - 1), " +
+          "i -> element_at(w, i) = element_at(w, i + 1)))) AS BIGINT)"))
     val tf = base.select(col("doc_id"), explode(col("w")).as("t"))
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(max(col("c")).as("top_word"))
@@ -833,8 +837,10 @@ object TextOps {
       .join(grams, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_words"), col("n_adjacent_repeats"),
         (col("top_word").cast("double") / col("n_words")).as("top_word_ratio"),
+        // nullif divisor: a 1-word doc has 0 bigrams — Spark's x/0 is
+        // NULL but DuckDB's is IEEE inf, so both sides nullif to agree
         (coalesce(col("top_gram"), lit(0L)).cast("double") /
-          (col("n_words") - 1)).as("top_2gram_ratio"))
+          nullif(col("n_words") - 1, lit(0L))).as("top_2gram_ratio"))
   }
   private val q77Sql =
     """WITH base AS (
@@ -863,7 +869,7 @@ object TextOps {
       |  GROUP BY doc_id)
       |SELECT adj.doc_id, adj.n_words, adj.n_adjacent_repeats,
       |  CAST(top_word AS DOUBLE) / adj.n_words AS top_word_ratio,
-      |  CAST(COALESCE(top_gram, 0) AS DOUBLE) / (adj.n_words - 1) AS top_2gram_ratio
+      |  CAST(COALESCE(top_gram, 0) AS DOUBLE) / NULLIF(adj.n_words - 1, 0) AS top_2gram_ratio
       |FROM adj
       |JOIN tf ON tf.doc_id = adj.doc_id
       |LEFT JOIN grams ON grams.doc_id = adj.doc_id""".stripMargin

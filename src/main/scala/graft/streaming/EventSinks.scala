@@ -67,6 +67,19 @@ object EventSinks {
           if (!fs.exists(hPath)) Seq.empty[Long]
           else fs.listStatus(hPath).toSeq.map(_.getPath.getName)
             .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+        // A restart with a FRESH checkpoint restarts batch ids at 0;
+        // versions above the current id would then be silently ignored
+        // as bases now and wrongly used as bases once ids catch up —
+        // fail loudly instead of corrupting the series. (v == id is the
+        // legitimate replay-of-an-uncommitted-batch case and rewrites
+        // its own dir idempotently.)
+        val ahead = versions.filter(_ > id)
+        if (ahead.nonEmpty) throw new IllegalStateException(
+          s"snapshot-upsert sink at $path: existing version dirs " +
+            ahead.sorted.map("v=" + _).mkString(", ") +
+            s" exceed current batch id $id — the checkpoint was reset " +
+            "against an existing snapshot series. Use a fresh output " +
+            "path or restore the original checkpoint.")
         val current = versions.filter(_ < id).sorted.lastOption match {
           case Some(v) => s.read.parquet(s"$path/v=$v")
           case None => s.createDataFrame(

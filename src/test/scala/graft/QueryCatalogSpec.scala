@@ -131,6 +131,25 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q77 survives single-word documents (sequence(1,0) / divide-by-zero guards)") {
+    import spark.implicits._
+    // sf corpora have no 1-word docs, so the guard is only reachable
+    // through a synthetic fixture: one single-word doc + one normal doc
+    val tmp = java.nio.file.Files.createTempDirectory("q77_oneword").toString
+    Seq(
+      (1L, "hello", "en", "synth", 5L),
+      (2L, "the cat the cat", "en", "synth", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("q77_repetition_signals")(spark, tmp)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Long]("n_adjacent_repeats") == 0L)
+    assert(rows(1L).isNullAt(rows(1L).fieldIndex("top_2gram_ratio")),
+      "a 1-word doc has no bigrams: ratio must be NULL, not inf/error")
+    assert(rows(2L).getAs[Double]("top_word_ratio") == 0.5)
+    assert(rows(2L).getAs[Double]("top_2gram_ratio") == 2.0 / 3.0)
+  }
+
   test("q71 reports only train-side docs with genuinely shared shingles") {
     import org.apache.spark.sql.functions.{col, conv, md5, substring}
     val contaminated = SparkEntry.queries("q71_decontaminate")(spark, dir).collect()

@@ -62,6 +62,25 @@ class ZOrderSpec extends AnyFunSuite {
     assert(covY < baseY, "z-order must beat single-column sort on the second column")
   }
 
+  test("withZ fails loudly when a column range exceeds the exact bound") {
+    import spark.implicits._
+    // a hash-valued key: range >> 2^37 — bucket16 would silently wrap
+    val df = Seq((0L, 1L), (1L << 45, 2L)).toDF("x", "y")
+    val e = intercept[Throwable] {
+      ZOrder.withZ(df, "x", "y").collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.toString + messages(t.getCause)
+    assert(messages(e).contains("exceeds 2^37"),
+      s"expected the range-guard error, got: ${messages(e).take(500)}")
+  }
+
+  test("withZ stays exact (and silent) at the documented bound") {
+    import spark.implicits._
+    val df = Seq((0L, 0L), ((1L << 37) - 1, 5L)).toDF("x", "y")
+    assert(ZOrder.withZ(df, "x", "y").count() == 2)
+  }
+
   test("z-ordered write preserves content exactly") {
     val base = java.nio.file.Files.createTempDirectory("zorder_c").toString
     val li = spark.read.parquet(s"$dir/lineitem.parquet")

@@ -81,6 +81,37 @@ class EventSinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/v=0").count() == 10)
   }
 
+  test("snapshot upsert sink refuses a fresh checkpoint against an existing series") {
+    import spark.implicits._
+    val changeDir = java.nio.file.Files.createTempDirectory("cdc_stream2").toString
+    val out = java.nio.file.Files.createTempDirectory("cdc_snap2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc_ckpt2").toString
+    // an existing series written by a previous incarnation of the stream
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out, "v=7"))
+    val tmp = java.nio.file.Files.createTempDirectory("cdc_chg2").toString
+    Seq((1L, "a1", "upsert")).toDF("id", "v", "op")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.toPath
+    java.nio.file.Files.move(part,
+      java.nio.file.Paths.get(changeDir, "b0.parquet"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, v STRING, op STRING")
+    // the FRESH checkpoint restarts batch ids at 0 < 7: rebasing v=0 on
+    // an empty snapshot while v=7 lingers would corrupt the series
+    val e = intercept[Throwable] {
+      EventSinks.startSnapshotUpsertSink(
+        spark.readStream.schema(schema).parquet(changeDir),
+        Seq("id"), out, ckpt).awaitTermination()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.toString + messages(t.getCause)
+    assert(messages(e).contains("exceed current batch id"),
+      s"expected the stale-series guard, got: ${messages(e).take(500)}")
+    // and nothing was written for batch 0
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "v=0")))
+  }
+
   test("foreachBatch sink partitions by batch id and replay converges") {
     val (out, ckpt) = freshDirs()
     val events = EventStreams.readEvents(spark, streamDir)
