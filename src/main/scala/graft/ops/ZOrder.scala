@@ -82,8 +82,13 @@ object ZOrder {
     val bounds = df.agg(
       min(col(colX)).as("minx"), max(col(colX)).as("maxx"),
       min(col(colY)).as("miny"), max(col(colY)).as("maxy"))
+    // Compare in double space: max-min as LONG overflows for keys spanning
+    // most of the signed-64 range (e.g. raw xxhash64 values) — under ANSI
+    // that throws ARITHMETIC_OVERFLOW instead of this guard's message, and
+    // with ansi=false it wraps negative and silently passes. Rounding error
+    // near 2^63 is ~2^11, orders of magnitude below the 2^37 threshold.
     def inRange(mn: String, mx: String) =
-      col(mx).cast("long") - col(mn).cast("long") <= MaxRange
+      col(mx).cast("double") - col(mn).cast("double") <= lit(MaxRange.toDouble)
     df.crossJoin(broadcast(bounds))
       .withColumn(as,
         when(inRange("minx", "maxx") && inRange("miny", "maxy"), zValue(

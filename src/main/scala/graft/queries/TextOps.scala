@@ -837,8 +837,10 @@ object TextOps {
       .join(grams, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_words"), col("n_adjacent_repeats"),
         (col("top_word").cast("double") / col("n_words")).as("top_word_ratio"),
-        // nullif divisor: a 1-word doc has 0 bigrams — Spark's x/0 is
-        // NULL but DuckDB's is IEEE inf, so both sides nullif to agree
+        // nullif divisor: a 1-word doc has 0 bigrams. NULLIF turns the
+        // divisor into NULL so the division yields NULL in BOTH engines —
+        // avoiding Spark's ANSI DIVIDE_BY_ZERO error (or non-ANSI NULL)
+        // and DuckDB's IEEE inf alike.
         (coalesce(col("top_gram"), lit(0L)).cast("double") /
           nullif(col("n_words") - 1, lit(0L))).as("top_2gram_ratio"))
   }

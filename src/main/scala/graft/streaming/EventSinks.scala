@@ -80,6 +80,40 @@ object EventSinks {
             s" exceed current batch id $id — the checkpoint was reset " +
             "against an existing snapshot series. Use a fresh output " +
             "path or restore the original checkpoint.")
+        // The version check alone can't see a reset checkpoint whose new
+        // batch ids already cover the existing series (e.g. series head
+        // v=0, fresh checkpoint restarts at id 0 — indistinguishable from
+        // a legitimate replay). So the series also carries the streaming
+        // query id (stable across restarts of the SAME checkpoint, fresh
+        // for a new one) in a _stream_id marker: mismatch = reset
+        // checkpoint → fail before overwriting anything.
+        val queryId = {
+          val meta = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
+          if (!fs.exists(meta)) None
+          else {
+            val in = fs.open(meta)
+            val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+            "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+          }
+        }
+        val marker = new org.apache.hadoop.fs.Path(hPath, "_stream_id")
+        queryId.foreach { qid =>
+          if (fs.exists(marker)) {
+            val in = fs.open(marker)
+            val existing = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+            if (existing != qid) throw new IllegalStateException(
+              s"snapshot-upsert sink at $path: series belongs to streaming " +
+                s"query $existing but this run's checkpoint has query id " +
+                s"$qid — the checkpoint was reset against an existing " +
+                "snapshot series. Use a fresh output path or restore the " +
+                "original checkpoint.")
+          } else {
+            val out = fs.create(marker, true)
+            try out.write(qid.getBytes("UTF-8")) finally out.close()
+          }
+        }
         val current = versions.filter(_ < id).sorted.lastOption match {
           case Some(v) => s.read.parquet(s"$path/v=$v")
           case None => s.createDataFrame(

@@ -75,6 +75,21 @@ class ZOrderSpec extends AnyFunSuite {
       s"expected the range-guard error, got: ${messages(e).take(500)}")
   }
 
+  test("withZ guard fires even for keys spanning the full signed-long range") {
+    import spark.implicits._
+    // raw xxhash64-style values: max-min overflows a LONG subtraction, so a
+    // long-space guard would ANSI-throw (or wrap negative and silently pass
+    // with ansi=false) — the guard must catch this via double-space compare
+    val df = Seq((Long.MinValue, 1L), (Long.MaxValue, 2L)).toDF("x", "y")
+    val e = intercept[Throwable] {
+      ZOrder.withZ(df, "x", "y").collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.toString + messages(t.getCause)
+    assert(messages(e).contains("exceeds 2^37"),
+      s"expected the range-guard error, got: ${messages(e).take(500)}")
+  }
+
   test("withZ stays exact (and silent) at the documented bound") {
     import spark.implicits._
     val df = Seq((0L, 0L), ((1L << 37) - 1, 5L)).toDF("x", "y")

@@ -112,6 +112,53 @@ class EventSinksSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "v=0")))
   }
 
+  test("snapshot upsert sink refuses a reset checkpoint even when batch ids overlap the series") {
+    import spark.implicits._
+    // the version-number guard can't see this case: series head is v=0 and
+    // a fresh checkpoint also restarts at batch 0 — indistinguishable from
+    // a legitimate replay by ids alone. The _stream_id marker must catch it.
+    val changeDir = java.nio.file.Files.createTempDirectory("cdc_stream3").toString
+    val out = java.nio.file.Files.createTempDirectory("cdc_snap3").toString
+    val ckpt1 = java.nio.file.Files.createTempDirectory("cdc_ckpt3a").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, v STRING, op STRING")
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("cdc_chg3").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(changeDir, s"$name.parquet"))
+    }
+    addFile(Seq((1L, "a1", "upsert"), (2L, "a2", "upsert")).toDF("id", "v", "op"), "b0")
+    EventSinks.startSnapshotUpsertSink(
+      spark.readStream.schema(schema).parquet(changeDir),
+      Seq("id"), out, ckpt1).awaitTermination()
+    assert(spark.read.parquet(s"$out/v=0").count() == 2)
+
+    // same series, FRESH checkpoint: its batch 0 would rebase v=0 on an
+    // empty snapshot and silently lose the series head without the marker
+    val ckpt2 = java.nio.file.Files.createTempDirectory("cdc_ckpt3b").toString
+    val e = intercept[Throwable] {
+      EventSinks.startSnapshotUpsertSink(
+        spark.readStream.schema(schema).parquet(changeDir),
+        Seq("id"), out, ckpt2).awaitTermination()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.toString + messages(t.getCause)
+    assert(messages(e).contains("checkpoint was reset"),
+      s"expected the stream-id guard, got: ${messages(e).take(500)}")
+    // the original v=0 snapshot survives untouched
+    assert(spark.read.parquet(s"$out/v=0").count() == 2)
+
+    // and the ORIGINAL checkpoint still replays/extends the series fine
+    addFile(Seq((3L, "a3", "upsert")).toDF("id", "v", "op"), "b1")
+    EventSinks.startSnapshotUpsertSink(
+      spark.readStream.schema(schema).parquet(changeDir),
+      Seq("id"), out, ckpt1).awaitTermination()
+    assert(spark.read.parquet(s"$out/v=1").count() == 3)
+  }
+
   test("foreachBatch sink partitions by batch id and replay converges") {
     val (out, ckpt) = freshDirs()
     val events = EventStreams.readEvents(spark, streamDir)
