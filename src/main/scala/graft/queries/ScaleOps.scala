@@ -34,6 +34,35 @@ object ScaleOps {
       |  COUNT(*) AS n_rows
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
+  // q88 — salted equi-join: lineitem (skewed side, salted on the line
+  // identity) ⋈ supplier replicated ×16, joined on (suppkey, salt), then
+  // rolled up per nation. The oracle replays the PLAIN join — salting is
+  // an execution strategy and must be invisible in the result. The plan
+  // shape (hot key spread over `buckets` reducers, no broadcast) is
+  // pinned in SaltingSpec; the AQE runtime alternative is pinned there
+  // too. Aggregates go through decimal micro-units so the result is
+  // independent of how the salt split the partial sums.
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val li = load(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+    val supp = load(s, dir, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    graft.ops.Salting.saltedJoin(
+        li, supp, keys = Seq("l_suppkey"),
+        spreadBy = concat_ws(":", col("l_orderkey"), col("l_linenumber")),
+        buckets = 16)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+  }
+  private val q88Sql =
+    """SELECT s_nationkey,
+      |  COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey""".stripMargin
+
   // q64 — bucketed co-located join: orders ⋈ lineitem on the order key,
   // with both sides written bucketed+sorted by the key first, so the
   // join itself plans with NO exchange (the dominant 100 TB shuffle
@@ -252,6 +281,7 @@ object ScaleOps {
 
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q63_salted_agg", q63, Some(q63Sql)),
+    QueryDef("q88_salted_join", q88, Some(q88Sql)),
     QueryDef("q64_bucketed_join", q64, Some(q64Sql)),
     QueryDef("q74_zorder_keys", q74, Some(q74Sql)),
     QueryDef("q79_snapshot_diff", q79, Some(q79Sql)),
