@@ -876,26 +876,22 @@ object TextOps {
       |JOIN tf ON tf.doc_id = adj.doc_id
       |LEFT JOIN grams ON grams.doc_id = adj.doc_id""".stripMargin
 
-  // q82 — sequence packing: assign docs to fixed-token-budget packs,
-  // the step that turns a filtered corpus into dataloader-ready bins.
-  // Greedy streaming packing in content-hash order WITHIN a shard:
-  // shard = h60 % 16 (thousands of shards at 100 TB), per-shard window
-  // cumsum of token counts, pack = start-offset div budget — a doc
-  // joins the pack where its start offset lands, so packs overflow by
-  // at most one doc (standard streaming-packing semantics). One
-  // shuffle on shard; the sort is per-shard, never global.
-  private def q82(s: SparkSession, dir: String): DataFrame = {
-    val win = org.apache.spark.sql.expressions.Window
-    val w = win.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
-      .rowsBetween(win.unboundedPreceding, win.currentRow)
-    docs(s, dir)
-      .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tokens"),
-        h60(col("text")).as("h"))
-      .withColumn("shard", col("h") % 16)
-      .withColumn("cum", sum(col("n_tokens")).over(w))
-      .select(col("doc_id"), col("shard"), col("n_tokens"),
-        expr("(cum - n_tokens) div 2048").as("pack_id"))
-  }
+  // q82 — sequence packing via [[graft.ops.Packing]]: assign docs to
+  // fixed-token-budget packs, the step that turns a filtered corpus
+  // into dataloader-ready bins. The catalog query pins nShards=16 to
+  // match its oracle; the OPERATOR exposes the knob (default 4× the
+  // session's shuffle parallelism — thousands of shards at 100 TB so
+  // the per-shard window cumsum never degrades to 16-way parallelism).
+  // One shuffle on shard; the sort is per-shard, never global
+  // (partitioning pinned in PlanSpec).
+  private def q82(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.packGreedy(
+      docs(s, dir),
+      id = col("doc_id"),
+      tokens = size(words(col("text"))),
+      hash = h60(col("text")),
+      budget = 2048L,
+      nShards = 16)
   private val q82Sql =
     s"""SELECT doc_id, shard, n_tokens,
       |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id

@@ -208,6 +208,10 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), s"no window in:\n$p")
     assert(!p.contains("rangepartitioning"),
       s"global range sort leaked into the packing plan:\n$p")
+    // the one exchange is the window's hash partition on the shard key —
+    // per-shard cumsum parallelism is exactly the nShards knob
+    assert(p.contains("hashpartitioning(_shard"),
+      s"window must partition on the shard column:\n$p")
   }
 
   test("q83: all three funnel stages shuffle on the same user_id key") {
