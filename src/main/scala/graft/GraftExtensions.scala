@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CountInExpr, DotProductExpr, RollingHashExpr, ShinglesExpr, VecNormExpr, VectorExpressions}
+import graft.functions.{CountInExpr, DotProductExpr, RollingHashExpr, ShinglesExpr, SubwordCountExpr, SubwordTokenizeExpr, SubwordVocab, VecNormExpr, VectorExpressions}
 
 /** Session-extension packaging for the engine's native functions — the
   * idiomatic way to ship custom Catalyst expressions with a library:
@@ -43,6 +43,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CountInExpr].getName, "count_in"),
       exprs => CountInExpr(exprs.head,
         exprs.tail.map(VectorExpressions.literalString))))
+    e.injectFunction((
+      FunctionIdentifier("subword_count"),
+      new ExpressionInfo(classOf[SubwordCountExpr].getName, "subword_count"),
+      exprs => SubwordCountExpr(exprs.head, SubwordVocab.Default)))
+    e.injectFunction((
+      FunctionIdentifier("subword_tokenize"),
+      new ExpressionInfo(classOf[SubwordTokenizeExpr].getName, "subword_tokenize"),
+      exprs => SubwordTokenizeExpr(exprs.head, SubwordVocab.Default)))
     // fuse aggregate(zip_with(...)) vector folds into native loops
     e.injectOptimizerRule(_ => graft.plans.FuseZipFold)
     // plan the custom top-k-per-group logical node (graft.ops.TopK)

@@ -38,6 +38,12 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction(
       "count_in", exprs =>
         CountInExpr(exprs.head, exprs.tail.map(literalString)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "subword_count", exprs =>
+        SubwordCountExpr(exprs.head, SubwordVocab.Default), "built-in")
+    reg.createOrReplaceTempFunction(
+      "subword_tokenize", exprs =>
+        SubwordTokenizeExpr(exprs.head, SubwordVocab.Default), "built-in")
     // session-level twin of GraftExtensions' injectOptimizerRule: fuse
     // declarative aggregate(zip_with(...)) folds into native loops
     if (!spark.experimental.extraOptimizations.contains(graft.plans.FuseZipFold))

@@ -1002,6 +1002,91 @@ object TextOps {
       |  FROM documents) t
       |WHERE pick <= 5""".stripMargin
 
+  // q89 — REAL subword tokenization ([[graft.functions.SubwordCountExpr]]):
+  // greedy longest-match over a fixed vocab (BPE/WordPiece inference
+  // rule), replacing the n_chars/4 and whitespace-count heuristics the
+  // earlier text queries used. The trie walk is a native codegen'd
+  // expression — per-row compiled loop, fully narrow, streams at scan
+  // speed at 100 TB. The oracle replays the EXACT greedy algorithm with
+  // a recursive CTE over the same literal vocab, per DISTINCT word
+  // (bounded depth = max word length), then reassembles documents in
+  // word order — both the token COUNT and the full token SEQUENCE
+  // (via h60 of the joined tokens) are hash-gated, alongside the two
+  // heuristics for comparison.
+  private def q89(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      expr("subword_count(text)").as("n_tokens"),
+      size(words(col("text"))).cast("long").as("n_ws_tokens"),
+      expr("CAST(n_chars div 4 AS BIGINT)").as("est_tokens"),
+      h60(array_join(expr("subword_tokenize(text)"), " ")).as("tokens_hash"))
+  private lazy val vocabCte =
+    s"vocab(tok) AS (VALUES ${graft.functions.SubwordVocab.sqlValues})"
+  // Per-distinct-word greedy tokenization: state = (word, pos, tokens);
+  // each step consumes the longest vocab match at pos (or one fallback
+  // char), so recursion depth <= max word length. `done` holds the
+  // unique final state per word.
+  private lazy val subwordCte =
+    s"""$vocabCte,
+      |words AS (
+      |  SELECT DISTINCT w FROM (
+      |    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents) x
+      |  WHERE LEN(w) > 0),
+      |st AS (
+      |  SELECT w, 1 AS pos, CAST([] AS VARCHAR[]) AS toks FROM words
+      |  UNION ALL
+      |  SELECT w, pos + step, LIST_APPEND(toks, SUBSTRING(w, pos, step))
+      |  FROM (
+      |    SELECT w, pos, toks,
+      |      COALESCE((SELECT MAX(LEN(tok)) FROM vocab
+      |                WHERE tok = SUBSTRING(st.w, st.pos, LEN(tok))), 1) AS step
+      |    FROM st WHERE pos <= LEN(w)) x),
+      |wtok AS (SELECT w, toks FROM st WHERE pos > LEN(w)),
+      |doc_words AS (
+      |  SELECT doc_id, UNNEST(w) AS w, UNNEST(GENERATE_SERIES(1, LEN(w))) AS ord
+      |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents) x),
+      |doc_toks AS (
+      |  SELECT dw.doc_id,
+      |    FLATTEN(LIST(wt.toks ORDER BY dw.ord)) AS toks
+      |  FROM doc_words dw JOIN wtok wt ON wt.w = dw.w
+      |  GROUP BY dw.doc_id)""".stripMargin
+  private lazy val q89Sql =
+    s"""WITH RECURSIVE $subwordCte
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(LEN(dt.toks), 0) AS BIGINT) AS n_tokens,
+      |  CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(d.n_chars // 4 AS BIGINT) AS est_tokens,
+      |  ${h60Sql("ARRAY_TO_STRING(COALESCE(dt.toks, []), ' ')")} AS tokens_hash
+      |FROM documents d LEFT JOIN doc_toks dt ON dt.doc_id = d.doc_id""".stripMargin
+
+  // q90 — q82's sequence packing re-based on REAL subword token counts
+  // (the verdict of q89): same greedy per-shard streaming packing, same
+  // oracle-pinned nShards=16, but the budget is now true vocab tokens —
+  // what a dataloader actually batches. Narrow tokenize feeds one
+  // shard shuffle; nothing else changes, which is the point of the
+  // Packing operator taking the token column as an input.
+  private def q90(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.packGreedy(
+      docs(s, dir),
+      id = col("doc_id"),
+      tokens = expr("subword_count(text)"),
+      hash = h60(col("text")),
+      budget = 2048L,
+      nShards = 16)
+  private lazy val q90Sql =
+    s"""WITH RECURSIVE $subwordCte,
+      |base AS (
+      |  SELECT d.doc_id, ${h60Sql("d.text")} AS h,
+      |    CAST(LEN(dt.toks) AS BIGINT) AS n_tokens
+      |  FROM documents d JOIN doc_toks dt ON dt.doc_id = d.doc_id)
+      |SELECT doc_id, shard, n_tokens,
+      |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
+      |FROM (
+      |  SELECT doc_id, h % 16 AS shard, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY h % 16 ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM base) p""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q13_exact_dedup", q13, Some(q13Sql)),
     QueryDef("q14_text_stats", q14, Some(q14Sql)),
@@ -1028,5 +1113,7 @@ object TextOps {
     QueryDef("q82_sequence_packing", q82, Some(q82Sql)),
     QueryDef("q84_hybrid_neardup", q84, Some(q84Sql)),
     QueryDef("q85_boilerplate_prefixes", q85, Some(q85Sql)),
+    QueryDef("q89_subword_tokens", q89, Some(q89Sql)),
+    QueryDef("q90_subword_packing", q90, Some(q90Sql)),
   )
 }
