@@ -66,6 +66,47 @@ class GraphPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("labelAlternating matches union-find on deterministic random graphs") {
+    val rng = new scala.util.Random(99)
+    for (trial <- 1 to 3) {
+      val n = 10 + trial * 15
+      val nodes = (1L to n.toLong)
+      val edges = Seq.fill(n / 2)(
+        (rng.nextInt(n).toLong + 1, rng.nextInt(n).toLong + 1))
+        .filter { case (a, b) => a != b }
+      val expected = unionFind(nodes, edges)
+      val got = ConnectedComponents.labelAlternating(
+        nodes.toDF("id"), edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: $edges")
+    }
+  }
+
+  test("labelAlternating handles the pathological long chain (its reason to exist)") {
+    // a 200-node path: min-label propagation without compression needs
+    // O(n) rounds; the star-contraction form must stay in O(log² n)
+    val n = 200L
+    val nodes = (1L to n)
+    val edges = (1L until n).map(i => (i, i + 1))
+    val got = ConnectedComponents.labelAlternating(
+      nodes.toDF("id"), edges.toDF("src", "dst"), maxRounds = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == nodes.map(_ -> 1L).toMap)
+    // and it agrees with the propagation form on the same graph
+    val viaProp = ConnectedComponents.label(
+      nodes.toDF("id"), edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == viaProp)
+  }
+
+  test("labelAlternating: isolated nodes and empty edge sets label themselves") {
+    val got = ConnectedComponents.labelAlternating(
+      (1L to 5L).toDF("id"),
+      Seq.empty[(Long, Long)].toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 5L).map(n => n -> n).toMap)
+  }
+
   test("Morton keys are invertible: no collisions across 16-bit inputs") {
     val rng = new scala.util.Random(1)
     val pts = Seq.fill(300)((rng.nextInt(65536).toLong, rng.nextInt(65536).toLong)).distinct
