@@ -174,7 +174,24 @@ object TextOps {
   // + pair-count, whose shuffled volume carries the FULL uncapped Σ df²
   // pair stream. Fewer shuffles, bounded skew, and a 2.8× smaller pair
   // shuffle at sf0.1.
-  private def q57(s: SparkSession, dir: String): DataFrame = {
+  //
+  // Measured crossover vs q16 (ARCHITECTURE §7): on the duplication-free
+  // bench corpus (df ≤ 25) q57 pays a ~0.05 s constant and q16 wins by a
+  // hair; duplicating the corpus k× (df ×k, pair volume ×k²) flips it —
+  // at max df ≈ 200 q57 is 1.5× faster, at df ≈ 400 2.4× faster and
+  // still flat while q16 grows superlinearly. The cap is the 100 TB
+  // plan; q16 is the small-clean-corpus special case.
+  private def q57(s: SparkSession, dir: String): DataFrame =
+    q57Impl(s, dir, materialize = false)
+
+  /** A/B seam: `materialize` caches the branch-point pair table instead
+    * of recomputing the post-shuffle aggregate per reader (see bench
+    * notes in ARCHITECTURE §6c). Public only for the bench harness.
+    */
+  def q57Variant(s: SparkSession, dir: String, materialize: Boolean): DataFrame =
+    q57Impl(s, dir, materialize)
+
+  private def q57Impl(s: SparkSession, dir: String, materialize: Boolean): DataFrame = {
     // ObjectHashAggregate (which executes typed Aggregators) falls back
     // to sort-based aggregation after 128 distinct keys per partition —
     // a full sort of the exploded shingle frame. The hash map is the
@@ -203,7 +220,7 @@ object TextOps {
     // explicit cache. least/greatest canonicalizes each pair instead of
     // sorting lists (an interpreted object-array sort at the
     // ObjectHashAggregate boundary).
-    val pairsAll = ex0.groupBy(col("shingle"))
+    val pairsRaw = ex0.groupBy(col("shingle"))
       .agg(bounded(col("doc_id")).as("ds"))
       .filter(col("ds").isNotNull)
       .select(posexplode(col("ds")).as(Seq("i", "x")), col("ds"))
@@ -211,6 +228,7 @@ object TextOps {
       .groupBy(least(col("x"), col("y")).as("doc_a"),
         greatest(col("x"), col("y")).as("doc_b"))
       .agg(count(lit(1)).as("common"))
+    val pairsAll = if (materialize) pairsRaw.cache() else pairsRaw
     val nsh = pairsAll.filter(col("doc_a") === col("doc_b"))
       .select(col("doc_a").as("doc_id"), col("common").as("n_sh"))
     pairsAll.filter(col("doc_a") < col("doc_b"))
