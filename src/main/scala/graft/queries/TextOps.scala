@@ -547,6 +547,38 @@ object TextOps {
       |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
       |  FROM comp GROUP BY 1) s USING (cluster_id)""".stripMargin
 
+  // q91 — q67's clusters via the ALTERNATING large-star/small-star CC
+  // ([[graft.ops.ConnectedComponents.labelAlternating]]): same near-dup
+  // clustering contract, different fixpoint algorithm — edge-list star
+  // contraction in O(log² n) rounds independent of graph diameter,
+  // instead of label propagation bounded by it. Shares q67's oracle
+  // verbatim, so the gate proves THREE formulations agree: membership
+  // propagation (q67 Spark), pair-closure recursive CTE (oracle), and
+  // star contraction (here). This form takes the materialized pair
+  // graph — the right input when edges arrive as pairs anyway (CDC
+  // identity edges, explicit link tables) or when the graph has long
+  // chains; for LSH band candidates at 100 TB, q67's membership form
+  // (no pair expansion) stays the default.
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    val banded = simhashed(s, dir)
+      .select(col("doc_id"), posexplode(array((0 to 3).map(i =>
+        shiftright(col("simhash"), i * 15).bitwiseAND(lit(32767L))): _*))
+        .as(Seq("band_idx", "band_val")))
+      .select(col("doc_id"),
+        (col("band_idx").cast("long") * 32768L + col("band_val")).as("bucket"))
+      .cache() // both sides of the candidate self-join
+    val edges = banded.as("a")
+      .join(banded.as("b"), col("a.bucket") === col("b.bucket")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    val nodes = simhashed(s, dir).select(col("doc_id").as("id"))
+    val labeled = graft.ops.ConnectedComponents.labelAlternating(nodes, edges)
+    val sizes = labeled.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+  }
+
   // q68 — TF-IDF top-k terms per document, the classic relevance /
   // keyword-extraction signal. The idf is INTEGER-exact on both
   // engines — weight = tf * ((N*1000) div df), all BIGINT arithmetic —
@@ -1105,6 +1137,43 @@ object TextOps {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM base) p""".stripMargin
 
+  // q92 — unigram-LM quality scoring: the integer-exact analog of the
+  // CCNet/KenLM perplexity filter — score each document by the mean
+  // SURPRISAL of its subword tokens under the corpus's own unigram
+  // model. Surprisal proxy = (total_tokens * 1000) div cnt(token):
+  // monotone in -log p like q68's idf trick (ln() ulps differ across
+  // libm builds and would break the bitwise gate), inducing the same
+  // ranking — rare-token-heavy docs (junk, OCR noise) score high,
+  // boilerplate scores low. Shape at 100 TB: the unigram table is
+  // VOCAB-BOUNDED (vocab entries + fallback chars), so it broadcasts
+  // with the total scalar; one tokenize pass feeds both the model
+  // build and the scoring; the only full shuffle is the per-doc
+  // partial-agg sum.
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(expr("subword_tokenize(text)")).as("tok"))
+      .cache() // read twice: model build + scoring
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    toks.join(broadcast(freq), "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), expr("(total * 1000) div cnt").as("surprisal"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("surprisal")).as("sum_surprisal"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_surprisal"),
+        (col("sum_surprisal").cast("double") / col("n_tokens")).as("avg_surprisal"))
+  }
+  private lazy val q92Sql =
+    s"""WITH RECURSIVE $subwordCte,
+      |tok AS (SELECT doc_id, UNNEST(toks) AS tok FROM doc_toks),
+      |freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY tok),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM((total * 1000) // cnt) AS BIGINT) AS sum_surprisal,
+      |  CAST(CAST(SUM((total * 1000) // cnt) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_surprisal
+      |FROM tok JOIN freq USING (tok) CROSS JOIN tot
+      |GROUP BY doc_id""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q13_exact_dedup", q13, Some(q13Sql)),
     QueryDef("q14_text_stats", q14, Some(q14Sql)),
@@ -1133,5 +1202,7 @@ object TextOps {
     QueryDef("q85_boilerplate_prefixes", q85, Some(q85Sql)),
     QueryDef("q89_subword_tokens", q89, Some(q89Sql)),
     QueryDef("q90_subword_packing", q90, Some(q90Sql)),
+    QueryDef("q91_clusters_altcc", q91, Some(q67Sql)),
+    QueryDef("q92_unigram_surprisal", q92, Some(q92Sql)),
   )
 }

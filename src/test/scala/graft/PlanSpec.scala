@@ -214,6 +214,12 @@ class PlanSpec extends AnyFunSuite {
       s"window must partition on the shard column:\n$p")
   }
 
+  test("q92: the unigram model joins as a broadcast (vocab-bounded build side)") {
+    val p = plan("q92_unigram_surprisal")
+    assert(p.contains("BroadcastHashJoin"),
+      s"unigram freq table must broadcast, not shuffle the token stream:\n$p")
+  }
+
   test("q83: all three funnel stages shuffle on the same user_id key") {
     val df = SparkEntry.queries("q83_event_funnel")(spark, dir)
     df.collect()
