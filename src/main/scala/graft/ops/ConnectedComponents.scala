@@ -138,10 +138,13 @@ object ConnectedComponents {
         .select(col("src"), least(col("_mn"), col("src")).as("m"))
     def largeStar(e: DataFrame): DataFrame = {
       val nbrs = mirrored(e)
+      // no distinct here: duplicates only live within the round (the
+      // small-star distinct bounds each round's output) and a dedup
+      // exchange per star costs more than the duplicate rows it saves
       nbrs.filter(col("dst") > col("src"))
         .join(neighborhoodMin(nbrs), "src")
         .select(col("dst").as("src"), col("m").as("dst"))
-        .filter(col("src") =!= col("dst")).distinct()
+        .filter(col("src") =!= col("dst"))
     }
     def smallStar(e: DataFrame): DataFrame = {
       val sm = mirrored(e).filter(col("dst") <= col("src"))
