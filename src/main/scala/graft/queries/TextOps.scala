@@ -1174,6 +1174,42 @@ object TextOps {
       |FROM tok JOIN freq USING (tok) CROSS JOIN tot
       |GROUP BY doc_id""".stripMargin
 
+  // q93 — BPE merge induction (one training round): count adjacent
+  // subword-token pairs WITHIN words across the corpus and rank the top
+  // merge candidates — the statistic each BPE training iteration
+  // greedily merges. Completes the tokenizer lifecycle: induce (here) →
+  // tokenize (q89) → pack (q90) → score (q92). Pairs never cross word
+  // boundaries (tokenization is per word); counts weight every word
+  // OCCURRENCE, not distinct words. Shape: narrow per-word tokenize +
+  // pair explode, one partial-agg count shuffle, global top-20 (a
+  // 20-row ordered limit — TopK machinery is overkill for k·1 rows).
+  private def q93(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(expr("subword_tokenize(w)").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .select(col("pair"), regexp_replace(col("pair"), " ", "").as("merged"),
+        col("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(20)
+  private lazy val q93Sql =
+    s"""WITH RECURSIVE $subwordCte,
+      |occ AS (
+      |  SELECT wt.toks FROM doc_words dw
+      |  JOIN wtok wt ON wt.w = dw.w
+      |  WHERE LEN(wt.toks) >= 2),
+      |p0 AS (
+      |  SELECT UNNEST(GENERATE_SERIES(1, LEN(toks) - 1)) AS i, toks FROM occ),
+      |pairs AS (SELECT toks[i] || ' ' || toks[i + 1] AS pair FROM p0)
+      |SELECT pair, REPLACE(pair, ' ', '') AS merged, COUNT(*) AS cnt
+      |FROM pairs GROUP BY pair
+      |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q13_exact_dedup", q13, Some(q13Sql)),
     QueryDef("q14_text_stats", q14, Some(q14Sql)),
@@ -1204,5 +1240,6 @@ object TextOps {
     QueryDef("q90_subword_packing", q90, Some(q90Sql)),
     QueryDef("q91_clusters_altcc", q91, Some(q67Sql)),
     QueryDef("q92_unigram_surprisal", q92, Some(q92Sql)),
+    QueryDef("q93_bpe_merges", q93, Some(q93Sql)),
   )
 }
