@@ -57,7 +57,7 @@ object Salting {
       buckets: Int = 16,
       joinType: String = "inner"): DataFrame = {
     require(Set("inner", "left", "leftouter")
-        .contains(joinType.toLowerCase.replace("_", "")),
+        .contains(joinType.toLowerCase.replaceAll("[_ ]", "")),
       s"saltedJoin supports inner/left joins only, got $joinType")
     val saltName = "_graft_salt"
     val s2 = skewed.withColumn(saltName, saltCol(spreadBy, buckets))
