@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.load
 import graft.QueryDef
@@ -1210,6 +1211,133 @@ object TextOps {
       |FROM pairs GROUP BY pair
       |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin
 
+  // q94 — substring-level (span) dedup statistics, the word-window form
+  // of Lee et al.'s "Deduplicating Training Data Makes Language Models
+  // Better" (arXiv:2107.06499) exact-substring pass: every sliding
+  // 8-word window is hashed, a window is DUPLICATED if its exact text
+  // occurs >= 2 times corpus-wide (within- or cross-document), and each
+  // document reports what fraction of its spans are duplicated — the
+  // signal used to cut boilerplate-heavy docs that exact (q13) and
+  // near-dup (q17/q18) passes both miss. Window keys are h60(window
+  // text), so the corpus-wide frequency count shuffles ~12 B/window,
+  // never the text. Shape at 100 TB: narrow shingle pass → ONE shuffle
+  // on the window hash (count over an unordered window frame — no
+  // per-key state beyond the hash partition) → per-doc partial agg.
+  // The suffix-array formulation in the paper is sequential; this
+  // hash-window form is the standard distributed equivalent (dup
+  // detection is exact for windows, positional extent is approximate).
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), words(col("text")).as("w"))
+    val win = base.filter(size(col("w")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 7), i -> " +
+          "CAST(conv(substring(md5(array_join(slice(w, i, 8), ' ')), 1, 15), 16, 10) AS BIGINT))"))
+        .as("k"))
+    val freq = win.withColumn("freq",
+      count(lit(1)).over(Window.partitionBy(col("k"))))
+    val per = freq.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("freq") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+    base.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        (coalesce(col("n_dup_spans"), lit(0L)).cast("double") /
+          nullif(coalesce(col("n_windows"), lit(0L)), lit(0L))).as("dup_ratio"))
+  }
+  private val q94Sql =
+    s"""WITH w AS (
+      |  SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+      |pos AS (
+      |  SELECT doc_id, ws,
+      |    UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 7, 0))) AS i FROM w),
+      |win AS (
+      |  SELECT doc_id,
+      |    ${h60Sql("ARRAY_TO_STRING(ws[i:i+7], ' ')")} AS k
+      |  FROM pos),
+      |f AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY k) AS freq FROM win),
+      |per AS (
+      |  SELECT doc_id, COUNT(*) AS n_windows,
+      |    CAST(SUM(CASE WHEN freq >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      |  FROM f GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(per.n_windows, 0) AS n_windows,
+      |  COALESCE(per.n_dup, 0) AS n_dup_spans,
+      |  CAST(COALESCE(per.n_dup, 0) AS DOUBLE) /
+      |    NULLIF(COALESCE(per.n_windows, 0), 0) AS dup_ratio
+      |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
+
+  // q95 — HELD-OUT bigram-LM quality scoring: the two-model upgrade of
+  // q92's unigram filter and the integer-exact analog of the CCNet/KenLM
+  // wikipedia-perplexity gate — the model must be trained on data
+  // DISJOINT from what it scores, or memorized boilerplate scores
+  // artificially well. Split by doc_id parity (deterministic, portable);
+  // the even half trains bigram counts, the odd half is scored with
+  // add-one smoothing (unseen bigrams must cost something finite).
+  // Surprisal proxy = ((cnt(prev) + V) * 1000) div (cnt(prev,cur) + 1)
+  // — monotone in -log p(cur|prev) under add-one smoothing, exact
+  // integers so both engines agree bitwise (see q92 for why not ln()).
+  // Shape at 100 TB: the bigram/unigram model tables are VOCAB-BOUNDED
+  // (vocab² worst case, far smaller in practice) → broadcast joins; the
+  // only full shuffle is the per-doc partial-agg sum. The train scan and
+  // score scan are one pass each over their halves.
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    val bg = base.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(w) - 1), " +
+        "i -> struct(element_at(w, i) AS prev, element_at(w, i + 1) AS cur))")).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val train = bg.filter(col("doc_id") % 2 === 0)
+    val cntBg = train.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cbg"))
+    val cntU = train.groupBy(col("prev")).agg(count(lit(1)).as("cu"))
+    val vocab = base.filter(col("doc_id") % 2 === 0)
+      .select(explode(col("w")).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    bg.filter(col("doc_id") % 2 === 1)
+      .join(broadcast(cntBg), Seq("prev", "cur"), "left")
+      .join(broadcast(cntU), Seq("prev"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        expr("((coalesce(cu, 0) + v) * 1000) div (coalesce(cbg, 0) + 1)")
+          .as("surprisal"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("surprisal")).as("sum_surprisal"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_surprisal"),
+        (col("sum_surprisal").cast("double") / col("n_bigrams")).as("avg_surprisal"))
+  }
+  private val q95Sql =
+    """WITH w AS (
+      |  SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+      |  WHERE LEN(STRING_SPLIT(text, ' ')) >= 2),
+      |bg AS (
+      |  SELECT doc_id, ws[i] AS prev, ws[i + 1] AS cur
+      |  FROM (SELECT doc_id, ws,
+      |    UNNEST(GENERATE_SERIES(1, LEN(ws) - 1)) AS i FROM w)),
+      |cbg AS (
+      |  SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cbg FROM bg
+      |  WHERE doc_id % 2 = 0 GROUP BY prev, cur),
+      |cu AS (
+      |  SELECT prev, CAST(COUNT(*) AS BIGINT) AS cu FROM bg
+      |  WHERE doc_id % 2 = 0 GROUP BY prev),
+      |vocab AS (
+      |  SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+      |  FROM (SELECT UNNEST(ws) AS tok FROM w WHERE doc_id % 2 = 0)),
+      |scored AS (
+      |  SELECT bg.doc_id,
+      |    ((COALESCE(cu.cu, 0) + vocab.v) * 1000) // (COALESCE(cbg.cbg, 0) + 1)
+      |      AS surprisal
+      |  FROM bg
+      |  LEFT JOIN cbg ON bg.prev = cbg.prev AND bg.cur = cbg.cur
+      |  LEFT JOIN cu ON bg.prev = cu.prev
+      |  CROSS JOIN vocab
+      |  WHERE bg.doc_id % 2 = 1)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(surprisal) AS BIGINT) AS sum_surprisal,
+      |  CAST(CAST(SUM(surprisal) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_surprisal
+      |FROM scored GROUP BY doc_id""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q13_exact_dedup", q13, Some(q13Sql)),
     QueryDef("q14_text_stats", q14, Some(q14Sql)),
@@ -1241,5 +1369,7 @@ object TextOps {
     QueryDef("q91_clusters_altcc", q91, Some(q67Sql)),
     QueryDef("q92_unigram_surprisal", q92, Some(q92Sql)),
     QueryDef("q93_bpe_merges", q93, Some(q93Sql)),
+    QueryDef("q94_span_dedup", q94, Some(q94Sql)),
+    QueryDef("q95_bigram_surprisal", q95, Some(q95Sql)),
   )
 }

@@ -220,6 +220,21 @@ class PlanSpec extends AnyFunSuite {
       s"unigram freq table must broadcast, not shuffle the token stream:\n$p")
   }
 
+  test("q94: corpus frequency is a window over the hash key, no text shuffle") {
+    val p = plan("q94_span_dedup")
+    assert(p.contains("Window"), s"no window in:\n$p")
+    assert(p.contains("hashpartitioning(k"),
+      s"frequency window must partition on the window hash:\n$p")
+  }
+
+  test("q95: bigram/unigram model tables join as broadcasts (vocab-bounded)") {
+    val p = plan("q95_bigram_surprisal")
+    assert(p.contains("BroadcastHashJoin"),
+      s"model tables must broadcast, not shuffle the bigram stream:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a model join fell back to sort-merge:\n$p")
+  }
+
   test("q83: all three funnel stages shuffle on the same user_id key") {
     val df = SparkEntry.queries("q83_event_funnel")(spark, dir)
     df.collect()

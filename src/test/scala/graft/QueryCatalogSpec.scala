@@ -60,6 +60,31 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(n <= total && n > 0)
   }
 
+  test("q94 reports every document once; dup spans bounded by window count") {
+    val rows = SparkEntry.queries("q94_span_dedup")(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.length == total)
+    rows.foreach { r =>
+      val (n, d) = (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_spans"))
+      assert(d >= 0 && d <= n)
+      if (n == 0) assert(r.isNullAt(r.fieldIndex("dup_ratio")))
+      else assert(math.abs(r.getAs[Double]("dup_ratio") - d.toDouble / n) == 0.0)
+    }
+    // the generator duplicates spans across docs — the signal is non-trivial
+    assert(rows.map(_.getAs[Long]("n_dup_spans")).sum > 0)
+  }
+
+  test("q95 scores only held-out (odd doc_id) docs with positive surprisal") {
+    val rows = SparkEntry.queries("q95_bigram_surprisal")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 2 == 1) // train half never scored
+      val (n, s) = (r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_surprisal"))
+      assert(n > 0 && s > 0)
+      assert(math.abs(r.getAs[Double]("avg_surprisal") - s.toDouble / n) == 0.0)
+    }
+  }
+
   test("q67 assigns every doc exactly one cluster, labeled by the cluster min") {
     val rows = SparkEntry.queries("q67_neardup_clusters")(spark, dir).collect()
     val total = spark.read.parquet(s"$dir/documents.parquet").count()
