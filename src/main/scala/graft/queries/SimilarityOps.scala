@@ -354,6 +354,63 @@ object SimilarityOps {
       |ORDER BY method""".stripMargin
   }
 
+  // q96 — product quantization (PQ, Jégou et al. 2011): the memory side
+  // of the ANN story — 64-dim float vectors compress to 8 one-byte codes
+  // (one per 8-dim subspace), the representation IVF-PQ engines scan
+  // instead of raw floats. Codebook here = the quantized subvectors of
+  // the first 16 vectors (deterministic "init with first k"; real
+  // codebooks add Lloyd iterations on a sample — the assignment pass
+  // below is unchanged). Exactness across engines: vectors are first
+  // quantized to a COMMON integer grid (symmetric per-corpus int8, the
+  // global-scale variant of q70), so subspace L2 distances are exact
+  // BIGINTs — no float-sum ordering anywhere; ties break to the lowest
+  // centroid id via struct-min.
+  // Shape at 100 TB: gmax is one scalar treeAggregate; the codebook is
+  // 16×64 ints → broadcast; assignment is a narrow map-side ×16 fan-out
+  // per vector (no shuffle); the only exchange is the (vec, sub) argmin
+  // partial agg. Long (vec, sub, code) form is for the oracle gate — a
+  // production sink would pack the 8 codes into one binary column.
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val gmax = e.agg(max(expr("array_max(transform(v, x -> abs(x)))")).as("gmax"))
+    val q = e.crossJoin(broadcast(gmax))
+      .select(col("vec_id"),
+        expr("transform(v, x -> CAST(ROUND(x * 127.0 / nullif(gmax, 0.0d)) AS INT))")
+          .as("qv"))
+    val cents = q.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("qv").as("qc"))
+    q.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), col("qv"), col("qc"),
+        explode(expr("sequence(0, 7)")).as("sub"))
+      .select(col("vec_id"), col("cid"), col("sub").cast("long").as("sub"),
+        expr("aggregate(sequence(1, 8), CAST(0 AS BIGINT), (acc, j) -> acc + " +
+          "CAST(element_at(qv, sub * 8 + j) - element_at(qc, sub * 8 + j) AS BIGINT) * " +
+          "CAST(element_at(qv, sub * 8 + j) - element_at(qc, sub * 8 + j) AS BIGINT))")
+          .as("d2"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.cid").as("code"), col("m.d2").as("d2"))
+  }
+  private val q96Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |g AS (SELECT MAX(LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x)))) AS gmax FROM e),
+      |q AS (SELECT vec_id,
+      |    LIST_TRANSFORM(v, x -> CAST(ROUND(x * 127.0 / NULLIF(gmax, 0.0)) AS INT)) AS qv
+      |  FROM e CROSS JOIN g),
+      |c AS (SELECT vec_id AS cid, qv AS qc FROM q WHERE vec_id < 16),
+      |d AS (
+      |  SELECT q.vec_id, c.cid, s.sub,
+      |    CAST(SUM(CAST(q.qv[s.sub * 8 + jj.j] - c.qc[s.sub * 8 + jj.j] AS BIGINT)
+      |      * CAST(q.qv[s.sub * 8 + jj.j] - c.qc[s.sub * 8 + jj.j] AS BIGINT)) AS BIGINT) AS d2
+      |  FROM q CROSS JOIN c CROSS JOIN range(0, 8) s(sub) CROSS JOIN range(1, 9) jj(j)
+      |  GROUP BY q.vec_id, c.cid, s.sub),
+      |ranked AS (
+      |  SELECT vec_id, sub, cid, d2,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, cid ASC) AS rn
+      |  FROM d)
+      |SELECT vec_id, sub, cid AS code, d2 FROM ranked WHERE rn = 1""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_cosine_topk", q20, Some(q20Sql)),
     QueryDef("q21_label_centroid", q21, Some(q21Sql)),
@@ -366,6 +423,7 @@ object SimilarityOps {
     QueryDef("q62_ivf_search", q62, Some(q62Sql)),
     QueryDef("q70_embed_quantize", q70, Some(q70Sql)),
     QueryDef("q87_ann_recall_audit", q87, Some(q87Sql)),
+    QueryDef("q96_pq_codes", q96, Some(q96Sql)),
   )
 
   // q39 — multi-probe ANN top-3: the probe side expands to its home

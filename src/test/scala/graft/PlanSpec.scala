@@ -235,6 +235,14 @@ class PlanSpec extends AnyFunSuite {
       s"a model join fell back to sort-merge:\n$p")
   }
 
+  test("q96: codebook and scale join as broadcasts; argmin is the only wide agg") {
+    val p = plan("q96_pq_codes")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"codebook/scale must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"assignment fan-out must not shuffle the vectors:\n$p")
+  }
+
   test("q83: all three funnel stages shuffle on the same user_id key") {
     val df = SparkEntry.queries("q83_event_funnel")(spark, dir)
     df.collect()

@@ -85,6 +85,24 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q96 assigns 8 subspace codes per vector; codebook vectors self-assign at d2=0") {
+    val rows = SparkEntry.queries("q96_pq_codes")(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.length == total * 8)
+    val byVec = rows.groupBy(_.getAs[Long]("vec_id"))
+    byVec.foreach { case (_, codes) =>
+      assert(codes.map(_.getAs[Long]("sub")).sorted.toSeq == (0L to 7L))
+      assert(codes.forall(r => r.getAs[Long]("code") >= 0 && r.getAs[Long]("code") < 16))
+      assert(codes.forall(_.getAs[Long]("d2") >= 0))
+    }
+    // a codebook vector's nearest centroid in every subspace is itself
+    (0L until 16L).foreach { cid =>
+      byVec(cid).foreach { r =>
+        assert(r.getAs[Long]("code") == cid && r.getAs[Long]("d2") == 0L)
+      }
+    }
+  }
+
   test("q67 assigns every doc exactly one cluster, labeled by the cluster min") {
     val rows = SparkEntry.queries("q67_neardup_clusters")(spark, dir).collect()
     val total = spark.read.parquet(s"$dir/documents.parquet").count()
