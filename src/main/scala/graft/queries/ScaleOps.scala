@@ -279,6 +279,38 @@ object ScaleOps {
       |  CAST(CASE WHEN m.dup_of IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
       |FROM delta d LEFT JOIN m ON m.doc_id = d.doc_id""".stripMargin
 
+  // q97 — single-pass column profiling ([[graft.ops.Profiler]]): the
+  // pre-flight data-quality report. Five lineitem columns of four
+  // different types profile in ONE scan; min/max go through canonical
+  // renderings (double→DECIMAL(18,6), timestamp→DATE) so both engines
+  // print identical strings. The oracle replays it as five UNION ALL
+  // single-column profiles — same numbers, deliberately naive form.
+  private def q97(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiler.profile(
+      load(s, dir, "lineitem"),
+      Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
+        "l_shipdate"),
+      Map(
+        "l_quantity" -> (c => dec(c)),
+        "l_extendedprice" -> (c => dec(c)),
+        "l_shipdate" -> (c => c.cast("date"))))
+  private val q97Sql = {
+    def one(c: String, rendered: String) =
+      s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+        |  COUNT(*) - COUNT($c) AS n_nulls,
+        |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+        |  CAST(MIN($rendered) AS VARCHAR) AS min_repr,
+        |  CAST(MAX($rendered) AS VARCHAR) AS max_repr
+        |FROM lineitem""".stripMargin
+    Seq(
+      one("l_orderkey", "l_orderkey"),
+      one("l_quantity", "CAST(l_quantity AS DECIMAL(18,6))"),
+      one("l_extendedprice", "CAST(l_extendedprice AS DECIMAL(18,6))"),
+      one("l_returnflag", "l_returnflag"),
+      one("l_shipdate", "CAST(l_shipdate AS DATE)"))
+      .mkString("\nUNION ALL\n")
+  }
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q63_salted_agg", q63, Some(q63Sql)),
     QueryDef("q88_salted_join", q88, Some(q88Sql)),
@@ -287,5 +319,6 @@ object ScaleOps {
     QueryDef("q79_snapshot_diff", q79, Some(q79Sql)),
     QueryDef("q80_merge_upsert", q80, Some(q80Sql)),
     QueryDef("q86_incremental_dedup", q86, Some(q86Sql)),
+    QueryDef("q97_column_profile", q97, Some(q97Sql)),
   )
 }
