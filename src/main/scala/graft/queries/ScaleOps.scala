@@ -311,6 +311,40 @@ object ScaleOps {
       .mkString("\nUNION ALL\n")
   }
 
+  // q98 — incremental aggregate maintenance ([[graft.ops.IncrementalAgg]]):
+  // per-customer order stats kept current by merging the existing state
+  // with the delta's state — the corpus (here the 90% "history" half,
+  // o_orderkey % 10 != 0) is aggregated ONCE; the delta (% 10 = 0)
+  // aggregates separately and the two states combine by re-aggregation.
+  // The oracle recomputes from scratch over ALL orders — proving the
+  // incremental path is exactly equivalent. Decimal micro-units make the
+  // sum independent of which state a row arrived through.
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    val orders = load(s, dir, "orders")
+    def state(df: DataFrame): DataFrame =
+      df.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).as("sum_price"),
+          max(col("o_orderdate")).as("last_order"))
+    val merged = graft.ops.IncrementalAgg.combine(
+      Seq(state(orders.filter(col("o_orderkey") % 10 =!= 0)),
+        state(orders.filter(col("o_orderkey") % 10 === 0))),
+      keys = Seq("o_custkey"),
+      merges = Seq(
+        "n_orders" -> (sum(_)),
+        "sum_price" -> (sum(_)),
+        "last_order" -> (max(_))))
+    merged.select(col("o_custkey"),
+      col("n_orders").cast("long").as("n_orders"),
+      col("sum_price").cast("double").as("sum_totalprice"),
+      col("last_order"))
+  }
+  private val q98Sql =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_totalprice,
+      |  MAX(o_orderdate) AS last_order
+      |FROM orders GROUP BY o_custkey""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q63_salted_agg", q63, Some(q63Sql)),
     QueryDef("q88_salted_join", q88, Some(q88Sql)),
@@ -320,5 +354,6 @@ object ScaleOps {
     QueryDef("q80_merge_upsert", q80, Some(q80Sql)),
     QueryDef("q86_incremental_dedup", q86, Some(q86Sql)),
     QueryDef("q97_column_profile", q97, Some(q97Sql)),
+    QueryDef("q98_incremental_agg", q98, Some(q98Sql)),
   )
 }
