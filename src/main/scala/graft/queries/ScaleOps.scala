@@ -345,6 +345,48 @@ object ScaleOps {
       |  MAX(o_orderdate) AS last_order
       |FROM orders GROUP BY o_custkey""".stripMargin
 
+  // q99 — weighted PageRank ([[graft.ops.PageRank]]) over the
+  // nation-level trade graph: edge (customer nation → supplier nation)
+  // weighted by lineitem count, 3 damped power iterations in fixed-point
+  // integer arithmetic (bit-identical across engines — see the op's
+  // scaladoc for why float PageRank can't pass a bitwise gate). The
+  // graph build is the scale-heavy part: lineitem ⋈ orders (the big-big
+  // join) then two broadcast dimension joins, collapsing 100 TB of fact
+  // rows into a nations² edge table the iterations run on.
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    val li = load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val cust = load(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val supp = load(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val edges = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val nodes = load(s, dir, "nation").select(col("n_nationkey").as("node"))
+    graft.ops.PageRank.ranks(nodes, edges, iterations = 3)
+      .join(broadcast(load(s, dir, "nation")),
+        col("node") === col("n_nationkey"))
+      .select(col("node").as("nationkey"), col("n_name").as("nation"),
+        col("rank_scaled"),
+        (col("rank_scaled").cast("double") / 1e12).as("rank"))
+  }
+  private val q99Sql =
+    s"""WITH edges AS (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+      |    CAST(COUNT(*) AS BIGINT) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2),
+      |nodes AS (SELECT n_nationkey AS node FROM nation),
+      |${graft.ops.PageRank.ranksSql(iterations = 3)}
+      |SELECT n.n_nationkey AS nationkey, n.n_name AS nation,
+      |  r3.r AS rank_scaled, CAST(r3.r AS DOUBLE) / 1e12 AS rank
+      |FROM r3 JOIN nation n ON r3.node = n.n_nationkey""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q63_salted_agg", q63, Some(q63Sql)),
     QueryDef("q88_salted_join", q88, Some(q88Sql)),
@@ -355,5 +397,6 @@ object ScaleOps {
     QueryDef("q86_incremental_dedup", q86, Some(q86Sql)),
     QueryDef("q97_column_profile", q97, Some(q97Sql)),
     QueryDef("q98_incremental_agg", q98, Some(q98Sql)),
+    QueryDef("q99_pagerank", q99, Some(q99Sql)),
   )
 }
