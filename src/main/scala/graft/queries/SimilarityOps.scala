@@ -370,30 +370,47 @@ object SimilarityOps {
   // per vector (no shuffle); the only exchange is the (vec, sub) argmin
   // partial agg. Long (vec, sub, code) form is for the oracle gate — a
   // production sink would pack the 8 codes into one binary column.
-  private def q96(s: SparkSession, dir: String): DataFrame = {
+  /** Vectors on the common int8 grid: (vec_id, qv array<int>). */
+  private def pqQuantized(s: SparkSession, dir: String): DataFrame = {
     val e = load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val gmax = e.agg(max(expr("array_max(transform(v, x -> abs(x)))")).as("gmax"))
-    val q = e.crossJoin(broadcast(gmax))
+    e.crossJoin(broadcast(gmax))
       .select(col("vec_id"),
         expr("transform(v, x -> CAST(ROUND(x * 127.0 / nullif(gmax, 0.0d)) AS INT))")
           .as("qv"))
-    val cents = q.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("qv").as("qc"))
+  }
+
+  /** Exact integer L2² between 8-dim subvectors `qv`/`qc` at subspace
+    * `sub` (columns must carry those names). */
+  private val pqD2Expr =
+    "aggregate(sequence(1, 8), CAST(0 AS BIGINT), (acc, j) -> acc + " +
+      "CAST(element_at(qv, sub * 8 + j) - element_at(qc, sub * 8 + j) AS BIGINT) * " +
+      "CAST(element_at(qv, sub * 8 + j) - element_at(qc, sub * 8 + j) AS BIGINT))"
+
+  /** Distances from every row of `q` to all 16 codebook entries in all 8
+    * subspaces: (vec_id, cid, sub, d2). */
+  private def pqDistances(q: DataFrame, cents: DataFrame): DataFrame =
     q.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"), col("qv"), col("qc"),
         explode(expr("sequence(0, 7)")).as("sub"))
       .select(col("vec_id"), col("cid"), col("sub").cast("long").as("sub"),
-        expr("aggregate(sequence(1, 8), CAST(0 AS BIGINT), (acc, j) -> acc + " +
-          "CAST(element_at(qv, sub * 8 + j) - element_at(qc, sub * 8 + j) AS BIGINT) * " +
-          "CAST(element_at(qv, sub * 8 + j) - element_at(qc, sub * 8 + j) AS BIGINT))")
-          .as("d2"))
+        expr(pqD2Expr).as("d2"))
+
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    val q = pqQuantized(s, dir)
+    val cents = q.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("qv").as("qc"))
+    pqDistances(q, cents)
       .groupBy(col("vec_id"), col("sub"))
       .agg(min(struct(col("d2"), col("cid"))).as("m"))
       .select(col("vec_id"), col("sub"), col("m.cid").as("code"), col("m.d2").as("d2"))
   }
-  private val q96Sql =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+
+  /** Shared oracle CTEs: quantized vectors `q(vec_id, qv)`, codebook
+    * `c(cid, qc)`, all subspace distances `d(vec_id, cid, sub, d2)`. */
+  private val pqCteSql =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |g AS (SELECT MAX(LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x)))) AS gmax FROM e),
       |q AS (SELECT vec_id,
       |    LIST_TRANSFORM(v, x -> CAST(ROUND(x * 127.0 / NULLIF(gmax, 0.0)) AS INT)) AS qv
@@ -405,11 +422,105 @@ object SimilarityOps {
       |      * CAST(q.qv[s.sub * 8 + jj.j] - c.qc[s.sub * 8 + jj.j] AS BIGINT)) AS BIGINT) AS d2
       |  FROM q CROSS JOIN c CROSS JOIN range(0, 8) s(sub) CROSS JOIN range(1, 9) jj(j)
       |  GROUP BY q.vec_id, c.cid, s.sub),
-      |ranked AS (
-      |  SELECT vec_id, sub, cid, d2,
-      |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, cid ASC) AS rn
-      |  FROM d)
-      |SELECT vec_id, sub, cid AS code, d2 FROM ranked WHERE rn = 1""".stripMargin
+      |codes AS (
+      |  SELECT vec_id, sub, cid AS code, d2
+      |  FROM (SELECT vec_id, sub, cid, d2,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, cid ASC) AS rn
+      |    FROM d)
+      |  WHERE rn = 1)""".stripMargin
+  private val q96Sql =
+    s"""WITH $pqCteSql
+      |SELECT vec_id, sub, code, d2 FROM codes""".stripMargin
+
+  // q100 — PQ/ADC search (asymmetric distance computation, Jégou et al.
+  // 2011 §IV): queries (every 50th vector) score the WHOLE database
+  // through its 1-byte-per-subspace codes — per query, one 8×16 lookup
+  // table of exact integer subspace distances to the codebook, then
+  // dist(q, v) = Σ_sub LUT[sub][code_v(sub)]. This is why PQ wins at
+  // scale: the database side never touches floats again — scanning n
+  // vectors costs n×8 table lookups against 128 broadcast LUT entries
+  // (at 100 TB: codes are 8 bytes/vector vs 256 for raw floats, and the
+  // scan is memory-bandwidth-bound integer adds). Top-3 per query via
+  // the native TopKPerGroup group-scan; all-integer distances make the
+  // ranking bit-deterministic. Candidate generation is still ×n per
+  // query here — IVF cells (q62) bound that; composing IVF+PQ is the
+  // production layout.
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    val q = pqQuantized(s, dir).cache() // read three ways below
+    val cents = q.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("qv").as("qc"))
+    val codes = pqDistances(q, cents)
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.cid").as("code"))
+    val lut = pqDistances(q.filter(col("vec_id") % 50 === 0), cents)
+      .select(col("vec_id").as("query_id"), col("sub").as("l_sub"),
+        col("cid"), col("d2"))
+    val dist = codes
+      .join(broadcast(lut),
+        col("sub") === col("l_sub") && col("code") === col("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc_d2"))
+    graft.ops.TopK.perGroup(dist, Seq("query_id"),
+      Seq(col("adc_d2").asc, col("vec_id").asc), 3, "rank")
+  }
+  /** q100's oracle CTEs on top of [[pqCteSql]]: LUT, ADC distances, and
+    * the ranked top-3 — shared with the q101 recall audit. */
+  private val pqAdcCteSql =
+    s"""$pqCteSql,
+      |lut AS (SELECT vec_id AS query_id, sub, cid, d2 FROM d WHERE vec_id % 50 = 0),
+      |dist AS (
+      |  SELECT l.query_id, cd.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+      |  FROM codes cd JOIN lut l ON cd.sub = l.sub AND cd.code = l.cid
+      |  WHERE l.query_id <> cd.vec_id
+      |  GROUP BY l.query_id, cd.vec_id),
+      |adc_ranked AS (
+      |  SELECT query_id, vec_id, adc_d2,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d2 ASC, vec_id ASC) AS BIGINT) AS rank
+      |  FROM dist)""".stripMargin
+  private val q100Sql =
+    s"""WITH $pqAdcCteSql
+      |SELECT query_id, vec_id, adc_d2, rank FROM adc_ranked WHERE rank <= 3""".stripMargin
+
+  // q101 — PQ quantization-loss audit: recall@3 of ADC search (q100)
+  // against the exact float cosine top-3 on the same query set — the
+  // q87 shape applied to the compressed index, measuring what the
+  // 32×-smaller representation costs in answer quality. ADC ranks by
+  // quantized L2 while the reference ranks by cosine, so the number
+  // also absorbs the metric gap — exactly what the owner of an IVF-PQ
+  // deployment needs to see before trusting it.
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    val exact3 = q20(s, dir)
+      .filter(col("rank") <= 3 && col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("neighbor_id"))
+    val exactN = exact3.agg(count(lit(1)).as("n_exact"))
+    val adc = q100(s, dir)
+      .select(col("query_id").as("vec_id"), col("vec_id").as("neighbor_id"))
+    exact3.join(adc, Seq("vec_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+      .crossJoin(broadcast(exactN))
+      .select(lit("pq_adc").as("method"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact")).as("recall_at_3"))
+  }
+  private lazy val q101Sql =
+    s"""WITH $pqAdcCteSql,
+      |adc AS (
+      |  SELECT query_id AS vec_id, vec_id AS neighbor_id
+      |  FROM adc_ranked WHERE rank <= 3),
+      |exact3 AS (
+      |  SELECT vec_id, neighbor_id FROM ($q20Sql) t
+      |  WHERE rank <= 3 AND vec_id % 50 = 0),
+      |n AS (SELECT COUNT(*) AS n_exact FROM exact3)
+      |SELECT 'pq_adc' AS method, n_exact,
+      |  (SELECT COUNT(*) FROM exact3 e
+      |     WHERE EXISTS (SELECT 1 FROM adc a
+      |       WHERE a.vec_id = e.vec_id AND a.neighbor_id = e.neighbor_id)) AS n_hit,
+      |  CAST((SELECT COUNT(*) FROM exact3 e
+      |     WHERE EXISTS (SELECT 1 FROM adc a
+      |       WHERE a.vec_id = e.vec_id AND a.neighbor_id = e.neighbor_id)) AS DOUBLE)
+      |    / n_exact AS recall_at_3
+      |FROM n""".stripMargin
 
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_cosine_topk", q20, Some(q20Sql)),
@@ -424,6 +535,8 @@ object SimilarityOps {
     QueryDef("q70_embed_quantize", q70, Some(q70Sql)),
     QueryDef("q87_ann_recall_audit", q87, Some(q87Sql)),
     QueryDef("q96_pq_codes", q96, Some(q96Sql)),
+    QueryDef("q100_adc_search", q100, Some(q100Sql)),
+    QueryDef("q101_pq_recall", q101, Some(q101Sql)),
   )
 
   // q39 — multi-probe ANN top-3: the probe side expands to its home

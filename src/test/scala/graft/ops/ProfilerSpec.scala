@@ -35,11 +35,23 @@ class ProfilerSpec extends AnyFunSuite {
     assert(row.getAs[String]("max_repr") == "10.000000")
   }
 
-  test("q97 profiles five columns in a single scan of lineitem") {
+  test("q97 plans hash aggregates only — the multi-distinct Expand/sort trap stays out") {
     val df = graft.SparkEntry.queries("q97_column_profile")(
       spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
+    // Spark's multi-distinct rewrite would Expand rows ×(C+1) and sort on
+    // a C-column mixed-type key (measured 10× slower); the profiler must
+    // keep distincts as separate hash aggregations. A grouping-key-less
+    // SortAggregate (min/max over a string buffer) is fine — with no key
+    // there is nothing to sort — so pin the absence of Sort NODES.
+    assert(!plan.contains("Expand"),
+      s"multi-distinct Expand leaked back in:\n$plan")
+    assert(!plan.contains("+- Sort "),
+      s"a real sort appeared in the profile plan:\n$plan")
+    assert(plan.contains("HashAggregate(keys=[l_orderkey"),
+      s"distincts must be two-phase hash aggregations:\n$plan")
+    // shared stats pass + one pruned scan per exact distinct
     val nScans = "Scan parquet".r.findAllIn(plan).length
-    assert(nScans == 1, s"expected one lineitem scan, got $nScans:\n$plan")
+    assert(nScans == 6, s"expected 1 stats + 5 distinct scans, got $nScans:\n$plan")
   }
 }
