@@ -522,6 +522,50 @@ object SimilarityOps {
       |    / n_exact AS recall_at_3
       |FROM n""".stripMargin
 
+  // q103 — one Lloyd (k-means) update round for the PQ codebook: given
+  // q96's assignments, each (centroid, subspace) cell re-centers on the
+  // integer mean of its members' coordinates — the training step that
+  // turns the "first 16 vectors" init into a real codebook (production
+  // runs a handful of rounds on a sample; each round is this exact
+  // plan). Integer-exact: coordinates live on the int8 grid, the mean
+  // is `sum div n` (both engines truncate toward zero — verified), so
+  // the updated codebook is bit-identical cross-engine. Empty cells
+  // (centroid with no members in a subspace) emit no row — the caller
+  // keeps the old centroid, the standard dead-centroid rule. Shape:
+  // assignment (broadcast codebook, narrow) → explode 8 dims → ONE
+  // partial-agg shuffle on (code, sub, dim) — 1024 output cells
+  // regardless of corpus size.
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    val q = pqQuantized(s, dir).cache() // assignment + member coordinates
+    val cents = q.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("qv").as("qc"))
+    val codes = pqDistances(q, cents)
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.cid").as("code"))
+    codes.join(q, "vec_id")
+      .select(col("code").as("cid"), col("sub"), col("qv"),
+        explode(expr("sequence(1, 8)")).as("dim"))
+      .select(col("cid"), col("sub"), col("dim").cast("long").as("dim"),
+        expr("CAST(element_at(qv, CAST(sub * 8 + dim AS INT)) AS BIGINT)").as("x"))
+      .groupBy(col("cid"), col("sub"), col("dim"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n_members"))
+      .select(col("cid"), col("sub"), col("dim"),
+        expr("sx div n_members").as("coord"), col("n_members"))
+  }
+  private val q103Sql =
+    s"""WITH $pqCteSql,
+      |m AS (
+      |  SELECT cd.code, cd.sub, q.qv FROM codes cd JOIN q USING (vec_id)),
+      |cells AS (
+      |  SELECT m.code AS cid, m.sub, jj.j AS dim,
+      |    CAST(SUM(m.qv[m.sub * 8 + jj.j]) AS BIGINT) AS sx,
+      |    COUNT(*) AS n_members
+      |  FROM m CROSS JOIN range(1, 9) jj(j)
+      |  GROUP BY m.code, m.sub, jj.j)
+      |SELECT cid, sub, dim, sx // n_members AS coord, n_members
+      |FROM cells""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_cosine_topk", q20, Some(q20Sql)),
     QueryDef("q21_label_centroid", q21, Some(q21Sql)),
@@ -537,6 +581,7 @@ object SimilarityOps {
     QueryDef("q96_pq_codes", q96, Some(q96Sql)),
     QueryDef("q100_adc_search", q100, Some(q100Sql)),
     QueryDef("q101_pq_recall", q101, Some(q101Sql)),
+    QueryDef("q103_codebook_update", q103, Some(q103Sql)),
   )
 
   // q39 — multi-probe ANN top-3: the probe side expands to its home

@@ -1338,6 +1338,106 @@ object TextOps {
       |  CAST(CAST(SUM(surprisal) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_surprisal
       |FROM scored GROUP BY doc_id""".stripMargin
 
+  // q102 — tokenizer coverage / OOV audit: before committing a vocab to
+  // a 100 TB tokenization run, measure per document how much of it the
+  // vocab actually explains — the fraction of emitted tokens that are
+  // single-char FALLBACKS (not vocab entries) and the fraction of
+  // characters covered by real vocab matches. High OOV → wrong vocab
+  // for the corpus (or wrong language / mojibake in the doc — this is
+  // also a quality signal). Shape: narrow tokenize + explode, one
+  // broadcast join against the vocab (vocab-bounded), one per-doc
+  // partial agg. Ratios are single divisions of exact integers.
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    val vocabDf = s.createDataFrame(
+      graft.functions.SubwordVocab.Default.map(Tuple1(_)))
+      .toDF("tok").withColumn("in_vocab", lit(1L))
+    docs(s, dir)
+      .select(col("doc_id"), explode(expr("subword_tokenize(text)")).as("tok"))
+      .join(broadcast(vocabDf), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(when(col("in_vocab").isNotNull, length(col("tok")).cast("long"))
+          .otherwise(0L)).as("covered_chars"),
+        sum(length(col("tok")).cast("long")).as("token_chars"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_ratio"),
+        col("covered_chars"), col("token_chars"),
+        (col("covered_chars").cast("double") / col("token_chars"))
+          .as("char_coverage"))
+  }
+  private lazy val q102Sql =
+    s"""WITH RECURSIVE $subwordCte,
+      |tk AS (SELECT doc_id, UNNEST(toks) AS tok FROM doc_toks),
+      |j AS (
+      |  SELECT tk.doc_id, tk.tok, (v.tok IS NOT NULL) AS iv
+      |  FROM tk LEFT JOIN vocab v ON v.tok = tk.tok)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(CASE WHEN NOT iv THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(CAST(SUM(CASE WHEN NOT iv THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+      |    / COUNT(*) AS oov_ratio,
+      |  CAST(SUM(CASE WHEN iv THEN LEN(tok) ELSE 0 END) AS BIGINT) AS covered_chars,
+      |  CAST(SUM(LEN(tok)) AS BIGINT) AS token_chars,
+      |  CAST(CAST(SUM(CASE WHEN iv THEN LEN(tok) ELSE 0 END) AS BIGINT) AS DOUBLE)
+      |    / CAST(SUM(LEN(tok)) AS BIGINT) AS char_coverage
+      |FROM j GROUP BY doc_id""".stripMargin
+
+  // q104 — collocation extraction by PMI score over adjacent word pairs
+  // (the GloVe/word2vec-era statistic, still the standard corpus-
+  // exploration tool): score ∝ p(a,b) / (p(a)·p(b)), kept exact as the
+  // nested-integer-division proxy
+  //   ((c_ab · Tu · 1000) div (c_a · c_b)) · Tu div Tb
+  // (monotone in PMI at fixed counts; exact BIGINT at test scale — at
+  // 100 TB token counts ~1e11 would overflow the first product, so the
+  // scale form routes through DECIMAL(38,0) — same plan shape). Min
+  // count 5 kills the noise floor, top-50 by (score, pair) is
+  // deterministic. Shape: one bigram-count shuffle (partial-agg), two
+  // broadcast joins against the vocab-bounded unigram table, global
+  // ordered limit.
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    val w = docs(s, dir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    val uni = w.select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tu = uni.agg(sum(col("c")).cast("long").as("tu"))
+    val bg = w.select(explode(expr(
+      "transform(sequence(1, size(w) - 1), " +
+        "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    val tb = bg.agg(sum(col("c_ab")).cast("long").as("tb"))
+    bg.filter(col("c_ab") >= 5)
+      .join(broadcast(uni.select(col("tok").as("w1"), col("c").as("c_a"))), "w1")
+      .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("c_b"))), "w2")
+      .crossJoin(broadcast(tu)).crossJoin(broadcast(tb))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        expr("((c_ab * tu * 1000) div (c_a * c_b)) * tu div tb").as("pmi_score"))
+      .orderBy(col("pmi_score").desc, col("w1").asc, col("w2").asc)
+      .limit(50)
+  }
+  private val q104Sql =
+    """WITH w AS (
+      |  SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+      |  WHERE LEN(STRING_SPLIT(text, ' ')) >= 2),
+      |uni AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT UNNEST(ws) AS tok FROM w) GROUP BY tok),
+      |tu AS (SELECT CAST(SUM(c) AS BIGINT) AS tu FROM uni),
+      |bg AS (
+      |  SELECT ws[i] AS w1, ws[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+      |  FROM (SELECT ws, UNNEST(GENERATE_SERIES(1, LEN(ws) - 1)) AS i FROM w)
+      |  GROUP BY 1, 2),
+      |tb AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS tb FROM bg)
+      |SELECT bg.w1, bg.w2, bg.c_ab, a.c AS c_a, b.c AS c_b,
+      |  ((bg.c_ab * tu.tu * 1000) // (a.c * b.c)) * tu.tu // tb.tb AS pmi_score
+      |FROM bg
+      |JOIN uni a ON a.tok = bg.w1
+      |JOIN uni b ON b.tok = bg.w2
+      |CROSS JOIN tu CROSS JOIN tb
+      |WHERE bg.c_ab >= 5
+      |ORDER BY pmi_score DESC, w1 ASC, w2 ASC LIMIT 50""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q13_exact_dedup", q13, Some(q13Sql)),
     QueryDef("q14_text_stats", q14, Some(q14Sql)),
@@ -1371,5 +1471,7 @@ object TextOps {
     QueryDef("q93_bpe_merges", q93, Some(q93Sql)),
     QueryDef("q94_span_dedup", q94, Some(q94Sql)),
     QueryDef("q95_bigram_surprisal", q95, Some(q95Sql)),
+    QueryDef("q102_vocab_coverage", q102, Some(q102Sql)),
+    QueryDef("q104_pmi_collocations", q104, Some(q104Sql)),
   )
 }

@@ -103,6 +103,46 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q102 coverage ratios are consistent exact fractions") {
+    val rows = SparkEntry.queries("q102_vocab_coverage")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, oov) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"))
+      val (cov, tot) = (r.getAs[Long]("covered_chars"), r.getAs[Long]("token_chars"))
+      assert(oov >= 0 && oov <= n && cov >= 0 && cov <= tot)
+      assert(r.getAs[Double]("oov_ratio") == oov.toDouble / n)
+      assert(r.getAs[Double]("char_coverage") == cov.toDouble / tot)
+      // an OOV token is a single fallback char, so uncovered chars == n_oov
+      assert(tot - cov == oov)
+    }
+  }
+
+  test("q103 re-centers every subspace over exactly the full vector population") {
+    val rows = SparkEntry.queries("q103_codebook_update")(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    // per (sub, dim): members across cells partition the vectors
+    rows.groupBy(r => (r.getAs[Long]("sub"), r.getAs[Long]("dim"))).foreach {
+      case (_, cells) => assert(cells.map(_.getAs[Long]("n_members")).sum == total)
+    }
+    rows.foreach { r =>
+      val c = r.getAs[Long]("coord")
+      assert(c >= -127 && c <= 127)
+      assert(r.getAs[Long]("n_members") > 0)
+    }
+  }
+
+  test("q104 collocations respect count laws and the min-count floor") {
+    val rows = SparkEntry.queries("q104_pmi_collocations")(spark, dir).collect()
+    assert(rows.length <= 50)
+    rows.foreach { r =>
+      val (ab, a, b) = (r.getAs[Long]("c_ab"), r.getAs[Long]("c_a"), r.getAs[Long]("c_b"))
+      assert(ab >= 5 && ab <= a && ab <= b)
+      assert(r.getAs[Long]("pmi_score") >= 0)
+    }
+    val scores = rows.map(_.getAs[Long]("pmi_score")).toSeq
+    assert(scores == scores.sorted.reverse) // ranked output
+  }
+
   test("q67 assigns every doc exactly one cluster, labeled by the cluster min") {
     val rows = SparkEntry.queries("q67_neardup_clusters")(spark, dir).collect()
     val total = spark.read.parquet(s"$dir/documents.parquet").count()
