@@ -566,6 +566,66 @@ object SimilarityOps {
       |SELECT cid, sub, dim, sx // n_members AS coord, n_members
       |FROM cells""".stripMargin
 
+  // q105 — SEMANTIC dedup (the SemDeDup recipe, Abbas et al. 2023,
+  // arXiv:2303.09540): text-identical dedup (q13/q94) and lexical
+  // near-dup (q17/q18) miss paraphrases — documents that say the same
+  // thing in different words but land close in embedding space. The
+  // scale shape is exactly the paper's: cluster the corpus coarsely
+  // (q31's IVF cells stand in for their k-means), compare only WITHIN a
+  // cell (candidate pairs ∝ n·cellsize, never n²), connect pairs above
+  // the cosine threshold, and keep one canonical representative
+  // (min vec_id) per semantic cluster. Components via the same
+  // ConnectedComponents operator as q67; the oracle replays closure
+  // with a recursive CTE — two more independent formulations agreeing.
+  // Cross-cell paraphrase pairs are missed by construction (the paper's
+  // stated trade); raising recall = probing neighbor cells, multiplying
+  // candidates by nprobe, never by n.
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    val assigned = ivfAssigned(s, dir).select(col("vec_id"), col("cell_id"))
+    val e = withNorm(s, load(s, dir, "embeddings"))
+    val av = assigned.join(e, Seq("vec_id")).cache()
+    val a = av.select(col("vec_id").as("src"), col("v").as("va"),
+      col("norm").as("na"), col("cell_id"))
+    val b = av.select(col("vec_id").as("dst"), col("v").as("vb"),
+      col("norm").as("nb"), col("cell_id"))
+    val edges = a.join(b, Seq("cell_id")).filter(col("src") < col("dst"))
+      .filter((expr("dot_product(va, vb)") / (col("na") * col("nb"))) >= 0.35)
+      .select(col("src"), col("dst"))
+    val nodes = load(s, dir, "embeddings").select(col("vec_id").as("id"))
+    val labeled = graft.ops.ConnectedComponents.label(nodes, edges)
+    val sizes = labeled.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "label")
+      .select(col("id").as("vec_id"), col("label").as("cluster_id"),
+        col("cluster_size"), (col("id") === col("label")).as("keep"))
+  }
+  private val q105Sql =
+    s"""WITH RECURSIVE $ivfSqlCtes,
+      |cellmap AS (SELECT vec_id, cell_id FROM assigned WHERE rn = 1),
+      |e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+      |  FROM embeddings),
+      |av AS (
+      |  SELECT m.vec_id, m.cell_id, e.v, e.norm
+      |  FROM cellmap m JOIN e ON m.vec_id = e.vec_id),
+      |sem_edges AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst
+      |  FROM av a JOIN av b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      |  WHERE LIST_DOT_PRODUCT(a.v, b.v) / (a.norm * b.norm) >= 0.35),
+      |und AS (SELECT src, dst FROM sem_edges
+      |  UNION ALL SELECT dst, src FROM sem_edges),
+      |lbl(id, label) AS (
+      |  SELECT vec_id, vec_id FROM embeddings
+      |  UNION
+      |  SELECT u.dst, l.label FROM lbl l JOIN und u ON u.src = l.id),
+      |comp AS (SELECT id, MIN(label) AS cluster_id FROM lbl GROUP BY id),
+      |sizes AS (
+      |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      |  FROM comp GROUP BY 1)
+      |SELECT c.id AS vec_id, c.cluster_id, s.cluster_size,
+      |  (c.id = c.cluster_id) AS keep
+      |FROM comp c JOIN sizes s USING (cluster_id)""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_cosine_topk", q20, Some(q20Sql)),
     QueryDef("q21_label_centroid", q21, Some(q21Sql)),
@@ -582,6 +642,7 @@ object SimilarityOps {
     QueryDef("q100_adc_search", q100, Some(q100Sql)),
     QueryDef("q101_pq_recall", q101, Some(q101Sql)),
     QueryDef("q103_codebook_update", q103, Some(q103Sql)),
+    QueryDef("q105_semantic_dedup", q105, Some(q105Sql)),
   )
 
   // q39 — multi-probe ANN top-3: the probe side expands to its home

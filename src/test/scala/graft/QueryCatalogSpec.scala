@@ -143,6 +143,18 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(scores == scores.sorted.reverse) // ranked output
   }
 
+  test("q105 keeps exactly one representative per semantic cluster") {
+    val rows = SparkEntry.queries("q105_semantic_dedup")(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.length == total) // every vector gets a verdict
+    rows.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, members) =>
+      assert(members.map(_.getAs[Long]("vec_id")).min == cid)
+      assert(members.count(_.getAs[Boolean]("keep")) == 1)
+      assert(members.find(_.getAs[Boolean]("keep")).get.getAs[Long]("vec_id") == cid)
+      assert(members.forall(_.getAs[Long]("cluster_size") == members.length))
+    }
+  }
+
   test("q67 assigns every doc exactly one cluster, labeled by the cluster min") {
     val rows = SparkEntry.queries("q67_neardup_clusters")(spark, dir).collect()
     val total = spark.read.parquet(s"$dir/documents.parquet").count()
