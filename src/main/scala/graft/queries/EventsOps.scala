@@ -194,8 +194,46 @@ object EventsOps {
       |FROM v LEFT JOIN c ON c.user_id = v.user_id
       |       LEFT JOIN p ON p.user_id = v.user_id""".stripMargin
 
+  // q106 — rate-spike detection: per (event_type, hour), current volume
+  // vs the trailing 3-hour sum — the telemetry anomaly signal a pipeline
+  // owner alarms on (ingest-rate spikes, bot bursts, upstream stalls).
+  // Integer spike score `(n·1000) div trailing` (NULL for the first
+  // hours / an empty trailing window — NULLIF keeps both engines at
+  // NULL, never a divide error). Shape: one low-cardinality partial-agg
+  // groupBy, then a window over (event_type ORDER BY hour) — the hourly
+  // rollup is TYPE×HOURS rows regardless of event volume, so the window
+  // input is tiny at any corpus scale; the rollup itself is q10's
+  // map-side-combined shape.
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    val hourly = events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-3, -1)
+    hourly
+      .withColumn("trailing_events", sum(col("n_events")).over(w))
+      .select(col("hour"), col("event_type"), col("n_events"),
+        col("trailing_events"),
+        expr("(n_events * 1000) div nullif(trailing_events, 0)")
+          .as("spike_permille"))
+  }
+  private val q106Sql =
+    """WITH hourly AS (
+      |  SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT hour, event_type, n_events,
+      |    CAST(SUM(n_events) OVER (PARTITION BY event_type ORDER BY hour
+      |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT) AS trailing_events
+      |  FROM hourly)
+      |SELECT hour, event_type, n_events, trailing_events,
+      |  (n_events * 1000) // NULLIF(trailing_events, 0) AS spike_permille
+      |FROM w""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q10_events_hourly", q10, Some(q10Sql)),
+    QueryDef("q106_rate_spikes", q106, Some(q106Sql)),
     QueryDef("q83_event_funnel", q83, Some(q83Sql)),
     QueryDef("q11_sessionize", q11, Some(q11Sql)),
     QueryDef("q12_props_json", q12, Some(q12Sql)),

@@ -387,6 +387,75 @@ object ScaleOps {
       |  r3.r AS rank_scaled, CAST(r3.r AS DOUBLE) / 1e12 AS rank
       |FROM r3 JOIN nation n ON r3.node = n.n_nationkey""".stripMargin
 
+  // q107 — statistical outlier report: top-3 |z|-score rows per group
+  // (return flag) over l_extendedprice — the Profiler's (q97) sibling
+  // for VALUE-level data quality: a corrupted feed shows up as a few
+  // rows standing far off their group's distribution. Cross-engine
+  // float determinism: everything integer until the last moment —
+  // prices become exact cents, Σxm / Σxm² / the variance numerator
+  // n·Σxm²−(Σxm)² accumulate as exact integers (long + DECIMAL(38,0);
+  // DuckDB HUGEINT), and ONLY INTEGERS are ever cast to double
+  // (int→double is correctly rounded in both engines — verified to
+  // 2^83). Casting a high-scale decimal instead is a trap: DuckDB's
+  // DECIMAL(38,12)→DOUBLE double-rounds (int128→double, then ÷10¹²)
+  // and landed 1 ulp off Spark's correctly-rounded BigDecimal on one
+  // group. From identical doubles, mean/std/z are the same IEEE
+  // expression in both engines — identical bits, including any
+  // cancellation noise; z is computed in cent units (scale-invariant).
+  // Shape: one partial-agg pass for the stats (groups are low-
+  // cardinality → broadcast back), one narrow per-row z pass,
+  // TopKPerGroup for the report.
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val li = load(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_extendedprice"),
+        expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("xm"))
+    val stats = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xm")).as("sm"),
+        sum((col("xm") * col("xm")).cast(DecimalType(38, 0))).as("smm"))
+      .select(col("l_returnflag"), col("n"), col("sm"),
+        expr("CAST(n * smm - CAST(sm AS DECIMAL(38,0)) * CAST(sm AS DECIMAL(38,0)) AS DECIMAL(38,0))")
+          .as("num"))
+      .select(col("l_returnflag"),
+        expr("CAST(sm AS DOUBLE) / n").as("mean_m"),
+        expr("sqrt(CAST(num AS DOUBLE) / (n * (n - 1)))").as("std_m"))
+    val z = li.join(broadcast(stats), "l_returnflag")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"),
+        expr("(CAST(xm AS DOUBLE) - mean_m) / std_m").as("z"))
+    graft.ops.TopK.perGroup(z, Seq("l_returnflag"),
+      Seq(abs(col("z")).desc, col("l_orderkey").asc, col("l_linenumber").asc),
+      3, "rnk")
+  }
+  private val q107Sql =
+    """WITH li AS (
+      |  SELECT l_returnflag, l_orderkey,
+      |    CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice,
+      |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS xm
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT l_returnflag, COUNT(*) AS n, SUM(xm) AS sm, SUM(xm * xm) AS smm
+      |  FROM li GROUP BY 1),
+      |st AS (
+      |  SELECT l_returnflag,
+      |    CAST(sm AS DOUBLE) / n AS mean_m,
+      |    SQRT(CAST(n * smm - sm * sm AS DOUBLE) / (n * (n - 1))) AS std_m
+      |  FROM s),
+      |z AS (
+      |  SELECT li.l_returnflag, li.l_orderkey, li.l_linenumber,
+      |    li.l_extendedprice,
+      |    (CAST(li.xm AS DOUBLE) - st.mean_m) / st.std_m AS z
+      |  FROM li JOIN st USING (l_returnflag)),
+      |r AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |    ORDER BY ABS(z) DESC, l_orderkey ASC, l_linenumber ASC) AS BIGINT) AS rnk
+      |  FROM z)
+      |SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, z, rnk
+      |FROM r WHERE rnk <= 3""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q63_salted_agg", q63, Some(q63Sql)),
     QueryDef("q88_salted_join", q88, Some(q88Sql)),
@@ -398,5 +467,6 @@ object ScaleOps {
     QueryDef("q97_column_profile", q97, Some(q97Sql)),
     QueryDef("q98_incremental_agg", q98, Some(q98Sql)),
     QueryDef("q99_pagerank", q99, Some(q99Sql)),
+    QueryDef("q107_zscore_outliers", q107, Some(q107Sql)),
   )
 }

@@ -155,6 +155,31 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q106 spike score is null exactly until a trailing window exists") {
+    val rows = SparkEntry.queries("q106_rate_spikes")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, hrs) =>
+      val ordered = hrs.sortBy(_.getAs[java.sql.Timestamp]("hour").getTime)
+      // first hour per type has no trailing window
+      assert(ordered.head.isNullAt(ordered.head.fieldIndex("trailing_events")))
+      ordered.drop(1).foreach { r =>
+        val t = r.getAs[Long]("trailing_events")
+        assert(t > 0)
+        assert(r.getAs[Long]("spike_permille") ==
+          r.getAs[Long]("n_events") * 1000 / t)
+      }
+    }
+  }
+
+  test("q107 emits 3 outliers per group with non-increasing |z|") {
+    val rows = SparkEntry.queries("q107_zscore_outliers")(spark, dir).collect()
+    rows.groupBy(_.getAs[String]("l_returnflag")).foreach { case (_, grp) =>
+      assert(grp.length == 3)
+      val zs = grp.sortBy(_.getAs[Long]("rnk")).map(r => math.abs(r.getAs[Double]("z")))
+      assert(zs.sorted.reverse.toSeq == zs.toSeq)
+    }
+  }
+
   test("q67 assigns every doc exactly one cluster, labeled by the cluster min") {
     val rows = SparkEntry.queries("q67_neardup_clusters")(spark, dir).collect()
     val total = spark.read.parquet(s"$dir/documents.parquet").count()
