@@ -456,6 +456,97 @@ object ScaleOps {
       |SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, z, rnk
       |FROM r WHERE rnk <= 3""".stripMargin
 
+  // q108 — referential-integrity audit: orphan counts across every
+  // foreign-key edge of the star schema in one report — the structural
+  // data-quality check (q97 profiles values, q107 flags outliers, THIS
+  // catches broken joins: a partial parent load silently drops child
+  // rows from every downstream star join). Each edge is one LEFT ANTI
+  // join — at 100 TB the parent key sets are dimension-sized (broadcast)
+  // or, for orders⋈lineitem, the same co-partitioned shuffle the joins
+  // themselves use; counts are partial-aggregatable. Zero orphans in
+  // the driver data — the operator under test is the anti-join itself,
+  // and the zero is the assertion a pipeline owner wants.
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    def audit(rel: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame = {
+      val total = child.agg(count(lit(1)).as("n_child_rows"))
+      val orphans = child
+        .join(parent.select(col(pkey).as(key)), Seq(key), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      total.crossJoin(orphans)
+        .select(lit(rel).as("relation"), col("n_child_rows"), col("n_orphans"),
+          (col("n_orphans").cast("double") / col("n_child_rows"))
+            .as("orphan_rate"))
+    }
+    val li = load(s, dir, "lineitem")
+    audit("lineitem.orderkey", li.select(col("l_orderkey")), "l_orderkey",
+        load(s, dir, "orders"), "o_orderkey")
+      .unionByName(audit("lineitem.partkey", li.select(col("l_partkey")),
+        "l_partkey", load(s, dir, "part"), "p_partkey"))
+      .unionByName(audit("lineitem.suppkey", li.select(col("l_suppkey")),
+        "l_suppkey", load(s, dir, "supplier"), "s_suppkey"))
+      .unionByName(audit("orders.custkey",
+        load(s, dir, "orders").select(col("o_custkey")), "o_custkey",
+        load(s, dir, "customer"), "c_custkey"))
+      .unionByName(audit("customer.nationkey",
+        load(s, dir, "customer").select(col("c_nationkey")), "c_nationkey",
+        load(s, dir, "nation"), "n_nationkey"))
+  }
+  private val q108Sql = {
+    def one(rel: String, child: String, key: String, parent: String,
+        pkey: String) =
+      s"""SELECT '$rel' AS relation,
+        |  (SELECT COUNT(*) FROM $child) AS n_child_rows,
+        |  (SELECT COUNT(*) FROM $child c
+        |     WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pkey = c.$key))
+        |    AS n_orphans,
+        |  CAST((SELECT COUNT(*) FROM $child c
+        |     WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pkey = c.$key))
+        |    AS DOUBLE) / (SELECT COUNT(*) FROM $child) AS orphan_rate""".stripMargin
+    Seq(
+      one("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      one("lineitem.partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+      one("lineitem.suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      one("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
+      one("customer.nationkey", "customer", "c_nationkey", "nation", "n_nationkey"))
+      .mkString("\nUNION ALL\n")
+  }
+
+  // q109 — equi-width histogram of l_extendedprice in 20 buckets:
+  // the distribution view q97's min/max can't give (skew, modes, heavy
+  // tails — the shapes that decide partition sizing and salting).
+  // Integer-exact bucketing: prices to cents, bucket = ((xm - min) *
+  // 20) div (max - min + 1) — pure BIGINT arithmetic, identical in
+  // both engines, no float boundary ambiguity. Shape: one bounds
+  // scan (scalar broadcast) + one narrow bucket pass + a 20-group
+  // partial agg — scan-bound at any scale.
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val cents = load(s, dir, "lineitem")
+      .select(expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("xm"))
+    val bounds = cents.agg(min(col("xm")).as("mn"), max(col("xm")).as("mx"))
+    cents.crossJoin(broadcast(bounds))
+      .select(expr("((xm - mn) * 20) div (mx - mn + 1)").as("bucket"),
+        col("mn"), col("mx"))
+      .groupBy(col("bucket"), col("mn"), col("mx"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("bucket"),
+        expr("CAST((mn + bucket * (mx - mn + 1) div 20) AS DOUBLE) / 100")
+          .as("lo_dollars"),
+        col("n_rows"))
+  }
+  private val q109Sql =
+    """WITH cents AS (
+      |  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS xm
+      |  FROM lineitem),
+      |b AS (SELECT MIN(xm) AS mn, MAX(xm) AS mx FROM cents),
+      |bk AS (
+      |  SELECT ((xm - mn) * 20) // (mx - mn + 1) AS bucket, mn, mx
+      |  FROM cents CROSS JOIN b)
+      |SELECT bucket,
+      |  CAST((mn + bucket * (mx - mn + 1) // 20) AS DOUBLE) / 100 AS lo_dollars,
+      |  COUNT(*) AS n_rows
+      |FROM bk GROUP BY bucket, mn, mx""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q63_salted_agg", q63, Some(q63Sql)),
     QueryDef("q88_salted_join", q88, Some(q88Sql)),
@@ -468,5 +559,7 @@ object ScaleOps {
     QueryDef("q98_incremental_agg", q98, Some(q98Sql)),
     QueryDef("q99_pagerank", q99, Some(q99Sql)),
     QueryDef("q107_zscore_outliers", q107, Some(q107Sql)),
+    QueryDef("q108_ref_integrity", q108, Some(q108Sql)),
+    QueryDef("q109_histogram", q109, Some(q109Sql)),
   )
 }

@@ -180,6 +180,25 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q108 audits all five FK edges; driver data has no orphans") {
+    val rows = SparkEntry.queries("q108_ref_integrity")(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_child_rows") > 0)
+      assert(r.getAs[Long]("n_orphans") == 0)
+      assert(r.getAs[Double]("orphan_rate") == 0.0)
+    }
+  }
+
+  test("q109 histogram partitions all rows into valid buckets") {
+    val rows = SparkEntry.queries("q109_histogram")(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == total)
+    assert(rows.forall(r => r.getAs[Long]("bucket") >= 0 && r.getAs[Long]("bucket") < 20))
+    val los = rows.sortBy(_.getAs[Long]("bucket")).map(_.getAs[Double]("lo_dollars"))
+    assert(los.toSeq == los.sorted.toSeq) // bucket floors ascend
+  }
+
   test("q67 assigns every doc exactly one cluster, labeled by the cluster min") {
     val rows = SparkEntry.queries("q67_neardup_clusters")(spark, dir).collect()
     val total = spark.read.parquet(s"$dir/documents.parquet").count()
