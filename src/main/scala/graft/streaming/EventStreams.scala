@@ -193,6 +193,72 @@ object EventStreams {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
+  final case class SpikeEvent(event_type: String, ts_us: Long)
+  final case class SpikeState(
+      pendingHours: Map[Long, Long], flushedTail: Vector[(Long, Long)])
+  final case class SpikeOut(
+      event_type: String, hour_us: Long, n_events: Long,
+      trailing_events: Option[Long], spike_permille: Option[Long])
+
+  /** Streaming rate-spike detection — the streaming twin of
+    * q106_rate_spikes: per event_type, each hour's volume scored against
+    * the trailing 3 FLUSHED hours, `(n·1000) div trailing` (None until a
+    * trailing window exists — same contract as the batch NULL).
+    *
+    * State per type is O(unflushed hours + 3): pending hour counts
+    * accumulate until the watermark passes an hour's END (hours are then
+    * immutable — late events land inside the watermark by construction),
+    * the hour flushes in order, and only the last 3 flushed (hour,
+    * count) pairs are retained for trailing sums. Flush is driven by
+    * event-time timeouts: the no-data batch Spark runs when the
+    * watermark advances fires the timeout, so hours emit without
+    * waiting for the next event of that type.
+    */
+  def rateSpikes(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val HourUs = 3600L * 1000000
+    val typed = events
+      .select(col("event_type"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+      .withWatermark("ts", "10 minutes")
+      .as[SpikeEvent]
+
+    val update = (key: String, batch: Iterator[SpikeEvent],
+        state: GroupState[SpikeState]) => {
+      val wmUs = state.getCurrentWatermarkMs() * 1000
+      var st = state.getOption.getOrElse(SpikeState(Map.empty, Vector.empty))
+      val newCounts = batch.foldLeft(Map.empty[Long, Long]) { (m, e) =>
+        val h = e.ts_us - java.lang.Math.floorMod(e.ts_us, HourUs)
+        m.updated(h, m.getOrElse(h, 0L) + 1L)
+      }
+      val pending = newCounts.foldLeft(st.pendingHours) { case (m, (h, n)) =>
+        m.updated(h, m.getOrElse(h, 0L) + n)
+      }
+      val (ready, still) = pending.partition { case (h, _) => h + HourUs <= wmUs }
+      var tail = st.flushedTail
+      val out = ready.toSeq.sortBy(_._1).map { case (h, n) =>
+        val trailing = if (tail.isEmpty) None else Some(tail.map(_._2).sum)
+        tail = (tail :+ (h, n)).takeRight(3)
+        SpikeOut(key, h, n, trailing,
+          trailing.filter(_ > 0).map(t => n * 1000 / t))
+      }
+      st = SpikeState(still, tail)
+      if (st.pendingHours.nonEmpty || st.flushedTail.nonEmpty) {
+        state.update(st)
+        if (st.pendingHours.nonEmpty)
+          state.setTimeoutTimestamp(st.pendingHours.keys.min / 1000 + HourUs / 1000)
+      } else state.remove()
+      out.iterator
+    }
+
+    typed
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+      .toDF()
+      .select(col("event_type"), timestamp_micros(col("hour_us")).as("hour"),
+        col("n_events"), col("trailing_events"), col("spike_permille"))
+  }
+
   /** Per-user running totals via the state API v2. */
   def runningTotals(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._

@@ -85,6 +85,37 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("streaming rate spikes equal the batch q106 rows they flush") {
+    val stream = EventStreams.readEvents(spark, streamDir)
+    runToMemory(EventStreams.rateSpikes(spark, stream), "spikes")
+    def key(t: String, h: Long) = (t, h)
+    val got = spark.sql(
+      "select event_type, unix_micros(hour) as h, n_events, trailing_events, spike_permille from spikes")
+      .collect()
+      .map(r => key(r.getString(0), r.getLong(1)) ->
+        (r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    val batch = graft.queries.EventsOps.defs.find(_.name == "q106_rate_spikes").get
+      .fn(spark, dir)
+      .select(col("event_type"), unix_micros(col("hour")).as("h"),
+        col("n_events"), col("trailing_events"), col("spike_permille"))
+      .collect()
+      .map(r => key(r.getString(0), r.getLong(1)) ->
+        (r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(got.nonEmpty)
+    // every flushed streaming hour must match its batch row bit-for-bit
+    val bad = got.filter { case (k, v) => batch.get(k) != Some(v) }
+    assert(bad.isEmpty, s"mismatched hours: ${bad.take(3)}")
+    // coverage: the watermark leaves at most the tail hours unflushed
+    val perType = batch.keySet.groupBy(_._1).view.mapValues(_.size)
+    got.keySet.groupBy(_._1).foreach { case (t, hrs) =>
+      assert(hrs.size >= perType(t) - 2, s"type $t flushed only ${hrs.size}")
+    }
+  }
+
   test("flatMapGroupsWithState sessionizer agrees with the batch q11 sessions") {
     val stream = EventStreams.readEvents(spark, streamDir)
     runToMemory(EventStreams.sessionize(spark, stream), "fmgs_sessions")
