@@ -78,27 +78,12 @@ object Clean {
     * offsets each partition's local index — the classic distributed
     * zipWithIndex. Two narrow passes over sorted data, no global gather.
     */
-  def runScalable(spark: SparkSession, jsonlPath: String): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val sorted = prepared(spark, jsonlPath)
-      .select("title", "content", "link", "publish_date", "category")
-      .repartitionByRange(col("publish_date"), col("link"))
-      .sortWithinPartitions(col("publish_date"), col("link"))
-    val counts = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
-      Iterator((i, it.size.toLong))
-    }.collect().sortBy(_._1)
-    val offsets = counts.map(_._2).scanLeft(1L)(_ + _)
-    val offsetsBc = spark.sparkContext.broadcast(offsets)
-    val withId = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
-      var id = offsetsBc.value(i)
-      it.map { r => val out = Row.fromSeq(id +: r.toSeq); id += 1; out }
-    }
-    val schema = StructType(
-      StructField("id_news", LongType, nullable = false) +: sorted.schema.fields)
-    spark.createDataFrame(withId, schema)
+  def runScalable(spark: SparkSession, jsonlPath: String): DataFrame =
+    graft.ops.GlobalIndex.withDenseIndex(
+        prepared(spark, jsonlPath)
+          .select("title", "content", "link", "publish_date", "category"),
+        "id_news", Seq(col("publish_date"), col("link")))
       .select("id_news", "title", "content", "link", "publish_date", "category")
-  }
 
   /** Stage-1 sink: timestamped directory keeps the reference's
     * no-overwrite naming (`Main.py:172-177`) — Spark writes a directory

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Dense 1-based global index in a total order WITHOUT a single-partition
+  * window — the classic distributed zipWithIndex: range-partition on the
+  * sort key, sort within partitions, count rows per partition (one tiny
+  * driver collect of `numPartitions` longs — not data), then offset each
+  * partition's local index. Two narrow passes over range-sorted data; at
+  * 100 TB the range exchange is the same one a global ORDER BY needs,
+  * and nothing ever gathers to one task.
+  *
+  * The order defined by `sortCols` must be TOTAL (add a unique
+  * tie-breaker column) — otherwise rows equal under the sort key get
+  * arbitrary relative indexes. Given a total order, the result is
+  * independent of partition boundary placement, so RangePartitioner's
+  * boundary sampling cannot affect the output.
+  *
+  * Extracted from the reference ETL's scale path (`etl.Clean
+  * .runScalable`, byte-equal to the window form per GoldenParitySpec);
+  * reused by the corpus-shuffle operator (q111).
+  */
+object GlobalIndex {
+
+  /** Prepend `idCol` (dense, 1-based, in `sortCols` order) to `df`. */
+  def withDenseIndex(df: DataFrame, idCol: String, sortCols: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val counts = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      Iterator((i, it.size.toLong))
+    }.collect().sortBy(_._1)
+    val offsets = counts.map(_._2).scanLeft(1L)(_ + _)
+    val offsetsBc = spark.sparkContext.broadcast(offsets)
+    val withId = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var id = offsetsBc.value(i)
+      it.map { r => val out = Row.fromSeq(id +: r.toSeq); id += 1; out }
+    }
+    val schema = StructType(
+      StructField(idCol, LongType, nullable = false) +: sorted.schema.fields)
+    spark.createDataFrame(withId, schema)
+  }
+}

@@ -1438,6 +1438,80 @@ object TextOps {
       |WHERE bg.c_ab >= 5
       |ORDER BY pmi_score DESC, w1 ASC, w2 ASC LIMIT 50""".stripMargin
 
+  // q110 — model-free document embeddings by FEATURE HASHING (the
+  // "hashing trick", Weinberger et al. 2009): v[h(tok) mod 64] ±= 1
+  // with the sign drawn from another hash bit — the signed variant that
+  // keeps E[v·v'] equal to the true token-count inner product. This is
+  // what a pipeline uses for clustering/dedup geometry when no learned
+  // encoder is available (or affordable at 100 TB: it's one scan,
+  // integer adds, no model service). Exact integers end to end; the
+  // dense 64-vector is emitted as ordered CSV for the gate. Shape: one
+  // (doc, dim) partial-agg shuffle + per-doc assembly — no vocabulary,
+  // no broadcast, unbounded-vocab-proof by construction.
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    val cells = docs(s, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), h60(col("tok")).as("h"))
+      .select(col("doc_id"), (col("h") % 64).as("dim"),
+        when(expr("h div 64") % 2 === 0, 1L).otherwise(-1L).as("sgn"))
+      .groupBy(col("doc_id"), col("dim")).agg(sum(col("sgn")).as("s"))
+    cells.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("s"))))
+        .as("m"),
+        sum(col("s") * col("s")).as("sq_norm"))
+      .select(col("doc_id"),
+        expr("array_join(transform(sequence(0, 63), " +
+          "d -> CAST(coalesce(element_at(m, CAST(d AS BIGINT)), 0) AS STRING)), ',')")
+          .as("vec_csv"),
+        col("sq_norm"))
+  }
+  private val q110Sql =
+    s"""WITH tok AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents) x
+      |  WHERE LEN(tok) > 0),
+      |hx AS (
+      |  SELECT doc_id, h % 64 AS dim,
+      |    CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      |  FROM (SELECT doc_id, ${h60Sql("tok")} AS h FROM tok) y),
+      |cell AS (
+      |  SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS s
+      |  FROM hx GROUP BY doc_id, dim),
+      |dense AS (
+      |  SELECT ids.doc_id, g.d AS dim, COALESCE(c.s, 0) AS s
+      |  FROM (SELECT DISTINCT doc_id FROM cell) ids
+      |  CROSS JOIN range(0, 64) g(d)
+      |  LEFT JOIN cell c ON c.doc_id = ids.doc_id AND c.dim = g.d)
+      |SELECT doc_id,
+      |  STRING_AGG(CAST(s AS VARCHAR), ',' ORDER BY dim) AS vec_csv,
+      |  CAST(SUM(s * s) AS BIGINT) AS sq_norm
+      |FROM dense GROUP BY doc_id""".stripMargin
+
+  // q111 — deterministic corpus shuffle ([[graft.ops.GlobalIndex]]):
+  // training-order construction. Epoch order must be (a) uniformly
+  // "random" w.r.t. any natural key (source, time, length — batch-level
+  // correlation hurts training), (b) reproducible run to run, and (c)
+  // computable without a single-partition window. Order key =
+  // h60(doc_id) with doc_id tie-break (total order), rank assigned by
+  // the distributed zipWithIndex — range exchange + two narrow passes,
+  // byte-equal to ROW_NUMBER over the same order (which is exactly what
+  // the oracle replays). A new epoch = new salt concatenated into the
+  // hash input.
+  private def q111(s: SparkSession, dir: String): DataFrame =
+    graft.ops.GlobalIndex.withDenseIndex(
+        docs(s, dir).select(col("doc_id"),
+          h60(col("doc_id").cast("string")).as("h")),
+        "shuffle_rank", Seq(col("h"), col("doc_id")))
+      .select(col("doc_id"), col("h").as("shuffle_key"), col("shuffle_rank"))
+  private val q111Sql =
+    s"""SELECT doc_id,
+      |  ${h60Sql("CAST(doc_id AS VARCHAR)")} AS shuffle_key,
+      |  CAST(ROW_NUMBER() OVER (
+      |    ORDER BY ${h60Sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS BIGINT)
+      |    AS shuffle_rank
+      |FROM documents""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q13_exact_dedup", q13, Some(q13Sql)),
     QueryDef("q14_text_stats", q14, Some(q14Sql)),
@@ -1473,5 +1547,7 @@ object TextOps {
     QueryDef("q95_bigram_surprisal", q95, Some(q95Sql)),
     QueryDef("q102_vocab_coverage", q102, Some(q102Sql)),
     QueryDef("q104_pmi_collocations", q104, Some(q104Sql)),
+    QueryDef("q110_feature_hashing", q110, Some(q110Sql)),
+    QueryDef("q111_corpus_shuffle", q111, Some(q111Sql)),
   )
 }

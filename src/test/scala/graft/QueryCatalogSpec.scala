@@ -199,6 +199,30 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(los.toSeq == los.sorted.toSeq) // bucket floors ascend
   }
 
+  test("q110 hashed vectors are 64-dim with consistent norm and mass") {
+    val rows = SparkEntry.queries("q110_feature_hashing")(spark, dir).collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n_tok")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_tok")).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getAs[String]("vec_csv").split(",").map(_.toLong)
+      assert(v.length == 64)
+      assert(v.map(x => x * x).sum == r.getAs[Long]("sq_norm"))
+      // signed counts can cancel but total mass is bounded by token count
+      assert(v.map(math.abs).sum <= docs(r.getAs[Long]("doc_id")))
+    }
+  }
+
+  test("q111 shuffle ranks are a permutation decorrelated from doc order") {
+    val rows = SparkEntry.queries("q111_corpus_shuffle")(spark, dir).collect()
+    val n = rows.length
+    assert(rows.map(_.getAs[Long]("shuffle_rank")).sorted.toSeq == (1L to n))
+    // hash order must not be the identity order (decorrelation smoke)
+    val byDoc = rows.sortBy(_.getAs[Long]("doc_id")).map(_.getAs[Long]("shuffle_rank"))
+    assert(byDoc.toSeq != (1L to n))
+  }
+
   test("q67 assigns every doc exactly one cluster, labeled by the cluster min") {
     val rows = SparkEntry.queries("q67_neardup_clusters")(spark, dir).collect()
     val total = spark.read.parquet(s"$dir/documents.parquet").count()
