@@ -59,4 +59,37 @@ object Packing {
         col("n_tokens"),
         expr(s"(_cum - n_tokens) div $budget").as("pack_id"))
   }
+
+  /** [[packGreedy]] plus the dataloader-facing manifest column: each
+    * document's token OFFSET inside its pack (where its tokens start
+    * when the pack is concatenated in packing order). Same single
+    * shard-key exchange and per-shard window — the offset is the same
+    * running cumsum packGreedy already computes, reduced mod the pack
+    * start (`start - pack_id·budget`), so the manifest costs nothing
+    * extra. A trainer consumes exactly (shard, pack_id, offset):
+    * that triple IS the epoch's storage layout.
+    */
+  def packManifest(
+      df: DataFrame,
+      id: Column,
+      tokens: Column,
+      hash: Column,
+      budget: Long,
+      nShards: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val shards: Long =
+      if (nShards > 0) nShards.toLong
+      else 4L * df.sparkSession.sessionState.conf.numShufflePartitions
+    val w = Window.partitionBy(col("_shard")).orderBy(col("_h"), col("_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(id.as("_id"), tokens.cast("long").as("n_tokens"),
+        hash.as("_h"))
+      .withColumn("_shard", pmod(col("_h"), lit(shards)))
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      .select(col("_id").as("doc_id"), col("_shard").as("shard"),
+        col("n_tokens"),
+        expr(s"(_cum - n_tokens) div $budget").as("pack_id"),
+        expr(s"(_cum - n_tokens) - ((_cum - n_tokens) div $budget) * $budget")
+          .as("offset_tokens"))
+  }
 }

@@ -1512,6 +1512,36 @@ object TextOps {
       |    AS shuffle_rank
       |FROM documents""".stripMargin
 
+  // q112 — pack MANIFEST: q90's packing plus each document's token
+  // offset inside its pack — the (shard, pack, offset) triple a
+  // dataloader actually reads; without it packing output is just bin
+  // ids. Same one-exchange plan as q90 (the offset reuses the running
+  // cumsum — see ops/Packing.packManifest); oracle extends q90's with
+  // the same arithmetic.
+  private def q112(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.packManifest(
+      docs(s, dir),
+      id = col("doc_id"),
+      tokens = expr("subword_count(text)"),
+      hash = h60(col("text")),
+      budget = 2048L,
+      nShards = 16)
+  private lazy val q112Sql =
+    s"""WITH RECURSIVE $subwordCte,
+      |base AS (
+      |  SELECT d.doc_id, ${h60Sql("d.text")} AS h,
+      |    CAST(LEN(dt.toks) AS BIGINT) AS n_tokens
+      |  FROM documents d JOIN doc_toks dt ON dt.doc_id = d.doc_id)
+      |SELECT doc_id, shard, n_tokens,
+      |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+      |  CAST((cum - n_tokens) - ((cum - n_tokens) // 2048) * 2048 AS BIGINT)
+      |    AS offset_tokens
+      |FROM (
+      |  SELECT doc_id, h % 16 AS shard, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY h % 16 ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM base) p""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q13_exact_dedup", q13, Some(q13Sql)),
     QueryDef("q14_text_stats", q14, Some(q14Sql)),
@@ -1549,5 +1579,6 @@ object TextOps {
     QueryDef("q104_pmi_collocations", q104, Some(q104Sql)),
     QueryDef("q110_feature_hashing", q110, Some(q110Sql)),
     QueryDef("q111_corpus_shuffle", q111, Some(q111Sql)),
+    QueryDef("q112_pack_manifest", q112, Some(q112Sql)),
   )
 }

@@ -39,6 +39,31 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest offsets are consistent with pack assignment and budget") {
+    val m = Packing.packManifest(docs, col("doc_id"), col("n_tok"),
+        col("h"), budget = 500L, nShards = 8).collect()
+    val g = Packing.packGreedy(docs, col("doc_id"), col("n_tok"),
+        col("h"), budget = 500L, nShards = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    m.foreach { r =>
+      val (doc, shard, n, pack, off) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(g(doc) == (shard, pack)) // manifest never disagrees with packGreedy
+      assert(off >= 0 && off < 500L) // start offset lies inside the pack
+      assert(n > 0)
+    }
+    // within a pack, docs tile contiguously: each starts where the
+    // previous ended (the head slot may be occupied by the previous
+    // pack's overflowing tail, so the first offset need not be 0); every
+    // doc except the pack's last ends inside the budget
+    m.groupBy(r => (r.getLong(1), r.getLong(3))).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(4)).map(r => (r.getLong(4), r.getLong(2))).toSeq
+      sorted.zip(sorted.drop(1)).foreach { case ((off1, n1), (off2, _)) =>
+        assert(off1 + n1 < 500L && off2 == off1 + n1)
+      }
+    }
+  }
+
   test("nShards knob controls cumsum parallelism") {
     def shards(n: Int): Long =
       Packing.packGreedy(docs, col("doc_id"), col("n_tok"), col("h"),
