@@ -21,5 +21,6 @@ object QueryDef {
       queries.NewsEtl.defs ++
       queries.Advanced.defs ++
       queries.MultimodalOps.defs ++
-      queries.ScaleOps.defs
+      queries.ScaleOps.defs ++
+      queries.CurationOps.defs
 }

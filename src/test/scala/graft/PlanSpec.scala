@@ -243,6 +243,24 @@ class PlanSpec extends AnyFunSuite {
       s"assignment fan-out must not shuffle the vectors:\n$p")
   }
 
+  test("q113: PII scrub is fully narrow — no join, no aggregate") {
+    val p = plan("q113_pii_redaction")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"per-row regex work must not shuffle or aggregate:\n$p")
+  }
+
+  test("q114: blocking makes candidate generation an equi-join, never a cross product") {
+    val p = plan("q114_fuzzy_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy match degenerated to all-pairs:\n$p")
+    assert(p.contains("TopKPerGroup"), s"best-match should use the native op:\n$p")
+  }
+
+  test("q116: weighted sample plans as TakeOrdered, not a global sort") {
+    val p = plan("q116_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$p")
+  }
+
   test("q83: all three funnel stages shuffle on the same user_id key") {
     val df = SparkEntry.queries("q83_event_funnel")(spark, dir)
     df.collect()

@@ -85,6 +85,60 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q113 finds every planted PII item; redaction is reflected in the hash") {
+    val rows = SparkEntry.queries("q113_pii_redaction")(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.length == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_emails") >= 1)
+      assert(r.getAs[Long]("n_phones") >= 1)
+      assert(r.getAs[Long]("n_ips") >= 1)
+      assert(r.getAs[String]("red_md5").length == 32)
+    }
+  }
+
+  test("q114 links every dirty record back to its own customer at distance 2") {
+    val rows = SparkEntry.queries("q114_fuzzy_match")(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/customer.parquet").count()
+    assert(rows.length == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dirty_key") == r.getAs[Long]("match_key"))
+      assert(r.getAs[Long]("dist") == 2L)
+    }
+  }
+
+  test("q115 caps postings at 10 and honors the df floor") {
+    val rows = SparkEntry.queries("q115_inverted_index")(spark, dir).collect()
+    rows.foreach { r =>
+      val df = r.getAs[Long]("df")
+      val ids = r.getAs[String]("postings").split(',').map(_.toLong)
+      assert(df >= 20)
+      assert(ids.length == math.min(df, 10L))
+      assert(ids.sorted.sameElements(ids)) // ascending doc_ids
+    }
+  }
+
+  test("q116 draws min(200, corpus) docs in ascending priority order") {
+    val rows = SparkEntry.queries("q116_weighted_sample")(spark, dir).collect()
+    val eligible = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("n_chars") > 0).count()
+    assert(rows.length == math.min(200L, eligible))
+    val ps = rows.map(r => (r.getAs[Long]("priority"), r.getAs[Long]("doc_id")))
+    assert(ps.sorted.sameElements(ps))
+  }
+
+  test("q117 batches cover the corpus with <=32 docs each and non-negative waste") {
+    val rows = SparkEntry.queries("q117_length_batching")(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") <= 32)
+      assert(r.getAs[Long]("waste") >= 0)
+      assert(r.getAs[Long]("waste") ==
+        r.getAs[Long]("n_docs") * r.getAs[Long]("max_tok") - r.getAs[Long]("tok_sum"))
+    }
+  }
+
   test("q96 assigns 8 subspace codes per vector; codebook vectors self-assign at d2=0") {
     val rows = SparkEntry.queries("q96_pq_codes")(spark, dir).collect()
     val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
