@@ -250,11 +250,153 @@ object CurationOps {
       |       CAST(n_docs * max_tok - tok_sum AS BIGINT) AS waste
       |FROM b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q118 — DSIR-style importance resampling (Xie et al. 2023, arXiv:
+  // 2302.03169): select raw-corpus docs that look most like a TARGET
+  // distribution (here lang='en') by importance weight p_target/p_raw
+  // under unigram bag-of-words models. Integer proxy per the q92/q95
+  // convention: surprisal(w|model) = ((N + V)·1000) div (cnt(w)+1)
+  // (add-one smoothed, monotone in -log p), log-weight = Σ_tokens
+  // (surprisal_raw − surprisal_target) — positive ⇒ the target model
+  // explains the doc better than the raw model. Output = top-100 docs
+  // by weight, the resampling front-runners.
+  // Shape at 100 TB: both unigram tables are VOCAB-BOUNDED → broadcast
+  // to the token stream (no shuffle of the corpus); the only wide op is
+  // the per-doc partial-agg sum; top-100 is a TakeOrdered heap.
+  // ---------------------------------------------------------------------
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+    val raw = tok.groupBy(col("w")).agg(count(lit(1)).as("cr"))
+    val tgt = tok.filter(col("lang") === "en")
+      .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+    val scal = raw.agg(
+      sum(col("cr")).as("nr"), count(lit(1)).as("v"))
+    val scat = tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
+    tok.join(broadcast(raw), Seq("w"))
+      .join(broadcast(tgt), Seq("w"), "left")
+      .crossJoin(broadcast(scal)).crossJoin(broadcast(scat))
+      .select(col("doc_id"), col("lang"),
+        expr("((nr + v) * 1000) div (cr + 1) - ((nt + v) * 1000) div (coalesce(ct, 0) + 1)")
+          .as("lw"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lw")).as("logweight"))
+      .orderBy(col("logweight").desc, col("doc_id"))
+      .limit(100)
+  }
+  private val q118Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+      |raw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cr FROM tok GROUP BY w),
+      |tgt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS ct
+      |        FROM tok WHERE lang = 'en' GROUP BY w),
+      |scal AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr,
+      |                CAST(COUNT(*) AS BIGINT) AS v FROM raw),
+      |scat AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS nt FROM tgt),
+      |sc AS (
+      |  SELECT doc_id, lang,
+      |    ((nr + v) * 1000) // (cr + 1)
+      |      - ((nt + v) * 1000) // (COALESCE(ct, 0) + 1) AS lw
+      |  FROM tok JOIN raw USING (w) LEFT JOIN tgt USING (w)
+      |  CROSS JOIN scal CROSS JOIN scat)
+      |SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |       CAST(SUM(lw) AS BIGINT) AS logweight
+      |FROM sc GROUP BY doc_id, lang
+      |ORDER BY logweight DESC, doc_id LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q119 — k-anonymity audit: group events by quasi-identifier tuple
+  // (event_type, hour-of-day, 50-unit value band) and report every
+  // group whose DISTINCT USER count is below k=5 — the groups where a
+  // released aggregate would re-identify users. The privacy twin of
+  // q113: PII scrubbing removes direct identifiers, this audits the
+  // indirect ones. Band edges are floor(value/50) — IEEE double floor,
+  // bit-identical in both engines.
+  // Shape at 100 TB: one partial-agg shuffle on the QID tuple;
+  // count(distinct user) rewrites to the standard two-phase expand —
+  // QID cardinality is bounded (types × 24 × bands), so the final
+  // reduce is tiny regardless of input size.
+  // ---------------------------------------------------------------------
+  private def q119(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.loadEvents(s, dir)
+      .select(col("event_type"),
+        hour(col("ts")).cast("long").as("hod"),
+        expr("CAST(FLOOR(value / 50) AS BIGINT)").as("vband"),
+        col("user_id"))
+      .groupBy(col("event_type"), col("hod"), col("vband"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"))
+      .filter(col("n_users") < 5)
+  private val q119Sql =
+    """SELECT event_type, CAST(HOUR(ts) AS BIGINT) AS hod,
+      |       CAST(FLOOR(value / 50) AS BIGINT) AS vband,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events
+      |GROUP BY event_type, HOUR(ts), FLOOR(value / 50)
+      |HAVING COUNT(DISTINCT user_id) < 5""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q120 — robust outlier detection via MAD (median absolute deviation):
+  // per event type, med = exact median of value, mad = exact median of
+  // |value − med|, outlier ⇔ |value − med| > 1.5·mad. The median/MAD
+  // pair is the robust replacement for q107's mean/stddev z-score — a
+  // few extreme values cannot move the fences. Threshold 1.5 is a knob
+  // (≈3.5 is conventional for Gaussian data; 1.5 exercises the filter
+  // on this near-uniform synthetic distribution). All arithmetic is
+  // IEEE-exact cross-engine: PERCENTILE_DISC returns an actual data
+  // value, |x−m| and 1.5·m are single double ops.
+  // Shape at 100 TB: exact per-group medians need a sort per group —
+  // two passes over a 5-group key are cheap here; at real scale the
+  // approx twin (q40's GK sketch) replaces pass one and this query
+  // becomes the audit that bounds its error.
+  // ---------------------------------------------------------------------
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.loadEvents(s, dir).select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(1.5) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        min(when(col("dev") > lit(1.5) * col("mad"), col("value")))
+          .as("min_outlier"),
+        max(when(col("dev") > lit(1.5) * col("mad"), col("value")))
+          .as("max_outlier"))
+  }
+  private val q120Sql =
+    """WITH med AS (
+      |  SELECT event_type,
+      |         PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY value) AS med
+      |  FROM events GROUP BY event_type),
+      |dev AS (
+      |  SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS dev
+      |  FROM events e JOIN med m USING (event_type)),
+      |mad AS (
+      |  SELECT event_type,
+      |         PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY dev) AS mad
+      |  FROM dev GROUP BY event_type)
+      |SELECT d.event_type, ANY_VALUE(d.med) AS med, ANY_VALUE(a.mad) AS mad,
+      |       CAST(SUM(CASE WHEN d.dev > 1.5 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_outliers,
+      |       MIN(CASE WHEN d.dev > 1.5 * a.mad THEN d.value END) AS min_outlier,
+      |       MAX(CASE WHEN d.dev > 1.5 * a.mad THEN d.value END) AS max_outlier
+      |FROM dev d JOIN mad a USING (event_type)
+      |GROUP BY d.event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q113_pii_redaction", q113, Some(q113Sql)),
     QueryDef("q114_fuzzy_match", q114, Some(q114Sql)),
     QueryDef("q115_inverted_index", q115, Some(q115Sql)),
     QueryDef("q116_weighted_sample", q116, Some(q116Sql)),
     QueryDef("q117_length_batching", q117, Some(q117Sql)),
+    QueryDef("q118_dsir_resample", q118, Some(q118Sql)),
+    QueryDef("q119_k_anonymity", q119, Some(q119Sql)),
+    QueryDef("q120_mad_outliers", q120, Some(q120Sql)),
   )
 }

@@ -139,6 +139,45 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q118 resampling over-represents the target language vs the corpus") {
+    val rows = SparkEntry.queries("q118_dsir_resample")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val lw = rows.map(_.getAs[Long]("logweight"))
+    assert(lw.zip(lw.tail).forall { case (a, b) => a >= b }) // desc order
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    val corpusEn = docsDf.filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .count().toDouble / docsDf.count()
+    val selEn = rows.count(_.getAs[String]("lang") == "en").toDouble / rows.length
+    assert(selEn > corpusEn,
+      s"importance weighting should prefer the target lang: sel=$selEn corpus=$corpusEn")
+  }
+
+  test("q119 reports only sub-k groups with consistent counts") {
+    val rows = SparkEntry.queries("q119_k_anonymity")(spark, dir).collect()
+    rows.foreach { r =>
+      val (n, u) = (r.getAs[Long]("n_rows"), r.getAs[Long]("n_users"))
+      assert(u >= 1 && u < 5 && n >= u)
+      assert(r.getAs[Long]("hod") >= 0 && r.getAs[Long]("hod") <= 23)
+    }
+  }
+
+  test("q120 reports one MAD row per event type; fences are consistent") {
+    val rows = SparkEntry.queries("q120_mad_outliers")(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mad") >= 0.0)
+      val n = r.getAs[Long]("n_outliers")
+      if (n == 0) assert(r.isNullAt(r.fieldIndex("min_outlier")))
+      else {
+        val (med, mad) = (r.getAs[Double]("med"), r.getAs[Double]("mad"))
+        val lo = r.getAs[Double]("min_outlier")
+        val hi = r.getAs[Double]("max_outlier")
+        assert(lo <= hi)
+        assert(math.abs(lo - med) > 1.5 * mad || math.abs(hi - med) > 1.5 * mad)
+      }
+    }
+  }
+
   test("q96 assigns 8 subspace codes per vector; codebook vectors self-assign at d2=0") {
     val rows = SparkEntry.queries("q96_pq_codes")(spark, dir).collect()
     val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
