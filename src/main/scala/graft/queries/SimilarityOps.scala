@@ -580,6 +580,14 @@ object SimilarityOps {
   // Cross-cell paraphrase pairs are missed by construction (the paper's
   // stated trade); raising recall = probing neighbor cells, multiplying
   // candidates by nprobe, never by n.
+  //
+  // Clustering exploits the same construction: every edge lives INSIDE
+  // a cell and every vector belongs to exactly one cell, so components
+  // can never span cells — `labelWithinGroups` runs one exact local
+  // union-find per cell (one shuffle, zero global rounds) instead of
+  // the 11 min-propagation rounds the general fixpoint paid here
+  // (measured 9.1 s → ~1 s at sf0.1). q67/q91 keep the iterative
+  // operators for graphs whose edges genuinely cross buckets.
   private def q105(s: SparkSession, dir: String): DataFrame = {
     val assigned = ivfAssigned(s, dir).select(col("vec_id"), col("cell_id"))
     val e = withNorm(s, load(s, dir, "embeddings"))
@@ -590,9 +598,9 @@ object SimilarityOps {
       col("norm").as("nb"), col("cell_id"))
     val edges = a.join(b, Seq("cell_id")).filter(col("src") < col("dst"))
       .filter((expr("dot_product(va, vb)") / (col("na") * col("nb"))) >= 0.35)
-      .select(col("src"), col("dst"))
-    val nodes = load(s, dir, "embeddings").select(col("vec_id").as("id"))
-    val labeled = graft.ops.ConnectedComponents.label(nodes, edges)
+      .select(col("cell_id"), col("src"), col("dst"))
+    val members = av.select(col("cell_id"), col("vec_id"))
+    val labeled = graft.ops.ConnectedComponents.labelWithinGroups(members, edges)
     val sizes = labeled.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labeled.join(sizes, "label")
       .select(col("id").as("vec_id"), col("label").as("cluster_id"),

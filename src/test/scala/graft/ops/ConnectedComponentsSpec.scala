@@ -30,6 +30,40 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(labels == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
 
+  test("labelWithinGroups matches the global fixpoint on group-confined graphs") {
+    // group 1: chain 1-2-3 plus isolated 9; group 2: pair 10-11 and
+    // isolated 12 — labels must equal the general operator's
+    val members = Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 9L),
+      (2L, 10L), (2L, 11L), (2L, 12L)).toDF("grp", "id")
+    val edges = Seq((1L, 2L, 1L), (1L, 2L, 3L), (2L, 11L, 10L))
+      .toDF("grp", "src", "dst")
+    val got = ConnectedComponents.labelWithinGroups(members, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = cc(Seq(1L, 2L, 3L, 9L, 10L, 11L, 12L),
+      Seq((2L, 1L), (2L, 3L), (11L, 10L)))
+    assert(got == want)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L,
+      10L -> 10L, 11L -> 10L, 12L -> 12L))
+  }
+
+  test("labelWithinGroups: randomized agreement with the global fixpoint") {
+    val rnd = new scala.util.Random(7)
+    // 4 groups of 12 nodes, random intra-group edges — the invariant
+    // the operator requires (no cross-group edges)
+    val nodes = (0L until 48L)
+    val grpOf = (id: Long) => id / 12L
+    val edges = Seq.fill(60) {
+      val g = rnd.nextInt(4).toLong
+      (g, g * 12 + rnd.nextInt(12), g * 12 + rnd.nextInt(12))
+    }.filter { case (_, a, b) => a != b }
+    val got = ConnectedComponents.labelWithinGroups(
+        nodes.map(id => (grpOf(id), id)).toDF("grp", "id"),
+        edges.toDF("grp", "src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = cc(nodes, edges.map { case (_, a, b) => (a, b) })
+    assert(got == want)
+  }
+
   test("labelViaBuckets matches pair-graph components on shared-bucket chains") {
     // buckets: {1,2}, {2,3}, {4,5} — components {1,2,3} and {4,5};
     // node 9 only in a singleton bucket
