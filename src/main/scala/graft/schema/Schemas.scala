@@ -26,6 +26,16 @@ object Schemas {
     StructField("date", StringType),
     StructField("_corrupt_record", StringType)))
 
+  /** Driver testdata `documents` table (TESTDATA.md) — declared for
+    * streaming reads (FileStreamSource requires an explicit schema).
+    */
+  val documents: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
   /** Stage-1 output (reference `Main.py:169`). */
   val clean: StructType = StructType(Seq(
     StructField("id_news", LongType, nullable = false),

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Streaming/batch parity for document-ingest dedup: the admitted
+  * fingerprint set must equal q58's distinct-content set exactly; the
+  * representative id may differ (first-arrival vs min-id — the inherent
+  * streaming delta, documented on [[DocStreams.dedupByFingerprint]]).
+  */
+class DocStreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("docs_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      d.resolve("part-00000.parquet"))
+    d.toString
+  }
+
+  test("streaming fingerprint dedup admits exactly the batch-distinct content set") {
+    val stream = DocStreams.readDocs(spark, streamDir)
+    val q = DocStreams.dedupByFingerprint(spark, stream)
+      .writeStream.format("memory").queryName("kept_docs")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val batch = graft.SparkEntry.queries("q58_dedup_fingerprint")(spark, dir)
+      .select("fingerprint").collect().map(_.getString(0)).toSet
+    val streamed = spark.sql("select fingerprint, doc_id from kept_docs").collect()
+    assert(streamed.map(_.getString(0)).toSet == batch)
+    assert(streamed.length == batch.size) // exactly one admit per content
+    // single-file single-batch source: every claimant shares the batch,
+    // so first-arrival == min doc_id == the batch canonical id too
+    val batchIds = graft.SparkEntry.queries("q58_dedup_fingerprint")(spark, dir)
+      .select("fingerprint", "doc_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    streamed.foreach(r => assert(r.getLong(1) == batchIds(r.getString(0))))
+  }
+
+  test("a replayed second file of identical content admits nothing new") {
+    val d2 = java.nio.file.Files.createTempDirectory("docs_stream2")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      d2.resolve("a.parquet"))
+    val stream = DocStreams.readDocs(spark, d2.toString)
+    val q = DocStreams.dedupByFingerprint(spark, stream)
+      .writeStream.format("memory").queryName("kept_docs_replay")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("docs_ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    // replay: drop the same content in again as a new file
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      d2.resolve("b.parquet"))
+    q.processAllAvailable()
+    q.stop()
+    val total = spark.read.parquet(s"$dir/documents.parquet")
+      .select(md5(col("text"))).distinct().count()
+    assert(spark.sql("select count(*) from kept_docs_replay").head().getLong(0) == total)
+  }
+}
