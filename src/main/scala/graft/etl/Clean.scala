@@ -85,6 +85,45 @@ object Clean {
         "id_news", Seq(col("publish_date"), col("link")))
       .select("id_news", "title", "content", "link", "publish_date", "category")
 
+  /** Corrupt-line QUARANTINE: same tolerant read as [[prepared]], but
+    * instead of silently dropping unparseable lines, route them to a
+    * side parquet sink (raw line + ingest timestamp) and return the
+    * clean frame. The reference has no quarantine (bad rows vanish in
+    * `pd.read_json`); at 100 TB silently-dropped input is an
+    * unauditable data loss, so production ingest splits the stream:
+    * one read, two sinks. The parsed frame is cached for the duration
+    * of the two consumers (quarantine write + returned frame) —
+    * without it each sink would re-read and re-parse the JSONL.
+    *
+    * Returns (cleanFrame, quarantinedCount). The quarantine sink is
+    * append-mode: repeated ingest runs accumulate an audit trail
+    * rather than failing on an existing directory.
+    */
+  def preparedWithQuarantine(
+      spark: SparkSession, jsonlPath: String, quarantineDir: String): (DataFrame, Long) = {
+    val raw = spark.read
+      .schema(Schemas.raw)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(jsonlPath)
+      .cache()
+    val bad = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"),
+        current_timestamp().as("quarantined_at"),
+        lit(jsonlPath).as("source_path"))
+    bad.write.mode("append").parquet(quarantineDir)
+    val nBad = spark.read.parquet(quarantineDir)
+      .filter(col("source_path") === jsonlPath).count()
+    val clean = raw
+      .filter(col("_corrupt_record").isNull)
+      .withColumnsRenamed(renames)
+      .na.drop(Seq("title", "content", "category"))
+      .filter(col("category").isin(Schemas.categoriesToKeep: _*))
+      .withColumn("publish_date", try_to_timestamp(col("publish_date")))
+      .filter(col("publish_date").isNotNull)
+    (clean, nBad)
+  }
+
   /** Stage-1 sink: timestamped directory keeps the reference's
     * no-overwrite naming (`Main.py:172-177`) — Spark writes a directory
     * of part files, so the timestamp moves from filename to dirname.

@@ -87,6 +87,23 @@ class CleanSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("quarantine routes the corrupt line to the side sink; clean frame unchanged") {
+    val path = fixture()
+    val qdir = Files.createTempDirectory("quarantine").resolve("bad").toString
+    val (clean, nBad) = Clean.preparedWithQuarantine(spark, path, qdir)
+    assert(nBad == 1L) // the one broken JSON line in the fixture
+    val quarantined = spark.read.parquet(qdir).collect()
+    assert(quarantined.length == 1)
+    assert(quarantined.head.getAs[String]("raw_line").contains("Broken"))
+    assert(quarantined.head.getAs[String]("source_path") == path)
+    // the clean side must equal the silent-drop path exactly
+    val silent = Clean.prepared(spark, path).collect().map(_.toSeq).toSet
+    assert(clean.collect().map(_.toSeq).toSet == silent)
+    // a second ingest run APPENDS (audit trail, no errorifexists crash)
+    val (_, nBad2) = Clean.preparedWithQuarantine(spark, path, qdir)
+    assert(nBad2 == 2L)
+  }
+
   test("runScalable produces byte-identical output to run") {
     val path = fixture()
     val a = Clean.run(spark, path).collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
