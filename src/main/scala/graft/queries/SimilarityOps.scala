@@ -634,6 +634,59 @@ object SimilarityOps {
       |  (c.id = c.cluster_id) AS keep
       |FROM comp c JOIN sizes s USING (cluster_id)""".stripMargin
 
+  // q121 — semantic-dedup PAIR-RECALL audit: what fraction of the EXACT
+  // cosine-threshold pair graph does q105's cell-bounded candidate
+  // generation keep? Exact side = all-pairs cosine ≥ 0.35 (the same
+  // brute-force shape as q20, run as an audit on a bounded sample);
+  // kept side = the subset of those pairs whose endpoints share an IVF
+  // cell — by construction EXACTLY the edges q105 can see, computed by
+  // joining the exact pairs to the assignment instead of re-running any
+  // dot products. Completes the audit family: q73 (MinHash vs exact
+  // Jaccard), q87 (ANN recall@k), q101 (PQ recall), and now the dedup
+  // candidate graph itself — the number that tells a pipeline owner how
+  // much semantic-dup mass cell-bounding trades away (the SemDeDup
+  // paper's stated trade, here measured through the oracle gate).
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, load(s, dir, "embeddings"))
+    val a = e.select(col("vec_id").as("src"), col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("dst"), col("v").as("vb"), col("norm").as("nb"))
+    val exact = a.join(broadcast(b), col("src") < col("dst"))
+      .filter((expr("dot_product(va, vb)") / (col("na") * col("nb"))) >= 0.35)
+      .select(col("src"), col("dst")).cache()
+    val cells = ivfAssigned(s, dir).select(col("vec_id"), col("cell_id"))
+    val kept = exact
+      .join(cells.select(col("vec_id").as("src"), col("cell_id").as("ca")), Seq("src"))
+      .join(cells.select(col("vec_id").as("dst"), col("cell_id").as("cb")), Seq("dst"))
+      .filter(col("ca") === col("cb"))
+    exact.agg(count(lit(1)).as("n_exact_pairs"))
+      .crossJoin(kept.agg(count(lit(1)).as("n_kept_pairs")))
+      .select(col("n_exact_pairs"), col("n_kept_pairs"),
+        (col("n_kept_pairs").cast("double") /
+          nullif(col("n_exact_pairs"), lit(0L))).as("pair_recall"))
+  }
+  private lazy val q121Sql =
+    s"""WITH $ivfSqlCtes,
+      |cellmap AS (SELECT vec_id, cell_id FROM assigned WHERE rn = 1),
+      |e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+      |  FROM embeddings),
+      |exact AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |  WHERE LIST_DOT_PRODUCT(a.v, b.v) / (a.norm * b.norm) >= 0.35),
+      |kept AS (
+      |  SELECT COUNT(*) AS n_kept
+      |  FROM exact x
+      |  JOIN cellmap ca ON ca.vec_id = x.src
+      |  JOIN cellmap cb ON cb.vec_id = x.dst
+      |  WHERE ca.cell_id = cb.cell_id),
+      |tot AS (SELECT COUNT(*) AS n_exact FROM exact)
+      |SELECT CAST(n_exact AS BIGINT) AS n_exact_pairs,
+      |       CAST(n_kept AS BIGINT) AS n_kept_pairs,
+      |       CAST(n_kept AS DOUBLE) / NULLIF(n_exact, 0) AS pair_recall
+      |FROM tot CROSS JOIN kept""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_cosine_topk", q20, Some(q20Sql)),
     QueryDef("q21_label_centroid", q21, Some(q21Sql)),
@@ -651,6 +704,7 @@ object SimilarityOps {
     QueryDef("q101_pq_recall", q101, Some(q101Sql)),
     QueryDef("q103_codebook_update", q103, Some(q103Sql)),
     QueryDef("q105_semantic_dedup", q105, Some(q105Sql)),
+    QueryDef("q121_semdedup_recall", q121, Some(q121Sql)),
   )
 
   // q39 — multi-probe ANN top-3: the probe side expands to its home

@@ -178,6 +178,17 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q121 pair recall is a consistent fraction of the exact pair graph") {
+    val r = SparkEntry.queries("q121_semdedup_recall")(spark, dir).head()
+    val (ex, kept) = (r.getAs[Long]("n_exact_pairs"), r.getAs[Long]("n_kept_pairs"))
+    assert(kept >= 0 && kept <= ex)
+    if (ex > 0) {
+      val recall = r.getAs[Double]("pair_recall")
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(math.abs(recall - kept.toDouble / ex) == 0.0)
+    }
+  }
+
   test("q96 assigns 8 subspace codes per vector; codebook vectors self-assign at d2=0") {
     val rows = SparkEntry.queries("q96_pq_codes")(spark, dir).collect()
     val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
