@@ -149,10 +149,23 @@ object SimilarityOps {
   // counterpart of q22's LSH bucketing: at scale, search probes only the
   // nearest cell(s) instead of the full corpus, and the centroid table is
   // broadcast (10 cells × 64 dims).
-  private def ivfAssigned(s: SparkSession, dir: String): DataFrame = {
+  /** Vectors on the integer micro-grid, double-encoded for the distance
+    * fold: (vec_id, vm array<double> of integer values).
+    */
+  private def microVecs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
-    val emb = load(s, dir, "embeddings")
-    val cent = emb
+    load(s, dir, "embeddings")
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .select(col("vec_id"),
+        expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000000) as double))")
+          .as("vm"))
+  }
+
+  /** Label-seeded centroids: per-label mean on the micro grid
+    * (exact-integer sums, one double division at the end).
+    */
+  private def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "embeddings")
       .select(col("label").as("cell_id"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
       .withColumn("x_micro", floor(col("x") * 1000000).cast("long"))
@@ -160,11 +173,11 @@ object SimilarityOps {
       .agg((sum(col("x_micro")).cast("double") / count(lit(1))).as("c"))
       .groupBy(col("cell_id"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("cv"))
-    val vecs = emb
-      .repartition(s.sessionState.conf.numShufflePartitions)
-      .select(col("vec_id"),
-        expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000000) as double))")
-          .as("vm"))
+
+  /** Nearest-centroid assignment: broadcast the (cell_id, cv) table,
+    * narrow per-vector distance fold, argmin with cell_id tie-break.
+    */
+  private def assignToCells(vecs: DataFrame, cent: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cell_id").asc)
     vecs.join(broadcast(cent))
       .withColumn("dist", expr(
@@ -173,6 +186,9 @@ object SimilarityOps {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cell_id"), col("dist"))
   }
+
+  private def ivfAssigned(s: SparkSession, dir: String): DataFrame =
+    assignToCells(microVecs(s, dir), labelCentroids(s, dir))
   private def q31(s: SparkSession, dir: String): DataFrame = ivfAssigned(s, dir)
   /** Shared CTE chain: centroid cells + nearest-cell assignment. */
   private val ivfSqlCtes =
@@ -687,6 +703,70 @@ object SimilarityOps {
       |       CAST(n_kept AS DOUBLE) / NULLIF(n_exact, 0) AS pair_recall
       |FROM tot CROSS JOIN kept""".stripMargin
 
+  // q122 — one full Lloyd (k-means) refinement round over the complete
+  // 64-dim vectors: label-seeded centroids (round-1 = q31's coarse
+  // quantizer) → recompute each cell's centroid from its ACTUAL members
+  // → re-assign every vector — the iteration every production IVF/
+  // SemDeDup clustering runs until stable, reported as per-cell member
+  // counts before/after the round. Completes the clustering lifecycle:
+  // init (q31) → subspace update (q103, PQ) → full-vector update +
+  // re-assignment (here) → downstream consumers (q62 search, q105
+  // dedup). Exactness: member sums on the micro grid are integer-valued
+  // doubles (≪ 2^53 — order-independent), one double division per
+  // (cell, dim), then the q31 distance fold; ties break to the lowest
+  // cell_id. Further rounds repeat the same step under a driver loop
+  // (the ConnectedComponents/PageRank pattern); one oracle-checked
+  // round pins the step's arithmetic, which is the part that can drift.
+  // Shape at 100 TB: centroid update is a partial-agg (cell, dim) sum —
+  // vectors never shuffle; both assignment passes are narrow broadcast
+  // folds; k bounds every broadcast.
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    val vecs = microVecs(s, dir).cache()
+    val a1 = assignToCells(vecs, labelCentroids(s, dir))
+      .select(col("vec_id"), col("cell_id")).cache()
+    val cent2 = a1.join(vecs, Seq("vec_id"))
+      .select(col("cell_id"), posexplode(col("vm")).as(Seq("dim", "x")))
+      .groupBy(col("cell_id"), col("dim"))
+      .agg((sum(col("x").cast("long")).cast("double") / count(lit(1))).as("c"))
+      .groupBy(col("cell_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("cv"))
+    val a2 = assignToCells(vecs, cent2).select(col("vec_id"), col("cell_id"))
+    val r1 = a1.groupBy(col("cell_id")).agg(count(lit(1)).as("n_round1"))
+    val r2 = a2.groupBy(col("cell_id")).agg(count(lit(1)).as("n_round2"))
+    r1.join(r2, Seq("cell_id"), "full_outer")
+      .select(col("cell_id"),
+        coalesce(col("n_round1"), lit(0L)).as("n_round1"),
+        coalesce(col("n_round2"), lit(0L)).as("n_round2"))
+  }
+  private lazy val q122Sql =
+    s"""WITH $ivfSqlCtes,
+      |cellmap AS (SELECT vec_id, cell_id FROM assigned WHERE rn = 1),
+      |cent2 AS (
+      |  SELECT cm.cell_id, i,
+      |    CAST(SUM(CAST(vm[i] AS BIGINT)) AS DOUBLE) / COUNT(*) AS c
+      |  FROM cellmap cm JOIN vecs v USING (vec_id)
+      |  CROSS JOIN GENERATE_SERIES(1, 64) g(i)
+      |  GROUP BY cm.cell_id, i),
+      |cells2 AS (SELECT cell_id, LIST(c ORDER BY i) AS cv FROM cent2 GROUP BY cell_id),
+      |dists2 AS (
+      |  SELECT vec_id, cell_id,
+      |    LIST_REDUCE(
+      |      LIST_PREPEND(CAST(0 AS DOUBLE),
+      |        LIST_TRANSFORM(GENERATE_SERIES(1, 64), i -> (vm[i] - cv[i]) * (vm[i] - cv[i]))),
+      |      (acc, x) -> acc + x) AS dist
+      |  FROM vecs CROSS JOIN cells2),
+      |assigned2 AS (
+      |  SELECT vec_id, cell_id,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell_id ASC) AS rn
+      |  FROM dists2),
+      |cellmap2 AS (SELECT vec_id, cell_id FROM assigned2 WHERE rn = 1),
+      |r1 AS (SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_round1 FROM cellmap GROUP BY 1),
+      |r2 AS (SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_round2 FROM cellmap2 GROUP BY 1)
+      |SELECT cell_id,
+      |       COALESCE(n_round1, 0) AS n_round1,
+      |       COALESCE(n_round2, 0) AS n_round2
+      |FROM r1 FULL OUTER JOIN r2 USING (cell_id)""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_cosine_topk", q20, Some(q20Sql)),
     QueryDef("q21_label_centroid", q21, Some(q21Sql)),
@@ -705,6 +785,7 @@ object SimilarityOps {
     QueryDef("q103_codebook_update", q103, Some(q103Sql)),
     QueryDef("q105_semantic_dedup", q105, Some(q105Sql)),
     QueryDef("q121_semdedup_recall", q121, Some(q121Sql)),
+    QueryDef("q122_kmeans_round", q122, Some(q122Sql)),
   )
 
   // q39 — multi-probe ANN top-3: the probe side expands to its home

@@ -189,6 +189,14 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q122 conserves vectors across the Lloyd round") {
+    val rows = SparkEntry.queries("q122_kmeans_round")(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_round1")).sum == total)
+    assert(rows.map(_.getAs[Long]("n_round2")).sum == total)
+    assert(rows.forall(r => r.getAs[Long]("n_round1") > 0)) // round-1 cells are non-empty by construction
+  }
+
   test("q96 assigns 8 subspace codes per vector; codebook vectors self-assign at d2=0") {
     val rows = SparkEntry.queries("q96_pq_codes")(spark, dir).collect()
     val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
