@@ -389,6 +389,156 @@ object CurationOps {
       |FROM dev d JOIN mad a USING (event_type)
       |GROUP BY d.event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q123 — distribution-drift report (the PSI/KL-monitoring shape in
+  // exact integers): split lineitem into a BASELINE window (shipped
+  // before mid-1998, the corpus midpoint) and a CURRENT window, histogram both over the SAME
+  // fixed 20-bucket grid (global cents bounds, q109's integer-exact
+  // bucketing), and report per-bucket population shares in permille
+  // plus their absolute drift — the monitoring report that catches a
+  // pipeline silently changing its input mix. Proper PSI multiplies by
+  // ln(cur/base); the per-bucket share delta is the ln-free integer
+  // core (monotone signal per bucket), kept exact so both engines
+  // agree bitwise (the q92 reasoning: libm ulps break the gate).
+  // Shape at 100 TB: one bounds scan, then ONE pass computing both
+  // histograms as conditional partial aggs — the two windows never
+  // materialize separately.
+  // ---------------------------------------------------------------------
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    val li = load(s, dir, "lineitem")
+      .select(expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("xm"),
+        (col("l_shipdate") < lit("1998-06-01").cast("timestamp")).as("is_base"))
+    val bounds = li.agg(min(col("xm")).as("mn"), max(col("xm")).as("mx"))
+    val hist = li.crossJoin(broadcast(bounds))
+      .select(expr("((xm - mn) * 20) div (mx - mn + 1)").as("bucket"), col("is_base"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_cur"))
+    val totals = hist.agg(sum(col("n_base")).as("t_base"), sum(col("n_cur")).as("t_cur"))
+    hist.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_base"), col("n_cur"),
+        expr("(n_base * 1000) div t_base").as("base_permille"),
+        expr("(n_cur * 1000) div t_cur").as("cur_permille"),
+        expr("abs((n_base * 1000) div t_base - (n_cur * 1000) div t_cur)")
+          .as("drift_permille"))
+  }
+  private val q123Sql =
+    """WITH li AS (
+      |  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS xm,
+      |         l_shipdate < TIMESTAMP '1998-06-01' AS is_base
+      |  FROM lineitem),
+      |b AS (SELECT MIN(xm) AS mn, MAX(xm) AS mx FROM li),
+      |hist AS (
+      |  SELECT ((xm - mn) * 20) // (mx - mn + 1) AS bucket,
+      |         CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+      |         CAST(SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+      |  FROM li CROSS JOIN b GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_base) AS BIGINT) AS t_base,
+      |             CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM hist)
+      |SELECT bucket, n_base, n_cur,
+      |       (n_base * 1000) // t_base AS base_permille,
+      |       (n_cur * 1000) // t_cur AS cur_permille,
+      |       ABS((n_base * 1000) // t_base - (n_cur * 1000) // t_cur)
+      |         AS drift_permille
+      |FROM hist CROSS JOIN t""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q124 — triangle counting / graph closure over a co-occurrence graph:
+  // users are connected iff they were active in the same (event_type,
+  // hour) group of AT MOST 10 users — the df-cap rule (q57/q115) applied
+  // to graph construction: a hot group of k users would emit k²/2 edges,
+  // so unboundedly-popular contexts are excluded by the same bounded-
+  // state argument, and per-group edge fan-out is ≤ 45. Triangles are
+  // counted on DEGREE-ORIENTED edges (each edge points from the
+  // (degree, id)-smaller endpoint to the larger — the node-iterator
+  // bound: every wedge is enumerated at its lowest-degree vertex, total
+  // work O(m^1.5) instead of Σdeg²), then one equi-join closes wedges.
+  // Output: one row of graph statistics with the oriented wedge-closure
+  // rate (triangles per oriented wedge — each triangle closes exactly
+  // one) in exact permille.
+  // ---------------------------------------------------------------------
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    val act = graft.Tables.loadEvents(s, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"), col("user_id"))
+      .distinct()
+    val grp = act.withColumn("gsz",
+        count(lit(1)).over(Window.partitionBy(col("event_type"), col("hr"))))
+      .filter(col("gsz") <= 10)
+    val edges = grp.alias("a")
+      .join(grp.alias("b"), Seq("event_type", "hr"))
+      .filter(col("a.user_id") < col("b.user_id"))
+      .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
+      .distinct()
+    val deg = edges.select(col("u").as("n")).union(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val oriented = edges
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("dst"))
+      .cache()
+    val wedges = oriented.alias("e1")
+      .join(oriented.alias("e2"), Seq("src"))
+      .filter(col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("b"), col("e2.dst").as("c"))
+    // a triangle's wedge closes through the UNDIRECTED edge (b, c);
+    // (b, c) is b<c-normalized, matching `edges`' (u, v) normal form
+    val tri = wedges.join(edges,
+      col("b") === col("u") && col("c") === col("v"), "left_semi")
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    val nWedges = wedges.agg(count(lit(1)).as("n_wedges"))
+    val nTri = tri.agg(count(lit(1)).as("n_triangles"))
+    nNodes.crossJoin(nEdges).crossJoin(nWedges).crossJoin(nTri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        expr("(n_triangles * 1000) div nullif(n_wedges, 0)").as("closure_permille"))
+  }
+  private val q124Sql =
+    """WITH act AS (
+      |  SELECT DISTINCT event_type, DATE_TRUNC('hour', ts) AS hr, user_id
+      |  FROM events),
+      |grp AS (
+      |  SELECT event_type, hr, user_id,
+      |         COUNT(*) OVER (PARTITION BY event_type, hr) AS gsz
+      |  FROM act),
+      |small AS (SELECT * FROM grp WHERE gsz <= 10),
+      |edges AS (
+      |  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      |  FROM small a JOIN small b
+      |    ON a.event_type = b.event_type AND a.hr = b.hr
+      |   AND a.user_id < b.user_id),
+      |deg AS (
+      |  SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+      |    SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+      |  GROUP BY n),
+      |oriented AS (
+      |  SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src,
+      |         CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst
+      |  FROM edges
+      |  JOIN deg da ON da.n = u
+      |  JOIN deg db ON db.n = v,
+      |  LATERAL (SELECT da.d AS du, db.d AS dv) x),
+      |wedges AS (
+      |  SELECT e1.dst AS b, e2.dst AS c
+      |  FROM oriented e1 JOIN oriented e2 ON e1.src = e2.src
+      |  WHERE e1.dst < e2.dst),
+      |tri AS (
+      |  SELECT COUNT(*) AS n_triangles FROM wedges w
+      |  WHERE EXISTS (SELECT 1 FROM edges e WHERE e.u = w.b AND e.v = w.c)),
+      |stats AS (
+      |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+      |         (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+      |         (SELECT CAST(COUNT(*) AS BIGINT) FROM wedges) AS n_wedges,
+      |         (SELECT CAST(n_triangles AS BIGINT) FROM tri) AS n_triangles)
+      |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+      |       (n_triangles * 1000) // NULLIF(n_wedges, 0) AS closure_permille
+      |FROM stats""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q113_pii_redaction", q113, Some(q113Sql)),
     QueryDef("q114_fuzzy_match", q114, Some(q114Sql)),
@@ -398,5 +548,7 @@ object CurationOps {
     QueryDef("q118_dsir_resample", q118, Some(q118Sql)),
     QueryDef("q119_k_anonymity", q119, Some(q119Sql)),
     QueryDef("q120_mad_outliers", q120, Some(q120Sql)),
+    QueryDef("q123_drift_report", q123, Some(q123Sql)),
+    QueryDef("q124_triangle_count", q124, Some(q124Sql)),
   )
 }

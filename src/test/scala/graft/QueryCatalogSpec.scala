@@ -197,6 +197,32 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getAs[Long]("n_round1") > 0)) // round-1 cells are non-empty by construction
   }
 
+  test("q123 shares sum to ~1000 permille per window; drift is |base - cur|") {
+    val rows = SparkEntry.queries("q123_drift_report")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // integer div floors each share, so sums land in (1000 - nbuckets, 1000]
+    val baseSum = rows.map(_.getAs[Long]("base_permille")).sum
+    val curSum = rows.map(_.getAs[Long]("cur_permille")).sum
+    assert(baseSum > 1000 - rows.length && baseSum <= 1000)
+    assert(curSum > 1000 - rows.length && curSum <= 1000)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("drift_permille") ==
+        math.abs(r.getAs[Long]("base_permille") - r.getAs[Long]("cur_permille")))
+    }
+  }
+
+  test("q124 triangle stats are internally consistent") {
+    val r = SparkEntry.queries("q124_triangle_count")(spark, dir).head()
+    val (n, m) = (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"))
+    val (w, t) = (r.getAs[Long]("n_wedges"), r.getAs[Long]("n_triangles"))
+    assert(m <= n * (n - 1) / 2)
+    assert(t <= w) // every triangle closes a wedge
+    if (w > 0) {
+      val c = r.getAs[Long]("closure_permille")
+      assert(c == t * 1000 / w && c >= 0 && c <= 1000)
+    }
+  }
+
   test("q96 assigns 8 subspace codes per vector; codebook vectors self-assign at d2=0") {
     val rows = SparkEntry.queries("q96_pq_codes")(spark, dir).collect()
     val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
