@@ -261,6 +261,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$p")
   }
 
+  test("q118: both unigram model tables broadcast — the token stream never re-shuffles") {
+    val p = plan("q118_dsir_resample")
+    assert(p.contains("BroadcastHashJoin"), s"model joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"a model join fell back to sort-merge:\n$p")
+  }
+
+  test("q122: both assignment passes are broadcast folds, never vector shuffles") {
+    val p = plan("q122_kmeans_round")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroid tables must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"assignment degenerated to a cartesian:\n$p")
+  }
+
+  test("q124: wedge join and closure check are equi-joins on the oriented edge list") {
+    val p = plan("q124_triangle_count")
+    assert(!p.contains("CartesianProduct"),
+      s"triangle counting must not enumerate all pairs:\n$p")
+    // nested-loop joins may appear ONLY as the single-row scalar
+    // assembly at the top (counts crossJoined into one stats row) —
+    // every BNLJ must be a Cross of scalar aggregates, never a join
+    // carrying edge rows
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")), s"non-scalar BNLJ in:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), s"no equi-join for wedges in:\n$p")
+  }
+
   test("q83: all three funnel stages shuffle on the same user_id key") {
     val df = SparkEntry.queries("q83_event_funnel")(spark, dir)
     df.collect()
