@@ -47,10 +47,6 @@ object CurationOps {
   // Shape at 100 TB: fully narrow — per-row regex work, no shuffle; the
   // regexes compile once per codegen'd task, not per row.
   // ---------------------------------------------------------------------
-  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
-  private val ipRe = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
-
   private def q113(s: SparkSession, dir: String): DataFrame = {
     val dirty = docs(s, dir).select(
       col("doc_id"),
@@ -62,16 +58,13 @@ object CurationOps {
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
         lit(" from 10."), (col("doc_id") % 200).cast("string"),
         lit(".0."), (col("doc_id") % 250).cast("string")).as("t"))
+    val counts = graft.ops.PiiScrub.detect(col("t")).toMap
     dirty.select(
       col("doc_id"),
-      regexp_count(col("t"), lit(emailRe)).cast("long").as("n_emails"),
-      regexp_count(col("t"), lit(phoneRe)).cast("long").as("n_phones"),
-      regexp_count(col("t"), lit(ipRe)).cast("long").as("n_ips"),
-      md5(regexp_replace(
-        regexp_replace(
-          regexp_replace(col("t"), emailRe, "<EMAIL>"),
-          ipRe, "<IP>"),
-        phoneRe, "<PHONE>")).as("red_md5"))
+      counts("email").as("n_emails"),
+      counts("phone").as("n_phones"),
+      counts("ipv4").as("n_ips"),
+      md5(graft.ops.PiiScrub.redact(col("t"))).as("red_md5"))
   }
   private val q113Sql =
     """WITH dirty AS (
