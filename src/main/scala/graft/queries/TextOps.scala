@@ -418,6 +418,78 @@ object TextOps {
       |FROM cand
       |ORDER BY hamming ASC, doc_a ASC, doc_b ASC LIMIT 50""".stripMargin
 
+  // q125 — INCREMENTAL near-dup: the near-dup twin of q86's exact
+  // incremental dedup, closing the incremental family. A 10% delta
+  // (doc_id % 10 == 0 — the CDC arrivals) is SimHash-banded and probed
+  // against the corpus band index; the corpus NEVER re-pairs with
+  // itself — candidate volume is ∝ |delta|·bandload, not |corpus|².
+  // Each delta doc reports its best corpus match (min hamming, tie to
+  // the smallest corpus id, via the native TopKPerGroup operator) or
+  // NULLs when no band collides; is_neardup applies the q61 pigeonhole
+  // bound (hamming ≤ 3 ⇒ guaranteed band collision, so the flag has
+  // provable recall over the candidate set).
+  // Shape at 100 TB: the corpus band table is the persisted index
+  // (build once, maintain by appending each admitted delta's bands —
+  // the q80 merge-upsert shape); per delta batch the only wide ops are
+  // the band equi-join and the per-pair partial agg.
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    val sigs = simhashed(s, dir)
+    def bands(df: DataFrame) =
+      df.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 to 3).map(i =>
+          shiftright(col("simhash"), i * 15).bitwiseAND(lit(32767L))): _*))
+          .as(Seq("band_idx", "band_val")))
+    val delta = sigs.filter(col("doc_id") % 10 === 0)
+    val corpus = sigs.filter(col("doc_id") % 10 =!= 0)
+    val cand = bands(delta).as("d")
+      .join(bands(corpus).as("c"),
+        col("d.band_idx") === col("c.band_idx") &&
+        col("d.band_val") === col("c.band_val"))
+      .groupBy(col("d.doc_id").as("delta_doc"), col("c.doc_id").as("corpus_doc"),
+        col("d.simhash").as("sd"), col("c.simhash").as("sc"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .withColumn("hamming", expr("CAST(bit_count(sd ^ sc) AS BIGINT)"))
+    val best = graft.ops.TopK.perGroup(
+        cand, Seq("delta_doc"), Seq(col("hamming"), col("corpus_doc")), k = 1)
+      .select(col("delta_doc"), col("corpus_doc").as("match_doc"),
+        col("hamming"), col("n_shared_bands"))
+    delta.select(col("doc_id").as("delta_doc"))
+      .join(best, Seq("delta_doc"), "left")
+      .select(col("delta_doc"), col("match_doc"), col("hamming"),
+        col("n_shared_bands"),
+        coalesce(col("hamming") <= 3, lit(false)).as("is_neardup"))
+  }
+  private lazy val q125Sql =
+    s"""WITH $simhashSql,
+      |delta AS (SELECT * FROM sigs WHERE doc_id % 10 = 0),
+      |corpus AS (SELECT * FROM sigs WHERE doc_id % 10 <> 0),
+      |db AS (
+      |  SELECT doc_id, simhash, i AS band_idx,
+      |         (simhash >> CAST(i * 15 AS INT)) & 32767 AS band_val
+      |  FROM delta CROSS JOIN GENERATE_SERIES(0, 3) g(i)),
+      |cb AS (
+      |  SELECT doc_id, simhash, i AS band_idx,
+      |         (simhash >> CAST(i * 15 AS INT)) & 32767 AS band_val
+      |  FROM corpus CROSS JOIN GENERATE_SERIES(0, 3) g(i)),
+      |cand AS (
+      |  SELECT d.doc_id AS delta_doc, c.doc_id AS corpus_doc,
+      |    d.simhash AS sd, c.simhash AS sc, COUNT(*) AS n_shared_bands
+      |  FROM db d JOIN cb c
+      |    ON d.band_idx = c.band_idx AND d.band_val = c.band_val
+      |  GROUP BY 1, 2, 3, 4),
+      |scored AS (
+      |  SELECT delta_doc, corpus_doc,
+      |    CAST(BIT_COUNT(XOR(sd, sc)) AS BIGINT) AS hamming,
+      |    CAST(n_shared_bands AS BIGINT) AS n_shared_bands,
+      |    ROW_NUMBER() OVER (PARTITION BY delta_doc
+      |      ORDER BY BIT_COUNT(XOR(sd, sc)), corpus_doc) AS rn
+      |  FROM cand)
+      |SELECT d.doc_id AS delta_doc, s.corpus_doc AS match_doc,
+      |       s.hamming, s.n_shared_bands,
+      |       COALESCE(s.hamming <= 3, false) AS is_neardup
+      |FROM delta d LEFT JOIN scored s
+      |  ON s.delta_doc = d.doc_id AND s.rn = 1""".stripMargin
+
   // Stopword lists per language for the n-gram/stopword language-ID
   // heuristic. (The synthetic corpus is English-ish regardless of its
   // `lang` label — the operator, not the accuracy, is under test.)
@@ -1580,5 +1652,6 @@ object TextOps {
     QueryDef("q110_feature_hashing", q110, Some(q110Sql)),
     QueryDef("q111_corpus_shuffle", q111, Some(q111Sql)),
     QueryDef("q112_pack_manifest", q112, Some(q112Sql)),
+    QueryDef("q125_incremental_neardup", q125, Some(q125Sql)),
   )
 }

@@ -223,6 +223,22 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q125 reports every delta doc once; matches come only from the corpus side") {
+    val rows = SparkEntry.queries("q125_incremental_neardup")(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(org.apache.spark.sql.functions.expr("doc_id % 10 = 0")).count()
+    assert(rows.length == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("delta_doc") % 10 == 0)
+      if (!r.isNullAt(r.fieldIndex("match_doc"))) {
+        assert(r.getAs[Long]("match_doc") % 10 != 0) // never a delta-delta pair
+        val h = r.getAs[Long]("hamming")
+        assert(h >= 0 && h <= 60)
+        assert(r.getAs[Boolean]("is_neardup") == (h <= 3))
+      } else assert(!r.getAs[Boolean]("is_neardup"))
+    }
+  }
+
   test("q96 assigns 8 subspace codes per vector; codebook vectors self-assign at d2=0") {
     val rows = SparkEntry.queries("q96_pq_codes")(spark, dir).collect()
     val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
