@@ -490,6 +490,68 @@ object TextOps {
       |FROM delta d LEFT JOIN scored s
       |  ON s.delta_doc = d.doc_id AND s.rn = 1""".stripMargin
 
+  // q126 — the corpus-clean DECISION: one row per document with the
+  // final keep/drop verdict and its reason, composing the dedup
+  // modalities a cleaning pass actually runs in sequence — exact
+  // (q58's fingerprint canonicalization: drop every non-min copy of
+  // identical content) then near-dup (q67's SimHash-band clustering:
+  // drop every non-min member of a near-dup cluster). This is the
+  // query a corpus owner materializes as the training-set filter; the
+  // per-modality queries are its instrumentation. Precedence: exact
+  // beats near (identical text is always also band-identical, so the
+  // reason column reports the strongest cause). Shape at 100 TB: the
+  // union of q58's and q67's shapes — one fingerprint partial agg +
+  // the membership CC; the final verdict join is on doc_id, co-
+  // partitioned with both inputs.
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val fp = d.select(col("doc_id"), md5(col("text")).as("fp"))
+    val exact = fp
+      .join(fp.groupBy(col("fp")).agg(min(col("doc_id")).as("canon_id")), Seq("fp"))
+      .select(col("doc_id"), (col("doc_id") =!= col("canon_id")).as("is_exact_dup"))
+    val memberships = simhashed(s, dir)
+      .select(col("doc_id"), posexplode(array((0 to 3).map(i =>
+        shiftright(col("simhash"), i * 15).bitwiseAND(lit(32767L))): _*))
+        .as(Seq("band_idx", "band_val")))
+      .select(col("doc_id").as("id"),
+        (col("band_idx").cast("long") * 32768L + col("band_val")).as("bucket"))
+    val near = graft.ops.ConnectedComponents.labelViaBuckets(memberships)
+      .select(col("id").as("doc_id"), (col("id") =!= col("label")).as("is_near_dup"))
+    exact.join(near, Seq("doc_id"))
+      .select(col("doc_id"), col("is_exact_dup"), col("is_near_dup"),
+        (!col("is_exact_dup") && !col("is_near_dup")).as("kept"),
+        when(col("is_exact_dup"), lit("exact_dup"))
+          .when(col("is_near_dup"), lit("near_dup"))
+          .otherwise(lit("kept")).as("reason"))
+  }
+  private lazy val q126Sql =
+    s"""WITH RECURSIVE $simhashSql,
+      |banded AS (
+      |  SELECT doc_id, i AS band_idx, (simhash >> CAST(i * 15 AS INT)) & 32767 AS band_val
+      |  FROM sigs CROSS JOIN GENERATE_SERIES(0, 3) g(i)),
+      |edges AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM banded a JOIN banded b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |    AND a.doc_id < b.doc_id),
+      |und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+      |lbl(id, label) AS (
+      |  SELECT doc_id, doc_id FROM sigs
+      |  UNION
+      |  SELECT u.dst, l.label FROM lbl l JOIN und u ON u.src = l.id),
+      |comp AS (SELECT id, MIN(label) AS cluster_id FROM lbl GROUP BY id),
+      |fp AS (SELECT doc_id, MD5(text) AS f FROM documents),
+      |canon AS (SELECT f, MIN(doc_id) AS canon_id FROM fp GROUP BY f),
+      |ex AS (SELECT doc_id, doc_id <> canon_id AS is_exact_dup
+      |       FROM fp JOIN canon USING (f)),
+      |nr AS (SELECT id AS doc_id, id <> cluster_id AS is_near_dup FROM comp)
+      |SELECT doc_id, is_exact_dup, is_near_dup,
+      |       (NOT is_exact_dup AND NOT is_near_dup) AS kept,
+      |       CASE WHEN is_exact_dup THEN 'exact_dup'
+      |            WHEN is_near_dup THEN 'near_dup'
+      |            ELSE 'kept' END AS reason
+      |FROM ex JOIN nr USING (doc_id)""".stripMargin
+
   // Stopword lists per language for the n-gram/stopword language-ID
   // heuristic. (The synthetic corpus is English-ish regardless of its
   // `lang` label — the operator, not the accuracy, is under test.)
@@ -1653,5 +1715,6 @@ object TextOps {
     QueryDef("q111_corpus_shuffle", q111, Some(q111Sql)),
     QueryDef("q112_pack_manifest", q112, Some(q112Sql)),
     QueryDef("q125_incremental_neardup", q125, Some(q125Sql)),
+    QueryDef("q126_corpus_clean", q126, Some(q126Sql)),
   )
 }

@@ -239,6 +239,20 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q126 verdicts cover every doc; reason precedence is exact > near > kept") {
+    val rows = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.length == total)
+    assert(rows.exists(_.getAs[Boolean]("kept"))) // something survives
+    rows.foreach { r =>
+      val (e, n, k) = (r.getAs[Boolean]("is_exact_dup"),
+        r.getAs[Boolean]("is_near_dup"), r.getAs[Boolean]("kept"))
+      assert(k == (!e && !n))
+      val want = if (e) "exact_dup" else if (n) "near_dup" else "kept"
+      assert(r.getAs[String]("reason") == want)
+    }
+  }
+
   test("q96 assigns 8 subspace codes per vector; codebook vectors self-assign at d2=0") {
     val rows = SparkEntry.queries("q96_pq_codes")(spark, dir).collect()
     val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
