@@ -231,6 +231,81 @@ object EventsOps {
       |  (n_events * 1000) // NULLIF(trailing_events, 0) AS spike_permille
       |FROM w""".stripMargin
 
+  // q127 — user behavior SEQUENCES: per user, the first-20 event-type
+  // trail in (ts, event_id) order as one '>' -joined string — the
+  // behavior-sequence construction recommendation/session models train
+  // on (the events analog of q90's token packing). The 20-cap is
+  // enforced BEFORE any per-user state materializes, via the native
+  // TopKPerGroup group-scan — an uncapped collect_list would buffer a
+  // bot account's millions of events on one reducer (the q57/q115
+  // bounded-state rule applied to sequence building). n_events comes
+  // from the full stream as a partial-aggregatable count; both aggs
+  // hash-partition on user_id, so the verdict join adds no exchange.
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val first20 = graft.ops.TopK.perGroup(
+        ev, Seq("user_id"), Seq(col("ts"), col("event_id")), k = 20)
+      .groupBy(col("user_id"))
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(ts, event_id, event_type))), " +
+          "x -> x.event_type), '>')").as("seq"))
+    val totals = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    totals.join(first20, Seq("user_id"))
+      .select(col("user_id"), col("n_events"), col("seq"))
+  }
+  private val q127Sql =
+    """WITH r AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id,
+      |    ARRAY_TO_STRING(LIST(event_type ORDER BY ts, event_id), '>') AS seq
+      |  FROM r WHERE rn <= 20 GROUP BY user_id),
+      |n AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      |      FROM events GROUP BY user_id)
+      |SELECT user_id, n_events, seq FROM n JOIN s USING (user_id)""".stripMargin
+
+  // q128 — percentile winsorization: clip value to the per-type
+  // [p05, p95] band (exact PERCENTILE_DISC fences — actual data
+  // values, so the fence itself is bit-portable) and report how much
+  // the tails moved — the robust-preprocessing transform run before
+  // training on heavy-tailed telemetry, with q120's MAD report as its
+  // diagnostic twin. The clipped sum is carried in exact integer cents
+  // (the q107 rule: never cross engines on a float SUM).
+  // Shape at 100 TB: fence pass = one sort-based agg per (tiny) type
+  // key, broadcast back; the clip itself is narrow.
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"), col("value"))
+    val fences = ev.groupBy(col("event_type"))
+      .agg(expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY value)").as("p05"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").as("p95"))
+    ev.join(broadcast(fences), Seq("event_type"))
+      .withColumn("clipped", least(greatest(col("value"), col("p05")), col("p95")))
+      .groupBy(col("event_type"))
+      .agg(first(col("p05")).as("p05"), first(col("p95")).as("p95"),
+        sum(when(col("value") < col("p05"), 1L).otherwise(0L)).as("n_clipped_low"),
+        sum(when(col("value") > col("p95"), 1L).otherwise(0L)).as("n_clipped_high"),
+        sum(expr("CAST(ROUND(clipped * 100) AS BIGINT)")).as("sum_clipped_cents"))
+  }
+  private val q128Sql =
+    """WITH f AS (
+      |  SELECT event_type,
+      |    PERCENTILE_DISC(0.05) WITHIN GROUP (ORDER BY value) AS p05,
+      |    PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY value) AS p95
+      |  FROM events GROUP BY event_type),
+      |c AS (
+      |  SELECT e.event_type, e.value, f.p05, f.p95,
+      |    LEAST(GREATEST(e.value, f.p05), f.p95) AS clipped
+      |  FROM events e JOIN f USING (event_type))
+      |SELECT event_type, ANY_VALUE(p05) AS p05, ANY_VALUE(p95) AS p95,
+      |  CAST(SUM(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+      |  CAST(SUM(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+      |  CAST(SUM(CAST(ROUND(clipped * 100) AS BIGINT)) AS BIGINT) AS sum_clipped_cents
+      |FROM c GROUP BY event_type""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q10_events_hourly", q10, Some(q10Sql)),
     QueryDef("q106_rate_spikes", q106, Some(q106Sql)),
@@ -243,6 +318,8 @@ object EventsOps {
     QueryDef("q42_percentiles", q42, Some(q42Sql)),
     QueryDef("q72_sketch_distinct", q72, None),
     QueryDef("q76_unpivot_daily", q76, Some(q76Sql)),
+    QueryDef("q127_user_sequences", q127, Some(q127Sql)),
+    QueryDef("q128_winsorize", q128, Some(q128Sql)),
   )
 
   // q76 — unpivot/melt: the inverse of q41's pivot, taking the wide

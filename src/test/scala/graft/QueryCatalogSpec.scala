@@ -253,6 +253,29 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q127 sequences are capped at 20 steps and cover every user") {
+    val rows = SparkEntry.queries("q127_user_sequences")(spark, dir).collect()
+    val users = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id").distinct().count()
+    assert(rows.length == users)
+    rows.foreach { r =>
+      val steps = r.getAs[String]("seq").split('>').length
+      val n = r.getAs[Long]("n_events")
+      assert(steps == math.min(n, 20L))
+    }
+  }
+
+  test("q128 fences hold: clipped tails are consistent and p05 <= p95") {
+    val rows = SparkEntry.queries("q128_winsorize")(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("p05") <= r.getAs[Double]("p95"))
+      assert(r.getAs[Long]("n_clipped_low") >= 0)
+      assert(r.getAs[Long]("n_clipped_high") >= 0)
+      assert(r.getAs[Long]("sum_clipped_cents") > 0)
+    }
+  }
+
   test("q96 assigns 8 subspace codes per vector; codebook vectors self-assign at d2=0") {
     val rows = SparkEntry.queries("q96_pq_codes")(spark, dir).collect()
     val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
