@@ -42,4 +42,32 @@ class PiiScrubSpec extends AnyFunSuite {
     assert(red == "no identifiers here at all")
     assert(n.values.forall(_ == 0L))
   }
+
+  test("randomized: plant k of each identifier — detect exactly k, redacted text re-detects zero") {
+    val rnd = new scala.util.Random(11)
+    def word = Seq.fill(3 + rnd.nextInt(5))(('a' + rnd.nextInt(26)).toChar).mkString
+    val rows = (1 to 80).map { _ =>
+      val (ke, ki, kp) = (rnd.nextInt(3), rnd.nextInt(3), rnd.nextInt(3))
+      val pii =
+        Seq.fill(ke)(s"$word${rnd.nextInt(100)}@$word.com") ++
+          Seq.fill(ki)(
+            s"${rnd.nextInt(256)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}") ++
+          Seq.fill(kp)(
+            f"${rnd.nextInt(1000)}%03d-${rnd.nextInt(1000)}%03d-${rnd.nextInt(10000)}%04d")
+      (rnd.shuffle(Seq.fill(10)(word) ++ pii).mkString(" "), ke, ki, kp)
+    }
+    val df = rows.toDF("t", "ke", "ki", "kp")
+    val counts = PiiScrub.detect(col("t")).toMap
+    val redCounts = PiiScrub.detect(PiiScrub.redact(col("t")))
+    val got = df.select(
+      col("ke"), col("ki"), col("kp"),
+      counts("email").as("ne"), counts("ipv4").as("ni"), counts("phone").as("np"),
+      redCounts.map(_._2).reduce(_ + _).as("residual")).collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("ne") == r.getAs[Int]("ke").toLong)
+      assert(r.getAs[Long]("ni") == r.getAs[Int]("ki").toLong)
+      assert(r.getAs[Long]("np") == r.getAs[Int]("kp").toLong)
+      assert(r.getAs[Long]("residual") == 0L)
+    }
+  }
 }
