@@ -552,6 +552,74 @@ object TextOps {
       |            ELSE 'kept' END AS reason
       |FROM ex JOIN nr USING (doc_id)""".stripMargin
 
+  // q129 — BM25 ranking: the retrieval scorer the inverted index (q115)
+  // feeds, completing index → rank → top-k. Query = the corpus's top-3
+  // tokens (deterministic: count desc, token asc). The whole
+  // computation is EXACT INTEGER arithmetic by absorbing BM25's
+  // constants into rationals: with k1 = 6/5 and b = 3/4,
+  //   tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+  //     = 22·tf·avgdl / (10·tf·avgdl + 3·avgdl + 9·dl),
+  // and the ±0.5 in Robertson idf absorbs into ×2:
+  //   idf_s = ((2(N−df)+1)·1000) div (2·df+1)  — monotone in the real
+  // idf like q68's integer idf. Each term's contribution floors once
+  // (documented proxy; ranking-equivalent at this resolution).
+  // Magnitudes: idf_s ≤ 2000·N; with avgdl ≤ 10³ and tf ≤ 10³ the
+  // numerator stays < 2^63 up to N ≈ 10⁸ docs per ranking scope — at
+  // corpus scales beyond that, drop the ×1000 idf scale a decade.
+  // Shape at 100 TB: tf/dl/df are partial-agg shuffles on (doc, term)/
+  // doc/term; the 3-term query table and the scalar (N, avgdl) frame
+  // broadcast; top-20 is a TakeOrdered heap.
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      expr("sum(dl) div count(1)").as("avgdl"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val query = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc).limit(3).select(col("w"))
+    tf.join(broadcast(query), Seq("w"))
+      .join(broadcast(dfreq.join(broadcast(query), Seq("w"))), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        expr("(((2 * (n_docs - df) + 1) * 1000) div (2 * df + 1)) " +
+          "* 22 * tf * avgdl div (10 * tf * avgdl + 3 * avgdl + 9 * dl)")
+          .as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("bm25_scaled"), count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25_scaled").desc, col("doc_id"))
+      .limit(20)
+  }
+  private lazy val q129Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+      |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM toks GROUP BY doc_id, w),
+      |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+      |       FROM toks GROUP BY doc_id),
+      |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |                 CAST(SUM(dl) AS BIGINT) // COUNT(*) AS avgdl FROM dl),
+      |dfreq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+      |query AS (SELECT w FROM (
+      |  SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w
+      |  ORDER BY cnt DESC, w ASC LIMIT 3)),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |    (((2 * (s.n_docs - f.df) + 1) * 1000) // (2 * f.df + 1))
+      |      * 22 * t.tf * s.avgdl
+      |      // (10 * t.tf * s.avgdl + 3 * s.avgdl + 9 * d.dl) AS contrib
+      |  FROM tf t
+      |  JOIN query q USING (w)
+      |  JOIN dfreq f USING (w)
+      |  JOIN dl d USING (doc_id)
+      |  CROSS JOIN stats s)
+      |SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS bm25_scaled,
+      |       CAST(COUNT(*) AS BIGINT) AS n_terms
+      |FROM scored GROUP BY doc_id
+      |ORDER BY bm25_scaled DESC, doc_id LIMIT 20""".stripMargin
+
   // Stopword lists per language for the n-gram/stopword language-ID
   // heuristic. (The synthetic corpus is English-ish regardless of its
   // `lang` label — the operator, not the accuracy, is under test.)
@@ -1716,5 +1784,6 @@ object TextOps {
     QueryDef("q112_pack_manifest", q112, Some(q112Sql)),
     QueryDef("q125_incremental_neardup", q125, Some(q125Sql)),
     QueryDef("q126_corpus_clean", q126, Some(q126Sql)),
+    QueryDef("q129_bm25_rank", q129, Some(q129Sql)),
   )
 }

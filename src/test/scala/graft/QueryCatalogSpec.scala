@@ -276,6 +276,18 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q129 ranks top-20 docs by descending integer BM25; terms bounded by the query") {
+    val rows = SparkEntry.queries("q129_bm25_rank")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getAs[Long]("bm25_scaled"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bm25_scaled") > 0)
+      val t = r.getAs[Long]("n_terms")
+      assert(t >= 1 && t <= 3)
+    }
+  }
+
   test("q96 assigns 8 subspace codes per vector; codebook vectors self-assign at d2=0") {
     val rows = SparkEntry.queries("q96_pq_codes")(spark, dir).collect()
     val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
