@@ -306,6 +306,35 @@ object EventsOps {
       |  CAST(SUM(CAST(ROUND(clipped * 100) AS BIGINT)) AS BIGINT) AS sum_clipped_cents
       |FROM c GROUP BY event_type""".stripMargin
 
+  // q130 — SLIDING event-time windows (2-hour duration, 1-hour slide):
+  // the overlapping-window aggregation q10's tumbling windows can't
+  // express — each event contributes to exactly TWO windows, the one
+  // starting at its truncated hour and the one starting an hour
+  // earlier. Spark's `window(ts, "2 hours", "1 hour")` compiles to a
+  // narrow per-row window-list explode followed by a normal partial
+  // agg (duration/slide = 2 replicas — the fan-out is the slide
+  // ratio, a constant, never data-dependent); the oracle replays the
+  // same two-starts expansion explicitly. Value mass is carried in
+  // exact integer cents (the cross-engine float-sum rule).
+  private def q130(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(ROUND(value * 100) AS BIGINT)")).as("sum_cents"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_cents"))
+  private val q130Sql =
+    """WITH e AS (
+      |  SELECT event_type, value, DATE_TRUNC('hour', ts) AS h FROM events),
+      |x AS (
+      |  SELECT event_type, value,
+      |    UNNEST([h - INTERVAL 1 HOUR, h]) AS win_start
+      |  FROM e)
+      |SELECT win_start, event_type,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM x GROUP BY win_start, event_type""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q10_events_hourly", q10, Some(q10Sql)),
     QueryDef("q106_rate_spikes", q106, Some(q106Sql)),
@@ -320,6 +349,7 @@ object EventsOps {
     QueryDef("q76_unpivot_daily", q76, Some(q76Sql)),
     QueryDef("q127_user_sequences", q127, Some(q127Sql)),
     QueryDef("q128_winsorize", q128, Some(q128Sql)),
+    QueryDef("q130_sliding_windows", q130, Some(q130Sql)),
   )
 
   // q76 — unpivot/melt: the inverse of q41's pivot, taking the wide

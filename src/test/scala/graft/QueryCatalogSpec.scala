@@ -288,6 +288,12 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q130 sliding windows double-count each event exactly twice vs tumbling") {
+    val rows = SparkEntry.queries("q130_sliding_windows")(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == 2 * total)
+  }
+
   test("q96 assigns 8 subspace codes per vector; codebook vectors self-assign at d2=0") {
     val rows = SparkEntry.queries("q96_pq_codes")(spark, dir).collect()
     val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
