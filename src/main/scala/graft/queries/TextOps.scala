@@ -572,7 +572,8 @@ object TextOps {
   private def q129(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir)
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
-    val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .cache() // read 3x: tf build, dl build, query-term selection
+    val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf")).cache()
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       expr("sum(dl) div count(1)").as("avgdl"))
