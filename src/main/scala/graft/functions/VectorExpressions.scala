@@ -34,6 +34,8 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHashExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "h60", exprs => H60Expr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
       "shingles", exprs => ShinglesExpr(exprs(0), literalInt(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
       "count_in", exprs =>

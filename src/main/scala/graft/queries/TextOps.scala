@@ -30,9 +30,16 @@ import graft.QueryDef
   */
 object TextOps {
 
-  /** 60-bit portable hash of a string column (Spark side). */
+  /** 60-bit portable hash of a string column (Spark side) — the native
+    * [[graft.functions.H60Expr]] (top 60 digest bits straight from the
+    * md5 bytes), bit-identical to the declarative
+    * `conv(substring(md5(c),1,15),16,10)` chain it replaced (pinned by
+    * a PropertySpec equivalence check + every oracle hash in the gate)
+    * without materializing the 32-char hex string per row.
+    */
   private def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.GraftPlanShim.columnOf(
+      graft.functions.H60Expr(org.apache.spark.sql.GraftPlanShim.expressionOf(c)))
 
   /** DuckDB rendering of [[h60]]. */
   private def h60Sql(e: String): String =
@@ -1433,8 +1440,7 @@ object TextOps {
     val base = docs(s, dir).select(col("doc_id"), words(col("text")).as("w"))
     val win = base.filter(size(col("w")) >= 8)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w) - 7), i -> " +
-          "CAST(conv(substring(md5(array_join(slice(w, i, 8), ' ')), 1, 15), 16, 10) AS BIGINT))"))
+        "transform(sequence(1, size(w) - 7), i -> h60(array_join(slice(w, i, 8), ' ')))"))
         .as("k"))
     val freq = win.withColumn("freq",
       count(lit(1)).over(Window.partitionBy(col("k"))))

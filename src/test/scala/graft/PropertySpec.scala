@@ -33,6 +33,21 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("h60 native expression is bit-identical to the hex-chain reference") {
+    val unicodeish = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.listOf(Gen.oneOf(Gen.alphaNumChar.map(_.toString),
+          Gen.oneOf("é", "ß", "中", "🎈", " ")))
+        .map(_.mkString))
+    check(Prop.forAll(unicodeish) { s =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) ==
+        graft.functions.H60Expr.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    })
+  }
+
   test("LSH plane components are ±1 and deterministic") {
     check(Prop.forAll(Gen.choose(0, 63), Gen.choose(0, 255)) { (p, d) =>
       val v = AnnIndex.planeComponent(p, d)
