@@ -767,6 +767,75 @@ object SimilarityOps {
       |       COALESCE(n_round2, 0) AS n_round2
       |FROM r1 FULL OUTER JOIN r2 USING (cell_id)""".stripMargin
 
+  // q131 — contrastive negative mining: per anchor vector, (a) the HARD
+  // negative = its farthest-by-cosine neighbor WITHIN its IVF cell (the
+  // in-batch-style candidate that looks coarsely similar but isn't —
+  // cells bound the candidate set exactly as in q105), and (b) an EASY
+  // negative = the vector half the corpus away on the vec_id rank ring
+  // ((rank + n/2) mod n — deterministic, uniform-ish, collision-free
+  // with the anchor). The (anchor, positive, hard-neg, easy-neg) tuple
+  // is what contrastive embedding training consumes; positives come
+  // from whatever supervision exists (labels here), so the query emits
+  // the negative side. Singleton cells yield NULL hard negatives (kept
+  // — the dataloader falls back to easy-only).
+  // Shape at 100 TB: in-cell pairs ∝ n·cellsize (never n²), best-per-
+  // anchor via the native TopKPerGroup scan; the rank ring uses one
+  // global ROW_NUMBER at audit scale — the production form assigns
+  // ranks with ops/GlobalIndex (range exchange, no single-partition
+  // window).
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, load(s, dir, "embeddings"))
+    val av = ivfAssigned(s, dir).select(col("vec_id"), col("cell_id"))
+      .join(e, Seq("vec_id")).cache()
+    val pairs = av.select(col("vec_id"), col("cell_id"), col("v").as("va"), col("norm").as("na"))
+      .join(av.select(col("vec_id").as("cand"), col("cell_id"),
+        col("v").as("vb"), col("norm").as("nb")), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("cand"))
+      .withColumn("cos", expr("dot_product(va, vb)") / (col("na") * col("nb")))
+    val hard = graft.ops.TopK.perGroup(
+        pairs, Seq("vec_id"), Seq(col("cos"), col("cand")), k = 1)
+      .select(col("vec_id"), col("cand").as("hard_neg"), col("cos").as("hard_cos"))
+    val ranks = e.select(col("vec_id"))
+      .withColumn("r", row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1)
+    val n = ranks.agg(count(lit(1)).as("n"))
+    val easy = ranks.crossJoin(broadcast(n))
+      .withColumn("pr", expr("(r + n div 2) % n"))
+      .join(ranks.select(col("vec_id").as("easy_neg"), col("r").as("pr")), Seq("pr"))
+      .select(col("vec_id"), col("easy_neg"))
+    easy.join(hard, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("hard_neg"), col("hard_cos"), col("easy_neg"))
+  }
+  private lazy val q131Sql =
+    s"""WITH $ivfSqlCtes,
+      |cellmap AS (SELECT vec_id, cell_id FROM assigned WHERE rn = 1),
+      |e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+      |  FROM embeddings),
+      |av AS (SELECT m.vec_id, m.cell_id, e.v, e.norm
+      |       FROM cellmap m JOIN e ON m.vec_id = e.vec_id),
+      |pairs AS (
+      |  SELECT a.vec_id, b.vec_id AS cand,
+      |    LIST_DOT_PRODUCT(a.v, b.v) / (a.norm * b.norm) AS cos
+      |  FROM av a JOIN av b
+      |    ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id),
+      |hard AS (
+      |  SELECT vec_id, cand AS hard_neg, cos AS hard_cos FROM (
+      |    SELECT *, ROW_NUMBER() OVER (
+      |      PARTITION BY vec_id ORDER BY cos, cand) AS rnk FROM pairs)
+      |  WHERE rnk = 1),
+      |ranks AS (
+      |  SELECT vec_id,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS r
+      |  FROM embeddings),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ranks),
+      |easy AS (
+      |  SELECT r1.vec_id, r2.vec_id AS easy_neg
+      |  FROM ranks r1 CROSS JOIN nn
+      |  JOIN ranks r2 ON r2.r = (r1.r + n // 2) % n)
+      |SELECT e2.vec_id, h.hard_neg, h.hard_cos, e2.easy_neg
+      |FROM easy e2 LEFT JOIN hard h USING (vec_id)""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_cosine_topk", q20, Some(q20Sql)),
     QueryDef("q21_label_centroid", q21, Some(q21Sql)),
@@ -786,6 +855,7 @@ object SimilarityOps {
     QueryDef("q105_semantic_dedup", q105, Some(q105Sql)),
     QueryDef("q121_semdedup_recall", q121, Some(q121Sql)),
     QueryDef("q122_kmeans_round", q122, Some(q122Sql)),
+    QueryDef("q131_hard_negatives", q131, Some(q131Sql)),
   )
 
   // q39 — multi-probe ANN top-3: the probe side expands to its home

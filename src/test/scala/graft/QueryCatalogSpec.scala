@@ -294,6 +294,22 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_events")).sum == 2 * total)
   }
 
+  test("q131 negatives never equal their anchor; easy negatives form a permutation") {
+    val rows = SparkEntry.queries("q131_hard_negatives")(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.length == total)
+    rows.foreach { r =>
+      val v = r.getAs[Long]("vec_id")
+      assert(r.getAs[Long]("easy_neg") != v)
+      if (!r.isNullAt(r.fieldIndex("hard_neg"))) {
+        assert(r.getAs[Long]("hard_neg") != v)
+        assert(r.getAs[Double]("hard_cos") <= 1.0000001)
+      }
+    }
+    // (r + n/2) % n is injective → every vector serves as easy negative once
+    assert(rows.map(_.getAs[Long]("easy_neg")).distinct.length == rows.length)
+  }
+
   test("q96 assigns 8 subspace codes per vector; codebook vectors self-assign at d2=0") {
     val rows = SparkEntry.queries("q96_pq_codes")(spark, dir).collect()
     val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
