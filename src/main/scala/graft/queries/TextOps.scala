@@ -628,6 +628,66 @@ object TextOps {
       |FROM scored GROUP BY doc_id
       |ORDER BY bm25_scaled DESC, doc_id LIMIT 20""".stripMargin
 
+  // q132 — PREFIX-FILTERED exact similarity join (the PPJoin/AllPairs
+  // prefix principle, Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08):
+  // all document pairs with Jaccard ≥ 0.5, found WITHOUT the all-pairs
+  // token join. Tokens get a global rarity order (df asc, shingle asc);
+  // a pair with |∩| ≥ α must collide within the first |d|−α+1 tokens
+  // of that order, and Jaccard ≥ t ⇒ |∩| ≥ ⌈t·|d|⌉ — so joining only
+  // each doc's first ⌊|d|/2⌋+1 RAREST tokens (t = 0.5) is a provably
+  // LOSSLESS candidate generator. The oracle computes the same answer
+  // with NO prefix filter (full token join), so the gate itself proves
+  // losslessness on real data. The threshold predicate is exact
+  // integers: jaccard ≥ 1/2 ⟺ 3·common ≥ n_a + n_b.
+  // Contrast with the family: q16 = unfiltered baseline (every
+  // colliding token generates the pair), q57 = df-CAP (drops viral
+  // tokens, approximate by design), q17/q61 = LSH (probabilistic);
+  // this is the exact sub-quadratic member. Shape at 100 TB: prefix
+  // tokens are each doc's rarest → candidate fan-out per token is
+  // tiny by construction (a high-df token never lands in a prefix
+  // unless the doc is short); the verification join touches only
+  // candidates.
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir).cache()
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val nsh = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
+    val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val ordered = ex.join(dfreq, Seq("shingle"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))).cast("long"))
+      .join(nsh, Seq("doc_id"))
+    val prefix = ordered.filter(col("r") <= expr("n_sh div 2 + 1"))
+      .select(col("doc_id"), col("shingle"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val common = cand
+      .join(ex.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(ex.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(nsh.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(nsh.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .filter(col("common") * 3 >= col("n_a") + col("n_b"))
+      .select(col("doc_a"), col("doc_b"), col("common"), col("n_a"), col("n_b"))
+  }
+  private lazy val q132Sql =
+    s"""WITH sh AS ($shingledSql),
+      |ex AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh),
+      |nsh AS (SELECT doc_id, CAST(LEN(shingles) AS BIGINT) AS n_sh FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         CAST(COUNT(*) AS BIGINT) AS common
+      |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b, common, na.n_sh AS n_a, nb.n_sh AS n_b
+      |FROM pairs
+      |JOIN nsh na ON na.doc_id = doc_a
+      |JOIN nsh nb ON nb.doc_id = doc_b
+      |WHERE common * 3 >= na.n_sh + nb.n_sh""".stripMargin
+
   // Stopword lists per language for the n-gram/stopword language-ID
   // heuristic. (The synthetic corpus is English-ish regardless of its
   // `lang` label — the operator, not the accuracy, is under test.)
@@ -1792,5 +1852,6 @@ object TextOps {
     QueryDef("q125_incremental_neardup", q125, Some(q125Sql)),
     QueryDef("q126_corpus_clean", q126, Some(q126Sql)),
     QueryDef("q129_bm25_rank", q129, Some(q129Sql)),
+    QueryDef("q132_prefix_join", q132, Some(q132Sql)),
   )
 }

@@ -310,6 +310,18 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("easy_neg")).distinct.length == rows.length)
   }
 
+  test("q132 prefix-join pairs satisfy the exact threshold and set bounds") {
+    val rows = SparkEntry.queries("q132_prefix_join")(spark, dir).collect()
+    assert(rows.nonEmpty) // the generator plants real near-dups
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val (c, na, nb) = (r.getAs[Long]("common"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(a < b)
+      assert(c * 3 >= na + nb) // jaccard >= 1/2, exact integers
+      assert(c <= math.min(na, nb))
+    }
+  }
+
   test("q96 assigns 8 subspace codes per vector; codebook vectors self-assign at d2=0") {
     val rows = SparkEntry.queries("q96_pq_codes")(spark, dir).collect()
     val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
