@@ -288,6 +288,12 @@ class PlanSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), s"no equi-join for wedges in:\n$p")
   }
 
+  test("q132: prefix candidate generation and verification are equi-joins") {
+    val p = plan("q132_prefix_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix join degenerated to all-pairs:\n$p")
+  }
+
   test("q83: all three funnel stages shuffle on the same user_id key") {
     val df = SparkEntry.queries("q83_event_funnel")(spark, dir)
     df.collect()
