@@ -657,9 +657,12 @@ object TextOps {
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))).cast("long"))
       .join(nsh, Seq("doc_id"))
     val prefix = ordered.filter(col("r") <= expr("n_sh div 2 + 1"))
-      .select(col("doc_id"), col("shingle"))
+      .select(col("doc_id"), col("shingle"), col("n_sh"))
+    // PPJoin length filter, exact for t = 1/2: jaccard >= 1/2 and
+    // common <= min imply 2*min(|a|,|b|) >= max(|a|,|b|)
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.n_sh"), col("b.n_sh")) * 2 >= greatest(col("a.n_sh"), col("b.n_sh")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val common = cand
