@@ -691,6 +691,99 @@ object TextOps {
       |JOIN nsh nb ON nb.doc_id = doc_b
       |WHERE common * 3 >= na.n_sh + nb.n_sh""".stripMargin
 
+  // q133 — dedup rates BY SOURCE: q126's verdicts rolled up per source
+  // — the observability view that tells a corpus owner WHICH feeds are
+  // duplicate factories (the number that drives crawl-dedup priorities
+  // and source-mixture reweighting, q81). Permille rates in exact
+  // integers. Shape: q126's shapes + one broadcast-sized rollup.
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    val verdicts = q126(s, dir)
+    docs(s, dir).select(col("doc_id"), col("source"))
+      .join(verdicts, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_exact_dup"), 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when(col("is_near_dup"), 1L).otherwise(0L)).as("n_near_dup"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("source"), col("n_docs"), col("n_exact_dup"),
+        col("n_near_dup"), col("n_kept"),
+        expr("(n_kept * 1000) div n_docs").as("kept_permille"))
+  }
+  private lazy val q133Sql =
+    s"""WITH RECURSIVE $simhashSql,
+      |banded AS (
+      |  SELECT doc_id, i AS band_idx, (simhash >> CAST(i * 15 AS INT)) & 32767 AS band_val
+      |  FROM sigs CROSS JOIN GENERATE_SERIES(0, 3) g(i)),
+      |edges AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM banded a JOIN banded b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |    AND a.doc_id < b.doc_id),
+      |und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+      |lbl(id, label) AS (
+      |  SELECT doc_id, doc_id FROM sigs
+      |  UNION
+      |  SELECT u.dst, l.label FROM lbl l JOIN und u ON u.src = l.id),
+      |comp AS (SELECT id, MIN(label) AS cluster_id FROM lbl GROUP BY id),
+      |fp AS (SELECT doc_id, MD5(text) AS f FROM documents),
+      |canon AS (SELECT f, MIN(doc_id) AS canon_id FROM fp GROUP BY f),
+      |ex AS (SELECT doc_id, doc_id <> canon_id AS is_exact_dup
+      |       FROM fp JOIN canon USING (f)),
+      |nr AS (SELECT id AS doc_id, id <> cluster_id AS is_near_dup FROM comp),
+      |verdict AS (
+      |  SELECT doc_id, is_exact_dup, is_near_dup,
+      |         (NOT is_exact_dup AND NOT is_near_dup) AS kept
+      |  FROM ex JOIN nr USING (doc_id))
+      |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN v.is_exact_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+      |  CAST(SUM(CASE WHEN v.is_near_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+      |  CAST(SUM(CASE WHEN v.kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  (CAST(SUM(CASE WHEN v.kept THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+      |    // COUNT(*) AS kept_permille
+      |FROM documents d JOIN verdict v USING (doc_id)
+      |GROUP BY d.source""".stripMargin
+
+  // q134 — near-dup CLUSTER-SIZE histogram: how much of the corpus sits
+  // in how-big duplicate clusters (the long-tail-vs-megacluster view
+  // that decides whether dedup needs the q88 salted-join treatment —
+  // one viral cluster = one hot key downstream). From q67's components:
+  // per cluster size, how many clusters and how many docs.
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    val memberships = simhashed(s, dir)
+      .select(col("doc_id"), posexplode(array((0 to 3).map(i =>
+        shiftright(col("simhash"), i * 15).bitwiseAND(lit(32767L))): _*))
+        .as(Seq("band_idx", "band_val")))
+      .select(col("doc_id").as("id"),
+        (col("band_idx").cast("long") * 32768L + col("band_val")).as("bucket"))
+    graft.ops.ConnectedComponents.labelViaBuckets(memberships)
+      .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("cluster_size")).as("n_docs"))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"))
+  }
+  private lazy val q134Sql =
+    s"""WITH RECURSIVE $simhashSql,
+      |banded AS (
+      |  SELECT doc_id, i AS band_idx, (simhash >> CAST(i * 15 AS INT)) & 32767 AS band_val
+      |  FROM sigs CROSS JOIN GENERATE_SERIES(0, 3) g(i)),
+      |edges AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM banded a JOIN banded b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |    AND a.doc_id < b.doc_id),
+      |und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+      |lbl(id, label) AS (
+      |  SELECT doc_id, doc_id FROM sigs
+      |  UNION
+      |  SELECT u.dst, l.label FROM lbl l JOIN und u ON u.src = l.id),
+      |comp AS (SELECT id, MIN(label) AS cluster_id FROM lbl GROUP BY id),
+      |sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      |          FROM comp GROUP BY cluster_id)
+      |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+      |       CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs
+      |FROM sizes GROUP BY cluster_size""".stripMargin
+
   // Stopword lists per language for the n-gram/stopword language-ID
   // heuristic. (The synthetic corpus is English-ish regardless of its
   // `lang` label — the operator, not the accuracy, is under test.)
@@ -1856,5 +1949,7 @@ object TextOps {
     QueryDef("q126_corpus_clean", q126, Some(q126Sql)),
     QueryDef("q129_bm25_rank", q129, Some(q129Sql)),
     QueryDef("q132_prefix_join", q132, Some(q132Sql)),
+    QueryDef("q133_dedup_by_source", q133, Some(q133Sql)),
+    QueryDef("q134_cluster_histogram", q134, Some(q134Sql)),
   )
 }

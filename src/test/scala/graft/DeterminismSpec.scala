@@ -35,7 +35,10 @@ class DeterminismSpec extends AnyFunSuite {
     "q65_hash_split",
     "q126_corpus_clean",
     "q58_dedup_fingerprint",
-    "q117_length_batching")
+    "q117_length_batching",
+    "q67_neardup_clusters",
+    "q105_semantic_dedup",
+    "q129_bm25_rank")
 
   for (name <- targets) {
     test(s"$name is invariant under 5 vs 32 shuffle partitions") {

@@ -322,6 +322,28 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q133 per-source rollup reconciles with the q126 verdict totals") {
+    val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
+    val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == verdicts.length)
+    assert(rows.map(_.getAs[Long]("n_kept")).sum ==
+      verdicts.count(_.getAs[Boolean]("kept")))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("kept_permille") ==
+        r.getAs[Long]("n_kept") * 1000 / r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("q134 histogram covers the whole corpus exactly once") {
+    val rows = SparkEntry.queries("q134_cluster_histogram")(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("n_clusters") * r.getAs[Long]("cluster_size"))
+    }
+  }
+
   test("q96 assigns 8 subspace codes per vector; codebook vectors self-assign at d2=0") {
     val rows = SparkEntry.queries("q96_pq_codes")(spark, dir).collect()
     val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
