@@ -55,11 +55,29 @@ object Main {
       println(s"[load] repaired $table")
       spark.stop()
 
+    // extension verb (not in the reference): corpus-clean verdicts for a
+    // (doc_id, text) parquet — exact + near-dup dedup in one pass
+    // (graft.queries.TextOps.corpusClean), written as a timestamped dir
+    // like the other stages
+    case "dedup" :: in :: out :: Nil =>
+      val spark = session()
+      val docsDf = spark.read.parquet(in)
+      val verdicts = graft.queries.TextOps.corpusClean(
+        docsDf.select(docsDf("doc_id"), docsDf("text"))).cache()
+      val stamp = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.now())
+      val path = s"$out/corpus_clean_$stamp"
+      verdicts.write.mode("errorifexists").parquet(path)
+      val kept = verdicts.filter(verdicts("kept")).count()
+      println(s"[dedup] wrote $path (${verdicts.count()} docs, $kept kept)")
+      spark.stop()
+
     case other =>
       System.err.println(
         s"unknown or malformed stage: ${other.mkString(" ")}\n" +
           "usage: clean <jsonl> <outdir> | enrich <parquet> <outdir> " +
-          "[--sample N] [--rate S] | load <table>")
+          "[--sample N] [--rate S] | load <table> | dedup <parquet> <outdir>")
       sys.exit(1)
   }
 

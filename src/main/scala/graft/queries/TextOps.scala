@@ -349,8 +349,11 @@ object TextOps {
   // q18 — SimHash (60-bit) per document over token occurrences: each token
   // hash votes ±1 per bit position; the signature packs the majority bits.
   private def simhashed(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"), explode(words(col("text"))).as("token"))
+    simhashOf(docs(s, dir))
+
+  /** SimHash signatures for any (doc_id, text) frame (q18's pipeline). */
+  def simhashOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(words(col("text"))).as("token"))
       .withColumn("h", h60(col("token")))
       .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("bit"))
       .withColumn("vote",
@@ -510,13 +513,20 @@ object TextOps {
   // union of q58's and q67's shapes — one fingerprint partial agg +
   // the membership CC; the final verdict join is on doc_id, co-
   // partitioned with both inputs.
-  private def q126(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+  private def q126(s: SparkSession, dir: String): DataFrame =
+    corpusClean(docs(s, dir))
+
+  /** LIBRARY entry point behind q126 (and the CLI `dedup` verb): the
+    * corpus-clean verdict for ANY (doc_id: long, text: string) frame —
+    * exact fingerprint canonicalization + SimHash-band near-dup
+    * clustering, one verdict row per document.
+    */
+  def corpusClean(d: DataFrame): DataFrame = {
     val fp = d.select(col("doc_id"), md5(col("text")).as("fp"))
     val exact = fp
       .join(fp.groupBy(col("fp")).agg(min(col("doc_id")).as("canon_id")), Seq("fp"))
       .select(col("doc_id"), (col("doc_id") =!= col("canon_id")).as("is_exact_dup"))
-    val memberships = simhashed(s, dir)
+    val memberships = simhashOf(d)
       .select(col("doc_id"), posexplode(array((0 to 3).map(i =>
         shiftright(col("simhash"), i * 15).bitwiseAND(lit(32767L))): _*))
         .as(Seq("band_idx", "band_val")))

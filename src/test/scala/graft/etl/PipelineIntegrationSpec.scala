@@ -57,4 +57,18 @@ class PipelineIntegrationSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(math.abs(approx - 30L) <= 2)
   }
+
+  test("corpus-clean library entry (the CLI dedup verb) works on an arbitrary frame") {
+    import spark.implicits._
+    // two exact copies, one unique doc — the verdict must canonicalize
+    val d = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta"),
+      (2L, "completely different text here")).toDF("doc_id", "text")
+    val v = graft.queries.TextOps.corpusClean(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+    assert(v(0L) == "kept")
+    assert(v(1L) == "exact_dup") // non-min copy of identical content
+    assert(v(2L) == "kept")
+  }
 }
