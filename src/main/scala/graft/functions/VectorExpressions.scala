@@ -24,9 +24,16 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 object VectorExpressions {
 
-  /** Idempotent per-session registration of dot_product / vec_norm. */
+  /** Idempotent per-session registration of dot_product / vec_norm.
+    * Short-circuits when already registered — every catalog query calls
+    * this, and re-registration logs a "replaced a previously registered
+    * function" warning per function per query (hundreds of lines in a
+    * Verify/Bench run).
+    */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"))) return
     reg.createOrReplaceTempFunction(
       "dot_product", exprs => DotProductExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
