@@ -31,6 +31,15 @@ object VectorExpressions {
     * Verify/Bench run).
     */
   def register(spark: SparkSession): Unit = {
+    // session-level twin of GraftExtensions' injectOptimizerRule: fuse
+    // declarative aggregate(zip_with(...)) folds into native loops.
+    // Checked BEFORE the function short-circuit — the rule list and the
+    // function registry can diverge (a test or caller may strip the rule
+    // while the functions stay registered), and this membership check is
+    // warning-free either way.
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.FuseZipFold))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.FuseZipFold
     val reg = spark.sessionState.functionRegistry
     if (reg.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"))) return
@@ -53,11 +62,6 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction(
       "subword_tokenize", exprs =>
         SubwordTokenizeExpr(exprs.head, SubwordVocab.Default), "built-in")
-    // session-level twin of GraftExtensions' injectOptimizerRule: fuse
-    // declarative aggregate(zip_with(...)) folds into native loops
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.FuseZipFold))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.FuseZipFold
   }
 
   /** The shingle width must be a compile-time constant (it is baked into
