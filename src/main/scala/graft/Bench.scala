@@ -36,9 +36,15 @@ object Bench {
     // execution of each query (observed 10-100x wall-clock inflation at
     // ~95% idle CPU). One tiny-SF pass compiles every query's generated
     // code so the timed passes below measure data-plane work.
+    // SPARK_GRAFT_ONLY=q132_prefix_join,q87_ann_recall_audit — restrict
+    // to a comma-separated subset for perf iteration (full run otherwise)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val entries = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      entries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
       spark.catalog.clearCache()
@@ -54,7 +60,6 @@ object Bench {
     // (observed: a 0.7 s query reporting a 15 s median). With rounds
     // minutes apart, per-query medians reject a bad window. The min is
     // reported alongside as the interference-free steady-state floor.
-    val entries = SparkEntry.queries.toSeq
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector())
     for (_ <- 1 to reps; (name, fn) <- entries) {

@@ -675,16 +675,21 @@ object TextOps {
         least(col("a.n_sh"), col("b.n_sh")) * 2 >= greatest(col("a.n_sh"), col("b.n_sh")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val common = cand
-      .join(ex.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(ex.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(nsh.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
-      .join(nsh.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+    // Verification: the shingle arrays are DISTINCT per doc (shingles()
+    // dedups), so |∩| is size(array_intersect) computed per candidate
+    // pair — two doc_id equi-joins against the cached shingle frame and
+    // a narrow per-row set intersection. The earlier form re-exploded
+    // the whole corpus and shuffled it by shingle a second time for the
+    // verification count; candidates are orders of magnitude fewer than
+    // corpus tokens, so the work belongs on the candidate side.
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("common"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"))
       .filter(col("common") * 3 >= col("n_a") + col("n_b"))
-      .select(col("doc_a"), col("doc_b"), col("common"), col("n_a"), col("n_b"))
   }
   private lazy val q132Sql =
     s"""WITH sh AS ($shingledSql),
