@@ -351,18 +351,29 @@ object TextOps {
   private def simhashed(s: SparkSession, dir: String): DataFrame =
     simhashOf(docs(s, dir))
 
-  /** SimHash signatures for any (doc_id, text) frame (q18's pipeline). */
-  def simhashOf(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), explode(words(col("text"))).as("token"))
+  /** SimHash signatures for any (doc_id, text) frame (q18's pipeline).
+    *
+    * The per-bit ±1 vote sums run as 60 SUM columns in ONE
+    * groupBy(doc_id) — partial-aggregated map-side, so the exchange
+    * carries n_docs rows of 60 longs, not the tokens×60 row explosion
+    * a per-bit unnest would shuffle (the previous formulation; 5×
+    * slower at sf0.1 and strictly worse at 100 TB, where tokens×60 is
+    * ~3 orders of magnitude more exchange rows than docs). Bit b of
+    * the signature is set iff its vote sum is positive — identical
+    * semantics, bit-identical output.
+    */
+  def simhashOf(d: DataFrame): DataFrame = {
+    val tok = d.select(col("doc_id"), explode(words(col("text"))).as("token"))
       .withColumn("h", h60(col("token")))
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("bit"))
-      .withColumn("vote",
-        when(expr("(shiftright(h, bit) & 1)") === 1, 1L).otherwise(-1L))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(col("vote")).as("v"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-        .otherwise(0L)).as("simhash"))
+    val votes = (0 to 59).map { b =>
+      sum(when(expr(s"(shiftright(h, $b) & 1)") === 1, 1L).otherwise(-1L))
+        .as(s"v$b")
+    }
+    tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 to 59).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
   private def q18(s: SparkSession, dir: String): DataFrame = simhashed(s, dir)
   private val simhashSql =
     s"""tok AS (
