@@ -597,7 +597,10 @@ object TextOps {
   // Shape at 100 TB: tf/dl/df are partial-agg shuffles on (doc, term)/
   // doc/term; the 3-term query table and the scalar (N, avgdl) frame
   // broadcast; top-20 is a TakeOrdered heap.
-  private def q129(s: SparkSession, dir: String): DataFrame = {
+  /** Shared BM25 core (q129, q135): per-doc exact-integer BM25 for the
+    * deterministic 3-term query — (doc_id, bm25_scaled, n_terms).
+    */
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir)
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
       .cache() // read 3x: tf build, dl build, query-term selection
@@ -618,11 +621,15 @@ object TextOps {
           .as("contrib"))
       .groupBy(col("doc_id"))
       .agg(sum(col("contrib")).as("bm25_scaled"), count(lit(1)).as("n_terms"))
+  }
+  private def q129(s: SparkSession, dir: String): DataFrame =
+    bm25Scores(s, dir)
       .orderBy(col("bm25_scaled").desc, col("doc_id"))
       .limit(20)
-  }
-  private lazy val q129Sql =
-    """WITH toks AS (
+  /** Shared BM25 CTE chain (q129Sql, q135Sql) — ends with
+    * `lex(doc_id, bm25_scaled, n_terms)`. */
+  private val bm25CtesSql =
+    """toks AS (
       |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
       |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
       |       FROM toks GROUP BY doc_id, w),
@@ -643,10 +650,14 @@ object TextOps {
       |  JOIN query q USING (w)
       |  JOIN dfreq f USING (w)
       |  JOIN dl d USING (doc_id)
-      |  CROSS JOIN stats s)
-      |SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS bm25_scaled,
-      |       CAST(COUNT(*) AS BIGINT) AS n_terms
-      |FROM scored GROUP BY doc_id
+      |  CROSS JOIN stats s),
+      |lex AS (
+      |  SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS bm25_scaled,
+      |         CAST(COUNT(*) AS BIGINT) AS n_terms
+      |  FROM scored GROUP BY doc_id)""".stripMargin
+  private lazy val q129Sql =
+    s"""WITH $bm25CtesSql
+      |SELECT doc_id, bm25_scaled, n_terms FROM lex
       |ORDER BY bm25_scaled DESC, doc_id LIMIT 20""".stripMargin
 
   // q132 — PREFIX-FILTERED exact similarity join (the PPJoin/AllPairs
@@ -809,6 +820,137 @@ object TextOps {
       |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
       |       CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs
       |FROM sizes GROUP BY cluster_size""".stripMargin
+
+  // q135 — reciprocal-rank fusion (hybrid retrieval): the standard way
+  // a RAG/search stack combines a LEXICAL ranking (q129's BM25) with a
+  // VECTOR ranking (q20's cosine) — rank-based, so the two scores never
+  // need a common scale. Each side produces its top-50 by its own
+  // deterministic order; fusion scores rrf = Σ 1/(60+rank) over the
+  // lists a doc appears in, here in exact integers (1000000 div
+  // (60+rank), floored per list — the documented proxy, ranking-
+  // equivalent at this resolution and bit-identical cross-engine).
+  // Query terms: q129's corpus-top-3 tokens; query vector: the min
+  // vec_id's embedding (both deterministic). Shape at 100 TB: each
+  // side ends in a TakeOrdered heap (orderBy+limit — never a global
+  // sort), the two 50-row lists broadcast into a full-outer fusion
+  // join, and the corpus-side work is q129's partial-agg shuffles plus
+  // one narrow O(n·d) scoring pass over the vectors.
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    // lexical top-50: TakeOrdered first, then rank the 50 survivors
+    // (row_number over a 50-row frame, not a global window)
+    val lex50 = bm25Scores(s, dir)
+      .orderBy(col("bm25_scaled").desc, col("doc_id")).limit(50)
+      .withColumn("rank_lex", row_number().over(
+        Window.orderBy(col("bm25_scaled").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rank_lex"))
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", expr("vec_norm(v)"))
+    val qvec = e.join(broadcast(e.agg(min(col("vec_id")).as("qid"))),
+        col("vec_id") === col("qid"))
+      .select(col("qid"), col("v").as("qv"), col("norm").as("qn"))
+    val vec50 = e.crossJoin(broadcast(qvec))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", expr("dot_product(v, qv)") / (col("norm") * col("qn")))
+      .orderBy(col("cos").desc, col("vec_id")).limit(50)
+      .withColumn("rank_vec", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id"), col("rank_vec"))
+    lex50.join(vec50, col("doc_id") === col("vec_id"), "full_outer")
+      .select(coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+        col("rank_lex"), col("rank_vec"))
+      .withColumn("rrf_scaled",
+        coalesce(expr("1000000 div (60 + rank_lex)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rank_vec)"), lit(0L)))
+      .orderBy(col("rrf_scaled").desc, col("doc_id"))
+      .limit(20)
+  }
+  private lazy val q135Sql =
+    s"""WITH $bm25CtesSql,
+      |lex50 AS (
+      |  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+      |    ORDER BY bm25_scaled DESC, doc_id) AS BIGINT) AS rank_lex
+      |  FROM (SELECT * FROM lex ORDER BY bm25_scaled DESC, doc_id LIMIT 50) t),
+      |e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]),
+      |                          CAST(embedding AS DOUBLE[]))) AS norm
+      |  FROM embeddings),
+      |qv AS (SELECT vec_id AS qid, v AS qv, norm AS qn FROM e
+      |       WHERE vec_id = (SELECT MIN(vec_id) FROM e)),
+      |vecs AS (
+      |  SELECT e.vec_id,
+      |    LIST_DOT_PRODUCT(e.v, qv.qv) / (e.norm * qv.qn) AS cos
+      |  FROM e CROSS JOIN qv WHERE e.vec_id <> qv.qid),
+      |vec50 AS (
+      |  SELECT vec_id, CAST(ROW_NUMBER() OVER (
+      |    ORDER BY cos DESC, vec_id) AS BIGINT) AS rank_vec
+      |  FROM (SELECT * FROM vecs ORDER BY cos DESC, vec_id LIMIT 50) t)
+      |SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id, l.rank_lex, v.rank_vec,
+      |  COALESCE(1000000 // (60 + l.rank_lex), 0)
+      |    + COALESCE(1000000 // (60 + v.rank_vec), 0) AS rrf_scaled
+      |FROM lex50 l FULL OUTER JOIN vec50 v ON l.doc_id = v.vec_id
+      |ORDER BY rrf_scaled DESC, doc_id LIMIT 20""".stripMargin
+
+  // q136 — directed CONTAINMENT join: pairs where ≥80% of A's shingles
+  // appear in B (containment C(A→B) = |S(A)∩S(B)| / |S(A)|) — the
+  // asymmetric near-dup relation Jaccard misses: a quote, an excerpt,
+  // or boilerplate-plus-payload scores high containment but low
+  // Jaccard when |B| ≫ |A|. Candidate generation is the asymmetric
+  // prefix filter: C ≥ 4/5 means A has at most n_a div 5 shingles
+  // missing from B, so A's (n_a div 5 + 1) RAREST shingles (global df
+  // order — same order as q132) must collide with B's FULL index at
+  // least once (pigeonhole) — provably lossless, and the oracle
+  // computes the unfiltered token join so the gate proves it on real
+  // data. Plus the containment length filter: common ≤ n_b and
+  // 5·common ≥ 4·n_a force 5·n_b ≥ 4·n_a. Verification is per-pair
+  // array_intersect on the candidates (shingle arrays are distinct by
+  // construction), like q132. Shape at 100 TB: probe side carries only
+  // prefix tokens (rare by construction → tiny fan-out), index side is
+  // the full exploded corpus partitioned by shingle — the standard
+  // asymmetric similarity-join layout.
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir).cache()
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val nsh = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
+    val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val prefixA = ex.join(dfreq, Seq("shingle"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))).cast("long"))
+      .join(nsh, Seq("doc_id"))
+      .filter(col("r") <= expr("n_sh div 5 + 1"))
+      .select(col("doc_id").as("doc_a"), col("shingle"), col("n_sh").as("pn_a"))
+    val indexB = ex.join(nsh, Seq("doc_id"))
+      .select(col("doc_id").as("doc_b"), col("shingle"), col("n_sh").as("pn_b"))
+    val cand = prefixA.join(indexB, Seq("shingle"))
+      .filter(col("doc_a") =!= col("doc_b") && col("pn_b") * 5 >= col("pn_a") * 4)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("common"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"))
+      .filter(col("common") * 5 >= col("n_a") * 4)
+      .withColumn("containment_permille", expr("(common * 1000) div n_a"))
+  }
+  private lazy val q136Sql =
+    s"""WITH sh AS ($shingledSql),
+      |ex AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh),
+      |nsh AS (SELECT doc_id, CAST(LEN(shingles) AS BIGINT) AS n_sh FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         CAST(COUNT(*) AS BIGINT) AS common
+      |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, common, na.n_sh AS n_a, nb.n_sh AS n_b,
+      |       (common * 1000) // na.n_sh AS containment_permille
+      |FROM pairs
+      |JOIN nsh na ON na.doc_id = doc_a
+      |JOIN nsh nb ON nb.doc_id = doc_b
+      |WHERE common * 5 >= na.n_sh * 4""".stripMargin
 
   // Stopword lists per language for the n-gram/stopword language-ID
   // heuristic. (The synthetic corpus is English-ish regardless of its
@@ -1977,5 +2119,7 @@ object TextOps {
     QueryDef("q132_prefix_join", q132, Some(q132Sql)),
     QueryDef("q133_dedup_by_source", q133, Some(q133Sql)),
     QueryDef("q134_cluster_histogram", q134, Some(q134Sql)),
+    QueryDef("q135_rrf_fusion", q135, Some(q135Sql)),
+    QueryDef("q136_containment_join", q136, Some(q136Sql)),
   )
 }

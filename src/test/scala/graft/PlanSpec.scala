@@ -294,6 +294,23 @@ class PlanSpec extends AnyFunSuite {
       s"prefix join degenerated to all-pairs:\n$p")
   }
 
+  test("q136: containment candidate generation and verification are equi-joins") {
+    val p = plan("q136_containment_join")
+    assert(!p.contains("CartesianProduct"),
+      s"containment join degenerated to all-pairs:\n$p")
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.isEmpty, s"non-equi join in containment path:\n$p")
+  }
+
+  test("q135: fusion sides end in TakeOrdered heaps, not global sorts") {
+    val p = plan("q135_rrf_fusion")
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$p")
+    // the only BNLJ allowed is the broadcast single-row query-vector /
+    // scalar-stats assembly, never a join carrying corpus rows
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")), s"non-scalar BNLJ in:\n$p")
+  }
+
   test("q83: all three funnel stages shuffle on the same user_id key") {
     val df = SparkEntry.queries("q83_event_funnel")(spark, dir)
     df.collect()

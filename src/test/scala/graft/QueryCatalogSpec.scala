@@ -322,6 +322,47 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q135 fused ranks and scores are consistent with the rank lists") {
+    val rows = SparkEntry.queries("q135_rrf_fusion")(spark, dir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val lex = if (r.isNullAt(r.fieldIndex("rank_lex"))) None
+        else Some(r.getAs[Long]("rank_lex"))
+      val vec = if (r.isNullAt(r.fieldIndex("rank_vec"))) None
+        else Some(r.getAs[Long]("rank_vec"))
+      assert(lex.nonEmpty || vec.nonEmpty) // full-outer: at least one side
+      (lex.toSeq ++ vec.toSeq).foreach(rk => assert(rk >= 1 && rk <= 50))
+      val expected = lex.map(rk => 1000000L / (60 + rk)).getOrElse(0L) +
+        vec.map(rk => 1000000L / (60 + rk)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf_scaled") == expected)
+    }
+    // docs on both lists must outrank any single-list doc with worse ranks:
+    // the top fused doc always has at least one list presence by definition;
+    // stronger invariant — each rank appears at most once per list
+    val lexRanks = rows.flatMap(r => Option(r.getAs[Any]("rank_lex")))
+    assert(lexRanks.distinct.length == lexRanks.length)
+    val vecRanks = rows.flatMap(r => Option(r.getAs[Any]("rank_vec")))
+    assert(vecRanks.distinct.length == vecRanks.length)
+  }
+
+  test("q136 containment pairs are directional and satisfy the exact threshold") {
+    val rows = SparkEntry.queries("q136_containment_join")(spark, dir).collect()
+    assert(rows.nonEmpty) // the generator plants exact dups -> containment 1000
+    val pairs = rows.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val (c, na, nb) = (r.getAs[Long]("common"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"))
+      assert(a != b)
+      assert(c * 5 >= na * 4) // containment >= 4/5, exact integers
+      assert(c <= math.min(na, nb))
+      assert(r.getAs[Long]("containment_permille") == c * 1000 / na)
+      // an identical-shingle-set pair must also appear mirrored
+      if (c == na && c == nb) assert(pairs.contains((b, a)))
+    }
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
