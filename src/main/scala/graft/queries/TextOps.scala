@@ -952,6 +952,196 @@ object TextOps {
       |JOIN nsh nb ON nb.doc_id = doc_b
       |WHERE common * 5 >= na.n_sh * 4""".stripMargin
 
+  // KMV (k-minimum-values) sketch parameters (q137, q138). k = 256 →
+  // relative error ~1/√k ≈ 6%. Hashes live in 50-bit space (top 60 md5
+  // bits shifted right 10) so the estimator's (k−1)·2^50 numerator
+  // stays far under 2^63 (255·2^50 ≈ 2^58).
+  private val KmvK = 256
+  private val KmvMax = 1L << 50
+
+  /** (source, w) shingle stream for the KMV queries. */
+  private def srcShingles(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("source"), explode(expr("shingles(w, 3)")).as("w"))
+  private val srcShinglesSql =
+    """SELECT source, UNNEST(shingles) AS w FROM (
+      |    SELECT source, LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 2),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      |    FROM (SELECT source, STRING_SPLIT(text, ' ') AS w FROM documents) t
+      |    WHERE LEN(w) >= 3) sh""".stripMargin
+
+  // q137 — KMV distinct-count sketch, audited per source: the k
+  // smallest distinct hash values of a set determine the estimate
+  // (k−1)·H div h_k (or the exact count when fewer than k values
+  // exist). Unlike HLL (q72 — implementation-specific, rows-only by
+  // necessity), KMV on the portable h60 hash is FULLY DETERMINISTIC:
+  // both engines compute the identical sketch and the identical
+  // estimate, so the sketch family gets an oracle-checked member and
+  // the estimator's error is measured in the output (err_permille vs
+  // the exact distinct count), not asserted in a comment. Shape at
+  // 100 TB: per-source k-smallest is the native TopKPerGroup group-scan
+  // over a partial-agg'd distinct — fixed k-row state per source, one
+  // small shuffle; this is why KMV/theta sketches are the cardinality
+  // workhorse of warehouse engines. Sketched universe: 3-gram SHINGLES
+  // (the corpus's whitespace vocabulary is ~31 tokens — too small to
+  // ever fill a k=256 sketch; shingles run ~1.4k per source at sf0.01,
+  // so the kth-value estimator branch is genuinely exercised and its
+  // error genuinely measured).
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    val st = srcShingles(s, dir)
+    val exact = st.groupBy(col("source"))
+      .agg(countDistinct(col("w")).as("n_exact"))
+    val hashes = st.select(col("source"), shiftright(h60(col("w")), 10).as("h"))
+      .distinct()
+    val sk = graft.ops.TopK.perGroup(
+      hashes, Seq("source"), Seq(col("h").asc), KmvK, "rnk")
+    val est = sk.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_seen"), max(col("h")).as("kth"))
+      .select(col("source"),
+        when(col("n_seen") < KmvK, col("n_seen"))
+          .otherwise(expr(s"(${KmvK - 1}L * ${KmvMax}L) div kth")).as("kmv_est"))
+    exact.join(est, Seq("source"))
+      .select(col("source"), col("n_exact"), col("kmv_est"),
+        expr("abs(kmv_est - n_exact) * 1000 div n_exact").as("err_permille"))
+  }
+  private lazy val q137Sql =
+    s"""WITH st AS ($srcShinglesSql),
+      |ex AS (SELECT source, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_exact
+      |       FROM st GROUP BY source),
+      |hs AS (SELECT DISTINCT source, ${h60Sql("w")} >> 10 AS h FROM st),
+      |rk AS (SELECT source, h,
+      |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rnk
+      |       FROM hs),
+      |sk AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_seen, MAX(h) AS kth
+      |       FROM rk WHERE rnk <= $KmvK GROUP BY source),
+      |est AS (SELECT source,
+      |          CASE WHEN n_seen < $KmvK THEN n_seen
+      |               ELSE (${KmvK - 1} * $KmvMax) // kth END AS kmv_est
+      |        FROM sk)
+      |SELECT e.source, e.n_exact, s.kmv_est,
+      |       ABS(s.kmv_est - e.n_exact) * 1000 // e.n_exact AS err_permille
+      |FROM ex e JOIN est s USING (source)""".stripMargin
+
+  // q138 — KMV sketch MERGE: pairwise source-vocabulary overlap among
+  // the 5 largest sources via inclusion-exclusion on merged sketches —
+  // the "how much does crawl A overlap crawl B" number that decides
+  // whether cross-source dedup is worth scheduling. The union sketch
+  // of two KMV sketches is exactly the k smallest of the union of
+  // their hash sets (dedup'd) — the mergeability that makes KMV a
+  // distributed-friendly sketch (partial sketches per shard, one
+  // k-row merge); inter_est = est_a + est_b − union_est can go
+  // negative for near-disjoint sets (documented estimator property,
+  // kept as computed). Exact twins computed alongside so the gate
+  // measures the estimator. Shape at 100 TB: sketches are k rows per
+  // source — the pairwise merge touches 10·2k rows regardless of
+  // corpus size; only the exact-twin audit (dropped in production)
+  // scans tokens.
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    val st = srcShingles(s, dir)
+    val top5 = docs(s, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("source").asc).limit(5)
+      .select(col("source"))
+    val tok = st.join(broadcast(top5), Seq("source")).distinct()
+    val hashes = tok.select(col("source"), shiftright(h60(col("w")), 10).as("h"))
+      .distinct()
+    val sk = graft.ops.TopK.perGroup(
+        hashes, Seq("source"), Seq(col("h").asc), KmvK, "rnk")
+      .select(col("source"), col("h"))
+    // over (n_seen, kth) aggregate columns; integer div, like q137
+    val estCol = when(col("n_seen") < KmvK, col("n_seen"))
+      .otherwise(expr(s"(${KmvK - 1}L * ${KmvMax}L) div kth"))
+    val pairs = top5.select(col("source").as("src_a"))
+      .join(top5.select(col("source").as("src_b")), col("src_a") < col("src_b"))
+    val perSrc = sk.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_seen"), max(col("h")).as("kth"))
+      .select(col("source"), estCol.as("e"))
+    val merged = graft.ops.TopK.perGroup(
+      broadcast(pairs).join(sk.withColumnRenamed("source", "src_a"), Seq("src_a"))
+        .select(col("src_a"), col("src_b"), col("h"))
+        .union(broadcast(pairs)
+          .join(sk.withColumnRenamed("source", "src_b"), Seq("src_b"))
+          .select(col("src_a"), col("src_b"), col("h")))
+        .distinct(),
+      Seq("src_a", "src_b"), Seq(col("h").asc), KmvK, "rnk")
+    val unionEst = merged.groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_seen"), max(col("h")).as("kth"))
+      .select(col("src_a"), col("src_b"), estCol.as("union_est"))
+    val tokA = tok.select(col("source").as("src_a"), col("w"))
+    val tokB = tok.select(col("source").as("src_b"), col("w"))
+    val unionExact = broadcast(pairs).join(tokA, Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("w"))
+      .union(broadcast(pairs).join(tokB, Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("w")))
+      .distinct()
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("union_exact"))
+    val interExact = tokA.join(tokB, Seq("w"))
+      .join(broadcast(pairs), Seq("src_a", "src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("inter_exact"))
+    unionExact.join(unionEst, Seq("src_a", "src_b"))
+      .join(perSrc.withColumnRenamed("source", "src_a")
+        .withColumnRenamed("e", "est_a"), Seq("src_a"))
+      .join(perSrc.withColumnRenamed("source", "src_b")
+        .withColumnRenamed("e", "est_b"), Seq("src_b"))
+      .join(interExact, Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"), col("union_exact"), col("union_est"),
+        col("inter_exact"),
+        (col("est_a") + col("est_b") - col("union_est")).as("inter_est"))
+  }
+  private lazy val q138Sql =
+    s"""WITH st AS ($srcShinglesSql),
+      |top5 AS (
+      |  SELECT source FROM (
+      |    SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+      |    ORDER BY n_docs DESC, source ASC LIMIT 5)),
+      |tok AS (SELECT DISTINCT source, w FROM st JOIN top5 USING (source)),
+      |hs AS (SELECT DISTINCT source, ${h60Sql("w")} >> 10 AS h FROM tok),
+      |sk AS (SELECT source, h FROM (
+      |  SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rnk
+      |  FROM hs) r WHERE rnk <= $KmvK),
+      |per_src AS (
+      |  SELECT source,
+      |    CASE WHEN COUNT(*) < $KmvK THEN CAST(COUNT(*) AS BIGINT)
+      |         ELSE (${KmvK - 1} * $KmvMax) // MAX(h) END AS e
+      |  FROM sk GROUP BY source),
+      |pairs AS (
+      |  SELECT a.source AS src_a, b.source AS src_b
+      |  FROM top5 a JOIN top5 b ON a.source < b.source),
+      |merged AS (
+      |  SELECT DISTINCT src_a, src_b, h FROM (
+      |    SELECT p.src_a, p.src_b, s.h FROM pairs p JOIN sk s ON s.source = p.src_a
+      |    UNION ALL
+      |    SELECT p.src_a, p.src_b, s.h FROM pairs p JOIN sk s ON s.source = p.src_b) u),
+      |mrk AS (SELECT src_a, src_b, h, ROW_NUMBER() OVER (
+      |          PARTITION BY src_a, src_b ORDER BY h) AS rnk FROM merged),
+      |union_est AS (
+      |  SELECT src_a, src_b,
+      |    CASE WHEN COUNT(*) < $KmvK THEN CAST(COUNT(*) AS BIGINT)
+      |         ELSE (${KmvK - 1} * $KmvMax) // MAX(h) END AS union_est
+      |  FROM mrk WHERE rnk <= $KmvK GROUP BY src_a, src_b),
+      |union_exact AS (
+      |  SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS union_exact FROM (
+      |    SELECT DISTINCT src_a, src_b, w FROM (
+      |      SELECT p.src_a, p.src_b, t.w FROM pairs p JOIN tok t ON t.source = p.src_a
+      |      UNION ALL
+      |      SELECT p.src_a, p.src_b, t.w FROM pairs p JOIN tok t ON t.source = p.src_b) u) d
+      |  GROUP BY src_a, src_b),
+      |inter_exact AS (
+      |  SELECT p.src_a, p.src_b, CAST(COUNT(*) AS BIGINT) AS inter_exact
+      |  FROM pairs p
+      |  JOIN tok a ON a.source = p.src_a
+      |  JOIN tok b ON b.source = p.src_b AND b.w = a.w
+      |  GROUP BY p.src_a, p.src_b)
+      |SELECT ue.src_a, ue.src_b, ux.union_exact, ue.union_est,
+      |       ix.inter_exact, pa.e + pb.e - ue.union_est AS inter_est
+      |FROM union_est ue
+      |JOIN union_exact ux USING (src_a, src_b)
+      |JOIN inter_exact ix USING (src_a, src_b)
+      |JOIN per_src pa ON pa.source = ue.src_a
+      |JOIN per_src pb ON pb.source = ue.src_b""".stripMargin
+
   // Stopword lists per language for the n-gram/stopword language-ID
   // heuristic. (The synthetic corpus is English-ish regardless of its
   // `lang` label — the operator, not the accuracy, is under test.)
@@ -2121,5 +2311,7 @@ object TextOps {
     QueryDef("q134_cluster_histogram", q134, Some(q134Sql)),
     QueryDef("q135_rrf_fusion", q135, Some(q135Sql)),
     QueryDef("q136_containment_join", q136, Some(q136Sql)),
+    QueryDef("q137_kmv_distinct", q137, Some(q137Sql)),
+    QueryDef("q138_kmv_overlap", q138, Some(q138Sql)),
   )
 }

@@ -363,6 +363,32 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q137 KMV estimator branch is exercised and within its error bound") {
+    val rows = SparkEntry.queries("q137_kmv_distinct")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // the kth-value branch must actually fire (shingle cardinality > k),
+    // else the audit is vacuous
+    assert(rows.exists(r => r.getAs[Long]("kmv_est") != r.getAs[Long]("n_exact")))
+    rows.foreach { r =>
+      // k=256 -> sigma ~ 1/sqrt(k) ~ 6.25%; 4 sigma = 250 permille
+      assert(r.getAs[Long]("err_permille") <= 250,
+        s"KMV error out of bound: $r")
+    }
+  }
+
+  test("q138 merged-sketch union estimate stays within the error bound") {
+    val rows = SparkEntry.queries("q138_kmv_overlap")(spark, dir).collect()
+    assert(rows.length == 10) // C(5,2) pairs of the top-5 sources
+    rows.foreach { r =>
+      val (ux, ue) = (r.getAs[Long]("union_exact"), r.getAs[Long]("union_est"))
+      assert(math.abs(ue - ux) * 1000 <= 250 * ux,
+        s"KMV union error out of bound: $r")
+      // inter_est may be negative (inclusion-exclusion on estimates);
+      // it must still be bounded by the union-side magnitudes
+      assert(math.abs(r.getAs[Long]("inter_est")) <= 2 * ue)
+    }
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
