@@ -350,7 +350,51 @@ object EventsOps {
     QueryDef("q127_user_sequences", q127, Some(q127Sql)),
     QueryDef("q128_winsorize", q128, Some(q128Sql)),
     QueryDef("q130_sliding_windows", q130, Some(q130Sql)),
+    QueryDef("q139_retention_cohorts", q139, Some(q139Sql)),
   )
+
+  // q139 — retention cohort matrix: users grouped by first-seen week,
+  // tracked by how many are still active N weeks later — the classic
+  // product-analytics view, and the engagement signal a data pipeline
+  // joins back onto user-generated content (does a source's authorship
+  // persist or churn?). All keys are week-truncated dates, offsets are
+  // exact integer week differences, rates are permille integers.
+  // Shape at 100 TB: one distinct-ify shuffle on (user, week), the
+  // cohort min is a partial-agg groupBy on user (same key — AQE reuses
+  // the exchange), the matrix is a low-cardinality (cohort, offset)
+  // partial agg, and cohort sizes broadcast into the final join.
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    val wk = events(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    val cohort = wk.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val sizes = cohort.groupBy(col("cohort_wk"))
+      .agg(countDistinct(col("user_id")).as("n_cohort"))
+    wk.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_wk"),
+        expr("CAST(datediff(wk, cohort_wk) div 7 AS BIGINT)").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_wk"))
+      .select(col("cohort_wk"), col("week_offset"), col("n_active"),
+        col("n_cohort"),
+        expr("n_active * 1000 div n_cohort").as("retention_permille"))
+  }
+  private val q139Sql =
+    """WITH wk AS (
+      |  SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS wk
+      |  FROM events),
+      |cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM wk GROUP BY user_id),
+      |sizes AS (SELECT cohort_wk, COUNT(DISTINCT user_id) AS n_cohort
+      |          FROM cohort GROUP BY cohort_wk),
+      |act AS (
+      |  SELECT c.cohort_wk,
+      |    CAST(DATE_DIFF('day', c.cohort_wk, w.wk) // 7 AS BIGINT) AS week_offset,
+      |    COUNT(DISTINCT w.user_id) AS n_active
+      |  FROM wk w JOIN cohort c USING (user_id)
+      |  GROUP BY 1, 2)
+      |SELECT a.cohort_wk, a.week_offset, a.n_active, s.n_cohort,
+      |  a.n_active * 1000 // s.n_cohort AS retention_permille
+      |FROM act a JOIN sizes s USING (cohort_wk)""".stripMargin
 
   // q76 — unpivot/melt: the inverse of q41's pivot, taking the wide
   // daily cross-tab back to tidy (day, event_type, n) triples — the

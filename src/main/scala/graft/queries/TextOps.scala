@@ -1142,6 +1142,84 @@ object TextOps {
       |JOIN per_src pa ON pa.source = ue.src_a
       |JOIN per_src pb ON pb.source = ue.src_b""".stripMargin
 
+  // Count-min sketch parameters (q140): d=4 hash rows × w=1024 buckets.
+  private val CmD = 4
+  private val CmW = 1024
+
+  // q140 — count-min frequency sketch, audited on the exact top-20
+  // word BIGRAMS: counters[i][h_i(x)] += 1 per occurrence, estimate =
+  // min_i counters[i][h_i(x)]. Like q137's KMV, the fixed seeded
+  // hashes (h60 of "cm<i>:"+x) make the sketch FULLY DETERMINISTIC —
+  // both engines build byte-identical counter tables — so frequency
+  // estimation joins the oracle-checked sketch family, and CM's
+  // one-sided guarantee (estimates never undercount) is pinned in the
+  // gate output itself (overestimate ≥ 0 on every row). Shape at
+  // 100 TB: the counter build is a partial-agg groupBy on (row,
+  // bucket) — map-side combine bounds every partition's exchange
+  // contribution to d·w rows regardless of input size, which is
+  // exactly the fixed-size-mergeable-state property sketches exist
+  // for; probes broadcast the 20-token query list against the d·w-row
+  // counter table.
+  // ~27k bigram occurrences over 916 distinct at sf0.01 (top count 48):
+  // real heavy hitters, so min-of-4 is mostly collision-free at w=1024
+  // and the occasional colliding row shows the one-sided error the
+  // sketch contract promises — unlike shingles (near-uniform df <= 7),
+  // where collision mass would swamp the signal.
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    val st = docs(s, dir)
+      .select(words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("w"))
+    val exact = st.groupBy(col("w")).agg(count(lit(1)).as("n_exact"))
+    val top20 = exact.orderBy(col("n_exact").desc, col("w").asc).limit(20)
+    val counters = st
+      .select(posexplode(array((0 until CmD).map(i =>
+        pmod(h60(concat(lit(s"cm$i:"), col("w"))), lit(CmW.toLong))): _*))
+        .as(Seq("row_idx", "bucket")))
+      .groupBy(col("row_idx"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val probes = top20.select(col("w"), col("n_exact"),
+      posexplode(array((0 until CmD).map(i =>
+        pmod(h60(concat(lit(s"cm$i:"), col("w"))), lit(CmW.toLong))): _*))
+        .as(Seq("row_idx", "bucket")))
+    probes.join(counters, Seq("row_idx", "bucket"))
+      .groupBy(col("w"), col("n_exact"))
+      .agg(min(col("cnt")).as("cm_est"))
+      .select(col("w").as("token"), col("n_exact"), col("cm_est"),
+        (col("cm_est") - col("n_exact")).as("overestimate"),
+        expr("(cm_est - n_exact) * 1000 div n_exact").as("err_permille"))
+  }
+  private lazy val q140Sql = {
+    def bucketSql(i: Int, e: String) =
+      s"${h60Sql(s"'cm$i:' || $e")} % $CmW"
+    val probeArms = (0 until CmD).map(i =>
+      s"SELECT w, n_exact, $i AS row_idx, ${bucketSql(i, "w")} AS bucket FROM top20")
+      .mkString("\n      |  UNION ALL ")
+    val counterArms = (0 until CmD).map(i =>
+      s"SELECT $i AS row_idx, ${bucketSql(i, "w")} AS bucket FROM st")
+      .mkString("\n      |  UNION ALL ")
+    s"""WITH st AS (
+      |  SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i+1])) AS w
+      |  FROM (SELECT STRING_SPLIT(text, ' ') AS ws FROM documents) t
+      |  WHERE LEN(ws) >= 2),
+      |exact AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_exact FROM st GROUP BY w),
+      |top20 AS (SELECT w, n_exact FROM exact
+      |          ORDER BY n_exact DESC, w ASC LIMIT 20),
+      |counters AS (
+      |  SELECT row_idx, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      |  $counterArms) c
+      |  GROUP BY row_idx, bucket),
+      |probes AS (
+      |  $probeArms)
+      |SELECT p.w AS token, p.n_exact, MIN(c.cnt) AS cm_est,
+      |  MIN(c.cnt) - p.n_exact AS overestimate,
+      |  (MIN(c.cnt) - p.n_exact) * 1000 // p.n_exact AS err_permille
+      |FROM probes p JOIN counters c USING (row_idx, bucket)
+      |GROUP BY p.w, p.n_exact""".stripMargin
+  }
+
   // Stopword lists per language for the n-gram/stopword language-ID
   // heuristic. (The synthetic corpus is English-ish regardless of its
   // `lang` label — the operator, not the accuracy, is under test.)
@@ -2313,5 +2391,6 @@ object TextOps {
     QueryDef("q136_containment_join", q136, Some(q136Sql)),
     QueryDef("q137_kmv_distinct", q137, Some(q137Sql)),
     QueryDef("q138_kmv_overlap", q138, Some(q138Sql)),
+    QueryDef("q140_countmin_freq", q140, Some(q140Sql)),
   )
 }

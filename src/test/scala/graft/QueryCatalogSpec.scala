@@ -389,6 +389,31 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q140 count-min estimates never undercount (the CM guarantee)") {
+    val rows = SparkEntry.queries("q140_countmin_freq")(spark, dir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overestimate") >= 0, s"CM undercounted: $r")
+      assert(r.getAs[Long]("cm_est") >= r.getAs[Long]("n_exact"))
+    }
+    // min-of-4 must dodge collisions for at least one heavy hitter,
+    // else w is mis-sized for the universe and the audit shows nothing
+    assert(rows.exists(_.getAs[Long]("overestimate") == 0))
+  }
+
+  test("q139 cohort week zero is complete and retention never exceeds it") {
+    val rows = SparkEntry.queries("q139_retention_cohorts")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (act, coh) = (r.getAs[Long]("n_active"), r.getAs[Long]("n_cohort"))
+      assert(act <= coh)
+      assert(r.getAs[Long]("retention_permille") == act * 1000 / coh)
+      // a user's first-seen week is by definition an active week
+      if (r.getAs[Long]("week_offset") == 0L) assert(act == coh)
+      assert(r.getAs[Long]("week_offset") >= 0L)
+    }
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
