@@ -685,6 +685,13 @@ object TextOps {
     val nsh = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
     val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val ordered = ex.join(dfreq, Seq("shingle"))
+      // df = 1 shingles exist in exactly one doc — they can never
+      // collide, and since every df=1 shingle of a doc is missing from
+      // its partner, ranking the prefix among df≥2 shingles leaves the
+      // pigeonhole argument intact (missing-among-df≥2 shrinks by
+      // exactly the dropped count; the oracle still proves the
+      // composed filter lossless on real data)
+      .filter(col("df") >= 2)
       .withColumn("r", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))).cast("long"))
       .join(nsh, Seq("doc_id"))
@@ -903,7 +910,13 @@ object TextOps {
   // order — same order as q132) must collide with B's FULL index at
   // least once (pigeonhole) — provably lossless, and the oracle
   // computes the unfiltered token join so the gate proves it on real
-  // data. Plus the containment length filter: common ≤ n_b and
+  // data. Both sides additionally drop df=1 shingles BEFORE ranking:
+  // a df=1 shingle exists in exactly one doc, so it can never collide
+  // — and every df=1 shingle of A is by definition missing from B, so
+  // among A's df≥2 shingles at most (n_a div 5 − #df1) are missing,
+  // and the (n_a div 5 + 1)-length prefix of the df≥2 ranking still
+  // pigeonholes a collision. (Losslessness of exactly this composed
+  // filter is what the unfiltered oracle checks.) Plus the containment length filter: common ≤ n_b and
   // 5·common ≥ 4·n_a force 5·n_b ≥ 4·n_a. Verification is per-pair
   // array_intersect on the candidates (shingle arrays are distinct by
   // construction), like q132. Shape at 100 TB: probe side carries only
@@ -912,16 +925,22 @@ object TextOps {
   // asymmetric similarity-join layout.
   private def q136(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(s, dir).cache()
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    // the exploded token stream is read three times (df count, prefix
+    // ranking, index side) — cache it once
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle")).cache()
     val nsh = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
     val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val prefixA = ex.join(dfreq, Seq("shingle"))
+      // df = 1 means only one doc carries the shingle — it cannot
+      // produce a cross-doc collision on either side of the join
+      .filter(col("df") >= 2)
       .withColumn("r", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))).cast("long"))
       .join(nsh, Seq("doc_id"))
       .filter(col("r") <= expr("n_sh div 5 + 1"))
       .select(col("doc_id").as("doc_a"), col("shingle"), col("n_sh").as("pn_a"))
-    val indexB = ex.join(nsh, Seq("doc_id"))
+    val indexB = ex.join(dfreq.filter(col("df") >= 2), Seq("shingle"))
+      .join(nsh, Seq("doc_id"))
       .select(col("doc_id").as("doc_b"), col("shingle"), col("n_sh").as("pn_b"))
     val cand = prefixA.join(indexB, Seq("shingle"))
       .filter(col("doc_a") =!= col("doc_b") && col("pn_b") * 5 >= col("pn_a") * 4)

@@ -85,6 +85,48 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  // --- deterministic-sketch math (q137/q138 KMV, q140 count-min) ---
+
+  private def kmvKmin(hs: Set[Long], k: Int): Vector[Long] =
+    hs.toVector.sorted.take(k)
+
+  test("KMV sketches merge losslessly: k-min of the union == k-min of merged sketches") {
+    // the mergeability theorem q138 relies on: any hash among the k
+    // smallest of A ∪ B is among the k smallest of the side it came from
+    val genHashes = Gen.listOf(Gen.choose(0L, (1L << 50) - 1)).map(_.toSet)
+    check(Prop.forAll(genHashes, genHashes) { (a, b) =>
+      val k = 16
+      kmvKmin(a ++ b, k) == kmvKmin(kmvKmin(a, k).toSet ++ kmvKmin(b, k).toSet, k)
+    })
+  }
+
+  test("KMV estimate is exact below k and positive-bounded above it") {
+    val k = 16
+    def est(hs: Set[Long]): Long =
+      if (hs.size < k) hs.size.toLong
+      else (k - 1).toLong * (1L << 50) / kmvKmin(hs, k).last
+    check(Prop.forAll(Gen.listOf(Gen.choose(0L, (1L << 50) - 1)).map(_.toSet)) { hs =>
+      if (hs.size < k) est(hs) == hs.size.toLong
+      else est(hs) >= 1L // kth min >= k-1 >= 1 for distinct non-negative hashes
+    })
+  }
+
+  test("count-min never undercounts, on the real seeded h60 hash") {
+    val (d, w) = (4, 64)
+    def bucket(i: Int, x: String): Int =
+      (graft.functions.H60Expr.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"cm$i:" + x)) % w).toInt
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.oneOf(
+      (0 until 40).map(n => s"tok$n")))) { items =>
+      val counters = Array.ofDim[Long](d, w)
+      items.foreach(x => (0 until d).foreach(i => counters(i)(bucket(i, x)) += 1))
+      val exact = items.groupBy(identity).map { case (x, xs) => x -> xs.length.toLong }
+      exact.forall { case (x, n) =>
+        (0 until d).map(i => counters(i)(bucket(i, x))).min >= n
+      }
+    })
+  }
+
   test("count_in equals the declarative filter-count, nulls never match") {
     val members = Seq("the", "a")
     val set = graft.functions.CountInExpr.buildSet(members.toArray)
