@@ -1239,6 +1239,55 @@ object TextOps {
       |GROUP BY p.w, p.n_exact""".stripMargin
   }
 
+  // q141 — vocabulary-growth (Heaps-law) curve: per ingest batch, how
+  // many shingles are NEW vs ever seen before — the saturation signal
+  // that tells a corpus owner when additional crawl stops adding
+  // content (new-vocab rate → 0 long before volume does, and a
+  // mid-curve jump flags a genuinely novel source coming online).
+  // Batch = decile of the doc_id range (the ingest-order proxy; with
+  // real ingest timestamps the same query groups by date). Shape at
+  // 100 TB: first-seen is ONE partial-agg min keyed on shingle (the
+  // only wide shuffle), per-batch stats are partial-agg counts, and
+  // the cumulative sum runs over 10 rows on the driver-side window —
+  // never over the corpus.
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    val bounds = docs(s, dir)
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    val ex = shingled(s, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .crossJoin(broadcast(bounds))
+      .select(expr("(doc_id - mn) * 10 div (mx - mn + 1)").as("batch"),
+        col("shingle"))
+    val firstSeen = ex.groupBy(col("shingle")).agg(min(col("batch")).as("batch"))
+    val perBatch = ex.groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("shingle")).as("n_distinct_in_batch"))
+    val newPer = firstSeen.groupBy(col("batch")).agg(count(lit(1)).as("n_new"))
+    perBatch.join(newPer, Seq("batch"), "left")
+      .na.fill(0L, Seq("n_new"))
+      .withColumn("cum_vocab", sum(col("n_new")).over(
+        Window.orderBy(col("batch"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+  private lazy val q141Sql =
+    s"""WITH sh AS ($shingledSql),
+      |b AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents),
+      |ex AS (
+      |  SELECT (doc_id - (SELECT mn FROM b)) * 10
+      |           // ((SELECT mx FROM b) - (SELECT mn FROM b) + 1) AS batch,
+      |         UNNEST(shingles) AS shingle
+      |  FROM sh),
+      |fs AS (SELECT shingle, MIN(batch) AS batch FROM ex GROUP BY shingle),
+      |pb AS (SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+      |         CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_distinct_in_batch
+      |       FROM ex GROUP BY batch),
+      |np AS (SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_new FROM fs GROUP BY batch)
+      |SELECT pb.batch, pb.n_occurrences, pb.n_distinct_in_batch,
+      |  COALESCE(np.n_new, 0) AS n_new,
+      |  CAST(SUM(COALESCE(np.n_new, 0)) OVER (ORDER BY pb.batch
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+      |FROM pb LEFT JOIN np USING (batch)""".stripMargin
+
   // Stopword lists per language for the n-gram/stopword language-ID
   // heuristic. (The synthetic corpus is English-ish regardless of its
   // `lang` label — the operator, not the accuracy, is under test.)
@@ -2411,5 +2460,6 @@ object TextOps {
     QueryDef("q137_kmv_distinct", q137, Some(q137Sql)),
     QueryDef("q138_kmv_overlap", q138, Some(q138Sql)),
     QueryDef("q140_countmin_freq", q140, Some(q140Sql)),
+    QueryDef("q141_vocab_growth", q141, Some(q141Sql)),
   )
 }

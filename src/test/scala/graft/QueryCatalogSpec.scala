@@ -414,6 +414,23 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q141 vocab-growth curve reconciles with itself and the corpus") {
+    val rows = SparkEntry.queries("q141_vocab_growth")(spark, dir).collect()
+      .sortBy(_.getAs[Long]("batch"))
+    assert(rows.nonEmpty)
+    // batch 0: everything is new by definition
+    assert(rows.head.getAs[Long]("n_new") ==
+      rows.head.getAs[Long]("n_distinct_in_batch"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_new") <= r.getAs[Long]("n_distinct_in_batch"))
+      assert(r.getAs[Long]("n_distinct_in_batch") <= r.getAs[Long]("n_occurrences"))
+    }
+    // cum_vocab is the running sum of n_new and ends at the true
+    // corpus-wide distinct-shingle count
+    assert(rows.map(_.getAs[Long]("n_new")).scanLeft(0L)(_ + _).tail.toSeq ==
+      rows.map(_.getAs[Long]("cum_vocab")).toSeq)
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
