@@ -1288,6 +1288,103 @@ object TextOps {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
       |FROM pb LEFT JOIN np USING (batch)""".stripMargin
 
+  // q142 — deterministic HyperLogLog, closing the sketch family's last
+  // gap: q72's HLL is Spark's approx_count_distinct (implementation-
+  // specific, rows-only by necessity); this one is HLL from first
+  // principles on the portable h60 hash, so BOTH engines compute the
+  // identical 64 registers and the identical estimate — the same move
+  // that made KMV (q137) and count-min (q140) oracle-checkable. p=6
+  // (64 registers) keeps the sketch legible in SQL; production uses
+  // p≈14, same algebra. Register math: bucket = top 6 hash bits,
+  // rho = leading-zeros-plus-one of the remaining 54 bits (via
+  // 55 - bitlen, bin() being the portable bitlen in both engines),
+  // register = MAX(rho). The raw estimator α·m²/Σ2^(−M[j]) runs in
+  // exact integers: Z scaled by 2^55 stays under 2^61, and α (the
+  // canonical 0.7213/(1+1.079/m), micro-scaled) folds into one
+  // 27-digit DECIMAL(38,0) numerator. The small-range linear-counting
+  // correction m·ln(m/V) is a pure function of the empty-register
+  // count V with m fixed, so it ships as a 63-entry integer lookup —
+  // no libm ln ever crosses the engine boundary. Two sketched
+  // universes exercise both branches: 3-gram shingles (~1.3k/source)
+  // saturate all 64 registers → raw path; whitespace words
+  // (~31/source vocabulary) leave most registers empty → LC path.
+  // Shape at 100 TB: HLL is THE mergeable cardinality sketch — unlike
+  // KMV it is duplicate-insensitive, so there is NO pre-distinct:
+  // just two partial-agg levels (MAX per register, then a 64-row SUM
+  // per group), fixed 64-row state per group end to end.
+  private val HllRestMask = (1L << 54) - 1
+  private val HllNum = "104680255103913656422760448" // round(α_64·1e6)·64²·2^55
+  private val HllLc: Seq[Int] = Seq( // round(64·ln(64/V)), V = 1..63
+    266, 222, 196, 177, 163, 151, 142, 133, 126, 119, 113, 107, 102,
+    97, 93, 89, 85, 81, 78, 74, 71, 68, 65, 63, 60, 58, 55, 53, 51,
+    48, 46, 44, 42, 40, 39, 37, 35, 33, 32, 30, 28, 27, 25, 24, 23,
+    21, 20, 18, 17, 16, 15, 13, 12, 11, 10, 9, 7, 6, 5, 4, 3, 2, 1)
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    val st = srcShingles(s, dir).select(col("source"), lit("shingle").as("universe"), col("w"))
+      .unionByName(docs(s, dir)
+        .select(col("source"), lit("word").as("universe"),
+          explode(split(col("text"), " ")).as("w")))
+    val exact = st.groupBy(col("source"), col("universe"))
+      .agg(countDistinct(col("w")).as("n_exact"))
+    val regs = st
+      .select(col("source"), col("universe"), h60(col("w")).as("h"))
+      .select(col("source"), col("universe"),
+        shiftright(col("h"), 54).as("bucket"),
+        expr(s"h & $HllRestMask").as("rest"))
+      .select(col("source"), col("universe"), col("bucket"),
+        when(col("rest") === 0, lit(55))
+          .otherwise(lit(55) - length(expr("bin(rest)"))).as("rho"))
+      .groupBy(col("source"), col("universe"), col("bucket"))
+      .agg(max(col("rho")).as("mj"))
+    val per = regs.groupBy(col("source"), col("universe"))
+      .agg(count(lit(1)).as("n_seen"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - mj)")).as("zsum"))
+      .select(col("source"), col("universe"),
+        (lit(64L) - col("n_seen")).as("v_empty"),
+        (col("zsum") + (lit(64L) - col("n_seen")) * lit(1L << 55)).as("z"))
+      .withColumn("raw_est",
+        expr(s"CAST('$HllNum' AS DECIMAL(38,0)) div (CAST(1000000 AS DECIMAL(38,0)) * z)"))
+      .withColumn("hll_est",
+        when(col("v_empty") > 0 && col("raw_est") <= 160,
+          expr(s"CAST(element_at(${HllLc.mkString("array(", ", ", ")")}, " +
+            "CAST(v_empty AS INT)) AS BIGINT)"))
+          .otherwise(col("raw_est")))
+    exact.join(per, Seq("source", "universe"))
+      .select(col("source"), col("universe"), col("n_exact"), col("hll_est"),
+        col("v_empty"),
+        expr("abs(hll_est - n_exact) * 1000 div n_exact").as("err_permille"))
+  }
+  private lazy val q142Sql =
+    s"""WITH st AS (
+      |  SELECT source, 'shingle' AS universe, w FROM ($srcShinglesSql) s1
+      |  UNION ALL
+      |  SELECT source, 'word' AS universe, UNNEST(STRING_SPLIT(text, ' ')) AS w
+      |  FROM documents),
+      |ex AS (SELECT source, universe, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_exact
+      |       FROM st GROUP BY 1, 2),
+      |rr AS (SELECT source, universe, h >> 54 AS bucket,
+      |         CASE WHEN (h & $HllRestMask) = 0 THEN 55
+      |              ELSE 55 - LENGTH(bin(h & $HllRestMask)) END AS rho
+      |       FROM (SELECT source, universe, ${h60Sql("w")} AS h FROM st) hh),
+      |rg AS (SELECT source, universe, bucket, MAX(rho) AS mj FROM rr GROUP BY 1, 2, 3),
+      |pe AS (SELECT source, universe,
+      |         CAST(64 - COUNT(*) AS BIGINT) AS v_empty,
+      |         CAST(SUM(1::BIGINT << (55 - mj)) AS BIGINT)
+      |           + (64 - COUNT(*)) * (1::BIGINT << 55) AS z
+      |       FROM rg GROUP BY 1, 2),
+      |es AS (SELECT source, universe, v_empty,
+      |         CAST('$HllNum'::HUGEINT // (1000000::HUGEINT * z) AS BIGINT) AS raw_est
+      |       FROM pe),
+      |fi AS (SELECT source, universe, v_empty,
+      |         CASE WHEN v_empty > 0 AND raw_est <= 160
+      |              THEN CAST(LIST_EXTRACT(${HllLc.mkString("[", ", ", "]")},
+      |                CAST(v_empty AS INT)) AS BIGINT)
+      |              ELSE raw_est END AS hll_est
+      |       FROM es)
+      |SELECT e.source, e.universe, e.n_exact, f.hll_est, f.v_empty,
+      |       ABS(f.hll_est - e.n_exact) * 1000 // e.n_exact AS err_permille
+      |FROM ex e JOIN fi f USING (source, universe)""".stripMargin
+
   // Stopword lists per language for the n-gram/stopword language-ID
   // heuristic. (The synthetic corpus is English-ish regardless of its
   // `lang` label — the operator, not the accuracy, is under test.)
@@ -2461,5 +2558,6 @@ object TextOps {
     QueryDef("q138_kmv_overlap", q138, Some(q138Sql)),
     QueryDef("q140_countmin_freq", q140, Some(q140Sql)),
     QueryDef("q141_vocab_growth", q141, Some(q141Sql)),
+    QueryDef("q142_hll_distinct", q142, Some(q142Sql)),
   )
 }

@@ -431,6 +431,24 @@ class QueryCatalogSpec extends AnyFunSuite {
       rows.map(_.getAs[Long]("cum_vocab")).toSeq)
   }
 
+  test("q142 deterministic HLL exercises both estimator branches within error bounds") {
+    val rows = SparkEntry.queries("q142_hll_distinct")(spark, dir).collect()
+    val (sh, wd) = rows.partition(_.getAs[String]("universe") == "shingle")
+    assert(sh.nonEmpty && wd.nonEmpty)
+    // ~1.3k distinct shingles per source saturate all 64 registers →
+    // raw-estimator branch, relative error well under 4/√64 = 50%
+    sh.foreach { r =>
+      assert(r.getAs[Long]("v_empty") == 0L)
+      assert(r.getAs[Long]("err_permille") < 500L)
+    }
+    // ~31-word vocabulary leaves most registers empty → linear-counting
+    // branch, whose estimate is the pinned 63-entry lookup value
+    wd.foreach { r =>
+      assert(r.getAs[Long]("v_empty") > 0L)
+      assert(r.getAs[Long]("err_permille") < 500L)
+    }
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
