@@ -534,6 +534,119 @@ object CurationOps {
       |       (n_triangles * 1000) // NULLIF(n_wedges, 0) AS closure_permille
       |FROM stats""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q143 — quality-classifier DISTILLATION: two exact batch-perceptron
+  // training rounds that compress the heuristic keep/drop gate into a
+  // linear model over cheap integer features (bias, n_words, n_distinct,
+  // n_chars, n_stopwords). This is the standard curation bootstrap
+  // (CCNet/fastText-style): label with a rule, train a cheap linear
+  // scorer, deploy the scorer where the rule is too slow or too brittle.
+  // Everything is exact integer arithmetic — labels are ±1, round-1
+  // weights are Σ y·x (all rows are margin-0 mistakes under zero init),
+  // round 2 re-scores with w1, updates on y·score ≤ 0 mistakes only,
+  // and the final pass reports training accuracy under w2 — so both
+  // engines land on bit-identical weights and counts; no learning-rate
+  // float ever appears (η=1, the classic perceptron).
+  // Shape at 100 TB: the feature pass is narrow and computed ONCE
+  // (cached here; a feature-store write in production); each round is
+  // one 6-number partial aggregation with the weight vector broadcast
+  // back as a single-row frame — rounds cost one scan each, no shuffle
+  // wider than 6 numbers, so dozens of epochs stay cheap. Mini-batch
+  // SGD drops in by gating the update on a hash of doc_id (the q65
+  // deterministic-split trick) instead of full-batch.
+  // ---------------------------------------------------------------------
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s) // count_in
+    val ft = docs(s, dir)
+      .withColumn("w", split(col("text"), " "))
+      .select(
+        size(col("w")).cast("long").as("n_words"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+        length(col("text")).cast("long").as("n_chars"),
+        expr("count_in(w, 'the', 'a', 'of', 'and', 'to')").as("n_stop"))
+      .withColumn("y",
+        when(col("n_words").between(40, 200) &&
+          col("n_distinct") * 10 >= col("n_words") * 3, 1L).otherwise(-1L))
+      .cache()
+    // round 1: zero init → every row is a (margin 0) mistake → w1 = Σ y·x
+    val w1 = ft.agg(
+      sum(col("y")).as("b1"),
+      sum(col("y") * col("n_words")).as("ww1"),
+      sum(col("y") * col("n_distinct")).as("wd1"),
+      sum(col("y") * col("n_chars")).as("wc1"),
+      sum(col("y") * col("n_stop")).as("ws1"))
+    // round 2: score with w1, update on mistakes (y·score ≤ 0) only
+    val s2 = ft.crossJoin(broadcast(w1))
+      .withColumn("score",
+        col("b1") + col("ww1") * col("n_words") + col("wd1") * col("n_distinct") +
+          col("wc1") * col("n_chars") + col("ws1") * col("n_stop"))
+    val mist = col("y") * col("score") <= 0
+    val w2 = s2.agg(
+      first(col("b1")).as("b1"), first(col("ww1")).as("ww1"),
+      first(col("wd1")).as("wd1"), first(col("wc1")).as("wc1"),
+      first(col("ws1")).as("ws1"),
+      sum(when(mist, col("y")).otherwise(0L)).as("gb"),
+      sum(when(mist, col("y") * col("n_words")).otherwise(0L)).as("gw"),
+      sum(when(mist, col("y") * col("n_distinct")).otherwise(0L)).as("gd"),
+      sum(when(mist, col("y") * col("n_chars")).otherwise(0L)).as("gc"),
+      sum(when(mist, col("y") * col("n_stop")).otherwise(0L)).as("gs"),
+      sum(when(mist, 1L).otherwise(0L)).as("n_mistakes_r2"))
+      .select(
+        (col("b1") + col("gb")).as("b2"), (col("ww1") + col("gw")).as("ww2"),
+        (col("wd1") + col("gd")).as("wd2"), (col("wc1") + col("gc")).as("wc2"),
+        (col("ws1") + col("gs")).as("ws2"), col("n_mistakes_r2"))
+    // evaluation pass: training accuracy under the round-2 weights
+    ft.crossJoin(broadcast(w2))
+      .withColumn("score2",
+        col("b2") + col("ww2") * col("n_words") + col("wd2") * col("n_distinct") +
+          col("wc2") * col("n_chars") + col("ws2") * col("n_stop"))
+      .agg(
+        first(col("b2")).as("w_bias"), first(col("ww2")).as("w_words"),
+        first(col("wd2")).as("w_distinct"), first(col("wc2")).as("w_chars"),
+        first(col("ws2")).as("w_stop"),
+        first(col("n_mistakes_r2")).as("n_mistakes_r2"),
+        sum(when(col("y") * col("score2") > 0, 1L).otherwise(0L))
+          .as("n_correct"),
+        count(lit(1)).as("n_total"))
+  }
+  private val q143Sql =
+    """WITH ft AS (
+      |  SELECT CAST(LEN(w) AS BIGINT) AS n_words,
+      |    CAST(LEN(LIST_DISTINCT(w)) AS BIGINT) AS n_distinct,
+      |    CAST(LENGTH(text) AS BIGINT) AS n_chars,
+      |    CAST(LEN(LIST_FILTER(w, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS n_stop,
+      |    CASE WHEN LEN(w) BETWEEN 40 AND 200
+      |           AND LEN(LIST_DISTINCT(w)) * 10 >= LEN(w) * 3
+      |         THEN 1 ELSE -1 END AS y
+      |  FROM (SELECT text, STRING_SPLIT(text, ' ') AS w FROM documents) t),
+      |w1 AS (
+      |  SELECT CAST(SUM(y) AS BIGINT) AS b1,
+      |    CAST(SUM(y * n_words) AS BIGINT) AS ww1,
+      |    CAST(SUM(y * n_distinct) AS BIGINT) AS wd1,
+      |    CAST(SUM(y * n_chars) AS BIGINT) AS wc1,
+      |    CAST(SUM(y * n_stop) AS BIGINT) AS ws1
+      |  FROM ft),
+      |s2 AS (
+      |  SELECT ft.*, w1.*,
+      |    b1 + ww1 * n_words + wd1 * n_distinct + wc1 * n_chars + ws1 * n_stop AS score
+      |  FROM ft, w1),
+      |w2 AS (
+      |  SELECT
+      |    ANY_VALUE(b1) + CAST(COALESCE(SUM(CASE WHEN y * score <= 0 THEN y END), 0) AS BIGINT) AS b2,
+      |    ANY_VALUE(ww1) + CAST(COALESCE(SUM(CASE WHEN y * score <= 0 THEN y * n_words END), 0) AS BIGINT) AS ww2,
+      |    ANY_VALUE(wd1) + CAST(COALESCE(SUM(CASE WHEN y * score <= 0 THEN y * n_distinct END), 0) AS BIGINT) AS wd2,
+      |    ANY_VALUE(wc1) + CAST(COALESCE(SUM(CASE WHEN y * score <= 0 THEN y * n_chars END), 0) AS BIGINT) AS wc2,
+      |    ANY_VALUE(ws1) + CAST(COALESCE(SUM(CASE WHEN y * score <= 0 THEN y * n_stop END), 0) AS BIGINT) AS ws2,
+      |    CAST(COALESCE(SUM(CASE WHEN y * score <= 0 THEN 1 END), 0) AS BIGINT) AS n_mistakes_r2
+      |  FROM s2)
+      |SELECT ANY_VALUE(b2) AS w_bias, ANY_VALUE(ww2) AS w_words,
+      |  ANY_VALUE(wd2) AS w_distinct, ANY_VALUE(wc2) AS w_chars,
+      |  ANY_VALUE(ws2) AS w_stop, ANY_VALUE(n_mistakes_r2) AS n_mistakes_r2,
+      |  CAST(SUM(CASE WHEN y * (b2 + ww2 * n_words + wd2 * n_distinct
+      |    + wc2 * n_chars + ws2 * n_stop) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+      |  CAST(COUNT(*) AS BIGINT) AS n_total
+      |FROM ft, w2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q113_pii_redaction", q113, Some(q113Sql)),
     QueryDef("q114_fuzzy_match", q114, Some(q114Sql)),
@@ -545,5 +658,6 @@ object CurationOps {
     QueryDef("q120_mad_outliers", q120, Some(q120Sql)),
     QueryDef("q123_drift_report", q123, Some(q123Sql)),
     QueryDef("q124_triangle_count", q124, Some(q124Sql)),
+    QueryDef("q143_perceptron_round", q143, Some(q143Sql)),
   )
 }

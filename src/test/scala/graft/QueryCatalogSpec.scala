@@ -449,6 +449,21 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q143 perceptron round reports consistent training metrics") {
+    val r = SparkEntry.queries("q143_perceptron_round")(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val total = row.getAs[Long]("n_total")
+    val correct = row.getAs[Long]("n_correct")
+    val mistakes = row.getAs[Long]("n_mistakes_r2")
+    assert(total > 0L)
+    assert(correct >= 0L && correct <= total)
+    assert(mistakes >= 0L && mistakes <= total)
+    // the distilled linear model must beat coin-flipping on its own
+    // training set — otherwise the distillation story is vacuous
+    assert(correct * 2 > total)
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
