@@ -351,7 +351,45 @@ object EventsOps {
     QueryDef("q128_winsorize", q128, Some(q128Sql)),
     QueryDef("q130_sliding_windows", q130, Some(q130Sql)),
     QueryDef("q139_retention_cohorts", q139, Some(q139Sql)),
+    QueryDef("q144_markov_transitions", q144, Some(q144Sql)),
   )
+
+  // q144 — event-type Markov TRANSITION MATRIX: for each ordered pair
+  // (from_type → to_type) of consecutive events within a user's stream,
+  // the transition count and its exact per-from probability in permille
+  // — the session-flow model behind next-action prediction, funnel
+  // design, and bot detection (a scripted account's matrix is
+  // near-deterministic; a human's is diffuse). Consecutive = (ts,
+  // event_id)-ordered within user, the same deterministic tie-break as
+  // q127's sequence build. Shape at 100 TB: ONE shuffle on user_id for
+  // the lead() window (the canonical sequence exchange, shared shape
+  // with q11/q127), then the pair aggregation collapses to at most
+  // |event_type|² rows — the per-from normalizing window runs over that
+  // k²-row frame, never over the event stream.
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ag = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    ag.withColumn("p_permille",
+      expr("n_transitions * 1000 div sum(n_transitions) over (partition by from_type)"))
+  }
+  private val q144Sql =
+    """WITH pr AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |ag AS (
+      |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+      |  FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n_transitions,
+      |  n_transitions * 1000
+      |    // CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS BIGINT)
+      |    AS p_permille
+      |FROM ag""".stripMargin
 
   // q139 — retention cohort matrix: users grouped by first-seen week,
   // tracked by how many are still active N weeks later — the classic

@@ -464,6 +464,16 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(correct * 2 > total)
   }
 
+  test("q144 transition matrix rows normalize to ~1000 permille per from_type") {
+    val rows = SparkEntry.queries("q144_markov_transitions")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (ft, rs) =>
+      val p = rs.map(_.getAs[Long]("p_permille")).sum
+      // integer division floors each cell: sum ∈ (1000 - k, 1000]
+      assert(p <= 1000L && p > 1000L - rs.length, s"$ft sums to $p")
+    }
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
