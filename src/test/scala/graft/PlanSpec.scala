@@ -311,6 +311,31 @@ class PlanSpec extends AnyFunSuite {
     assert(bnlj.forall(_.contains("Cross")), s"non-scalar BNLJ in:\n$p")
   }
 
+  test("q142: HLL registers build through map-side partial max — no pre-distinct") {
+    val p = plan("q142_hll_distinct")
+    // duplicate-insensitivity is HLL's whole point: the register path
+    // must be a partial max straight off the scan, never distinct-first
+    assert(p.contains("partial_max"), s"no partial register max in:\n$p")
+  }
+
+  test("q143: weight vectors broadcast back; the feature pass is computed once") {
+    val p = plan("q143_perceptron_round")
+    // each training round joins a single-row weight frame — broadcast,
+    // never a shuffle of the feature table against one row
+    assert(p.contains("BroadcastNestedLoopJoin"), s"no broadcast weight join in:\n$p")
+    assert(p.contains("InMemoryTableScan"), s"feature pass not cached in:\n$p")
+  }
+
+  test("q144: one user_id exchange feeds the lead window; pair agg shuffles only k² rows") {
+    val df = SparkEntry.queries("q144_markov_transitions")(spark, dir)
+    df.collect()
+    // AQE renders final + initial plans; count exchanges in the final only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("lead("), s"no lead window in:\n$p")
+    val userParts = p.linesIterator.count(_.contains("hashpartitioning(user_id"))
+    assert(userParts == 1, s"expected exactly one user_id exchange, got $userParts in:\n$p")
+  }
+
   test("q83: all three funnel stages shuffle on the same user_id key") {
     val df = SparkEntry.queries("q83_event_funnel")(spark, dir)
     df.collect()
