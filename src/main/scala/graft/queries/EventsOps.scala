@@ -352,7 +352,46 @@ object EventsOps {
     QueryDef("q130_sliding_windows", q130, Some(q130Sql)),
     QueryDef("q139_retention_cohorts", q139, Some(q139Sql)),
     QueryDef("q144_markov_transitions", q144, Some(q144Sql)),
+    QueryDef("q145_user_lifecycle", q145, Some(q145Sql)),
   )
+
+  // q145 — daily user LIFECYCLE: actives, first-seen (new), returning,
+  // and the cumulative unique-user curve. The running-distinct is the
+  // trap here: a naive COUNT(DISTINCT) OVER (ORDER BY day) re-scans
+  // every prior day's users per row (quadratic, and Spark refuses the
+  // frame anyway). The scalable form is the FIRST-TOUCH flag: distinct
+  // (user, day) once, per-user min(day) marks each user's one "new"
+  // day, and the cumulative curve is a running SUM of the per-day new
+  // counts — distinct work collapses to two same-key partial aggs, and
+  // the window runs over the ~tens-of-rows day frame, never the event
+  // stream. Shape at 100 TB: one (user, day) distinct-ify shuffle
+  // (AQE reuses the exchange for the user-keyed cohort min), a
+  // day-keyed partial agg, and a driver-sized ordered window.
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    val ud = events(s, dir)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(countDistinct(col("user_id")).as("n_active"))
+    val newPer = ud.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    dau.join(newPer, Seq("day"), "left")
+      .na.fill(0L, Seq("n_new"))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"))
+      .withColumn("cum_users", sum(col("n_new")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+  private val q145Sql =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |dau AS (SELECT day, COUNT(DISTINCT user_id) AS n_active FROM ud GROUP BY day),
+      |fs AS (SELECT user_id, MIN(day) AS day FROM ud GROUP BY user_id),
+      |np AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new FROM fs GROUP BY day)
+      |SELECT d.day, d.n_active, COALESCE(np.n_new, 0) AS n_new,
+      |  d.n_active - COALESCE(np.n_new, 0) AS n_returning,
+      |  CAST(SUM(COALESCE(np.n_new, 0)) OVER (ORDER BY d.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+      |FROM dau d LEFT JOIN np USING (day)""".stripMargin
 
   // q144 — event-type Markov TRANSITION MATRIX: for each ordered pair
   // (from_type → to_type) of consecutive events within a user's stream,

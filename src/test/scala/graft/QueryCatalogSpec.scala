@@ -474,6 +474,20 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q145 lifecycle curve reconciles: day 1 all-new, cum ends at total uniques") {
+    val rows = SparkEntry.queries("q145_user_lifecycle")(spark, dir).collect()
+      .sortBy(_.getAs[java.sql.Date]("day").getTime)
+    assert(rows.nonEmpty)
+    assert(rows.head.getAs[Long]("n_new") == rows.head.getAs[Long]("n_active"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_new") + r.getAs[Long]("n_returning") ==
+        r.getAs[Long]("n_active"))
+    }
+    val totalUniques = graft.Tables.load(spark, dir, "events")
+      .select("user_id").distinct().count()
+    assert(rows.last.getAs[Long]("cum_users") == totalUniques)
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
