@@ -1,0 +1,93 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Typed, loss-free round-trips through the interchange formats a
+  * pipeline meets beyond its native parquet: CSV (the export/import
+  * lingua franca), ORC (the other columnar warehouse format), and
+  * JSONL (the crawl/delivery format — read side lives in
+  * [[graft.etl.Clean]], reference `Main.py:69-101`; this adds the
+  * write side so the engine can produce what it consumes).
+  *
+  * Design rules, mirrored from the parquet sinks (SURVEY §2.1 S3):
+  *
+  *   - Writers never overwrite (`errorifexists`) — an idempotent
+  *     re-run must fail loudly, not silently clobber a delivery.
+  *   - CSV is schema-less on disk, so [[readCsv]] REQUIRES the schema
+  *     (never `inferSchema` — a full extra pass at 100 TB, and type
+  *     drift when a partition happens to hold only nulls). Reads are
+  *     PERMISSIVE with the corrupt line captured in `_corrupt_record`,
+  *     the same contract as the JSONL reader.
+  *   - CSV quoting/escape/null markers are pinned explicitly rather
+  *     than trusting defaults: `"` quotes with doubled-quote escape,
+  *     empty-vs-null disambiguated by a dedicated null token, so
+  *     strings containing commas, quotes, and newlines survive, and so
+  *     do empty-but-not-null strings (the F1 filter semantics the
+  *     reference depends on — `Main.py:148` keeps empty strings).
+  *   - Timestamps serialize as ISO-8601 with microseconds; doubles
+  *     round-trip via Java's shortest-round-trip rendering.
+  *
+  * Scale note: all three formats write one file per partition with no
+  * coordination, same as parquet — layout (partitionBy, bucketing,
+  * target file size via [[graft.ops.Compaction]]) composes unchanged.
+  * ORC gets columns + predicate pushdown like parquet; CSV and JSONL
+  * are row formats — scans read every byte, which is why they are
+  * interchange formats here, never the storage format.
+  */
+object Formats {
+
+  private val CsvNull = "\\N" // MySQL-style: distinct from the empty string
+
+  private def csvCommon = Map(
+    "header" -> "true",
+    "quote" -> "\"",
+    "escape" -> "\"", // RFC-4180 doubled quotes, not backslash
+    "nullValue" -> CsvNull,
+    "multiLine" -> "true", // quoted embedded newlines
+    "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "dateFormat" -> "yyyy-MM-dd")
+  // empty-vs-null on disk: null → \N (unquoted), empty string → ""
+  // (quoted). The writer must emit the QUOTED form ("\"\"") and the
+  // reader must map the unquoted empty token back to "" — asymmetric
+  // options because the same logical value has a quoted written form
+  // and an unquoted parsed form.
+  private def csvWriteOptions = csvCommon + ("emptyValue" -> "\"\"")
+  private def csvReadOptions = csvCommon + ("emptyValue" -> "")
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("errorifexists").options(csvWriteOptions).csv(path)
+
+  /** Schema-required, corrupt-tolerant CSV read. The returned frame
+    * carries `_corrupt_record` (null for clean rows) — callers filter
+    * or quarantine, same contract as the JSONL reader.
+    */
+  def readCsv(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read
+      .options(csvReadOptions)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", "string"))
+      .csv(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("errorifexists").orc(path)
+
+  def readOrc(s: SparkSession, path: String): DataFrame =
+    s.read.orc(path)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("errorifexists")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .json(path)
+
+  /** Schema-required JSONL read with the Clean-stage corrupt contract. */
+  def readJsonl(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .schema(schema.add("_corrupt_record", "string"))
+      .json(path)
+}
