@@ -1385,6 +1385,107 @@ object TextOps {
       |       ABS(f.hll_est - e.n_exact) * 1000 // e.n_exact AS err_permille
       |FROM ex e JOIN fi f USING (source, universe)""".stripMargin
 
+  // q146 — LSH banding PARAMETER SWEEP: the measured recall/precision
+  // tradeoff across every (bands b × rows r) split of the 8-permutation
+  // MinHash signature — b8r1 (loosest) through b1r8 (strictest) — each
+  // audited against the exact-Jaccard truth set (J ≥ 0.8). This is the
+  // tuning artifact an index owner reads before fixing (b, r) at 100 TB:
+  // the S-curve P(candidate) = 1−(1−J^r)^b is theory; these are the
+  // corpus's actual numbers. Candidate sets are provably NESTED
+  // (matching an r-row band implies matching both r/2-row halves), so
+  // recall and candidate volume are monotone in r — pinned in the spec.
+  // Shape at 100 TB: signatures are one partial-agg min pass (fixed
+  // 8-value state/doc); per config, candidates come from band equi-joins
+  // — never all-pairs; ONLY the truth set is quadratic, which is why
+  // this audit runs on a bounded sample (the q73/q87 audit pattern).
+  private val LshConfigs = Seq((8, 1), (4, 2), (2, 4), (1, 8))
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir).cache()
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val nsh = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
+    val truth = ex.as("a").join(ex.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(nsh.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(nsh.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .filter(col("common") * 10 >= (col("n_a") + col("n_b") - col("common")) * 8)
+      .select(col("doc_a"), col("doc_b")).cache()
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val permCols = As.indices.map(i => ((col("h") * As(i) + Bs(i)) % P).as(s"h$i"))
+    val sigs = ex
+      .withColumn("h", h60(col("shingle")) % P)
+      .select(col("doc_id") +: permCols: _*)
+      .groupBy(col("doc_id"))
+      .agg(min(col("h0")).as("sig0"), As.indices.drop(1).map(i =>
+        min(col(s"h$i")).as(s"sig$i")): _*)
+      .cache()
+    LshConfigs.map { case (b, r) =>
+      val stacked = (0 until b).map { j =>
+        sigs.select(col("doc_id"), lit(j).as("band"),
+          concat_ws("|", (0 until r).map(i => col(s"sig${j * r + i}")): _*).as("key"))
+      }.reduce(_ unionByName _)
+      val cand = stacked.as("x").join(stacked.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct().cache()
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("n_hits")))
+        .crossJoin(broadcast(nTruth))
+        .select(lit(s"b${b}r$r").as("config"),
+          lit(b.toLong).as("n_bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_candidates"), col("n_truth"), col("n_hits"),
+          expr("n_hits * 1000 div NULLIF(n_truth, 0)").as("recall_permille"),
+          expr("n_hits * 1000 div NULLIF(n_candidates, 0)").as("precision_permille"))
+    }.reduce(_ unionByName _)
+  }
+  private lazy val q146Sql = {
+    val sigCols = As.indices.map { i =>
+      s"MIN((${As(i)} * h + ${Bs(i)}) % $P) AS sig$i"
+    }.mkString(", ")
+    val stacked = LshConfigs.flatMap { case (b, r) =>
+      (0 until b).map { j =>
+        val key = (0 until r).map(i => s"sig${j * r + i}").mkString("CONCAT_WS('|', ", ", ", ")")
+        s"SELECT 'b${b}r$r' AS config, doc_id, $j AS band, $key AS key FROM sigs"
+      }
+    }.mkString("\n      |  UNION ALL ")
+    val meta = LshConfigs.map { case (b, r) =>
+      s"('b${b}r$r', CAST($b AS BIGINT), CAST($r AS BIGINT))"
+    }.mkString(", ")
+    s"""WITH sh AS ($shingledSql),
+      |ex AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh),
+      |ns AS (SELECT doc_id, CAST(LEN(shingles) AS BIGINT) AS n_sh FROM sh),
+      |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common
+      |       FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |truth AS (SELECT doc_a, doc_b
+      |          FROM pr JOIN ns na ON pr.doc_a = na.doc_id
+      |                  JOIN ns nb ON pr.doc_b = nb.doc_id
+      |          WHERE common * 10 >= (na.n_sh + nb.n_sh - common) * 8),
+      |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+      |hx AS (SELECT doc_id, ${h60Sql("shingle")} % $P AS h FROM ex),
+      |sigs AS (SELECT doc_id, $sigCols FROM hx GROUP BY doc_id),
+      |st AS (
+      |  $stacked),
+      |cand AS (SELECT DISTINCT x.config, x.doc_id AS doc_a, y.doc_id AS doc_b
+      |         FROM st x JOIN st y ON x.config = y.config AND x.band = y.band
+      |           AND x.key = y.key AND x.doc_id < y.doc_id),
+      |ag AS (SELECT config, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+      |         CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM truth t
+      |             WHERE t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      |       FROM cand c GROUP BY config),
+      |meta AS (SELECT * FROM (VALUES $meta) m(config, n_bands, rows_per_band))
+      |SELECT m.config, m.n_bands, m.rows_per_band,
+      |  COALESCE(a.n_candidates, 0) AS n_candidates, nt.n_truth,
+      |  COALESCE(a.n_hits, 0) AS n_hits,
+      |  COALESCE(a.n_hits, 0) * 1000 // NULLIF(nt.n_truth, 0) AS recall_permille,
+      |  COALESCE(a.n_hits, 0) * 1000 // NULLIF(COALESCE(a.n_candidates, 0), 0) AS precision_permille
+      |FROM meta m LEFT JOIN ag a USING (config), nt""".stripMargin
+  }
+
   // Stopword lists per language for the n-gram/stopword language-ID
   // heuristic. (The synthetic corpus is English-ish regardless of its
   // `lang` label — the operator, not the accuracy, is under test.)
@@ -2559,5 +2660,6 @@ object TextOps {
     QueryDef("q140_countmin_freq", q140, Some(q140Sql)),
     QueryDef("q141_vocab_growth", q141, Some(q141Sql)),
     QueryDef("q142_hll_distinct", q142, Some(q142Sql)),
+    QueryDef("q146_lsh_sweep", q146, Some(q146Sql)),
   )
 }

@@ -488,6 +488,25 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(rows.last.getAs[Long]("cum_users") == totalUniques)
   }
 
+  test("q146 LSH sweep: nested candidate sets make volume and recall monotone in r") {
+    val rows = SparkEntry.queries("q146_lsh_sweep")(spark, dir).collect()
+      .sortBy(_.getAs[Long]("rows_per_band"))
+    assert(rows.map(_.getAs[String]("config")).toSeq ==
+      Seq("b8r1", "b4r2", "b2r4", "b1r8"))
+    // matching an r-row band implies matching both its halves → each
+    // stricter config's candidates are a subset of the looser one's
+    val cands = rows.map(_.getAs[Long]("n_candidates"))
+    val hits = rows.map(_.getAs[Long]("n_hits"))
+    assert(cands.zip(cands.tail).forall { case (lo, hi) => lo >= hi },
+      s"candidate volume not monotone: ${cands.toSeq}")
+    assert(hits.zip(hits.tail).forall { case (lo, hi) => lo >= hi },
+      s"hits not monotone: ${hits.toSeq}")
+    assert(rows.forall(_.getAs[Long]("n_truth") > 0L))
+    // precision should improve (weakly) as bands get stricter wherever
+    // candidates remain; the loosest config must find most of the truth
+    assert(rows.head.getAs[Long]("recall_permille") >= 900L)
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
