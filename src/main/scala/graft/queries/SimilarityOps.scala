@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables.load
@@ -38,9 +38,17 @@ object SimilarityOps {
   // q20 — brute-force cosine top-5 per vector (the exactness baseline for
   // the ANN path). Deterministic ordering: (cos desc, other_id asc) on
   // bit-identical doubles.
-  private def q20(s: SparkSession, dir: String): DataFrame = {
+  // `probe` restricts the QUERY side only (the index side stays the full
+  // corpus, so each surviving query still ranks against everything) —
+  // pushed ahead of the pair join so a 1-in-k audit sample costs 1/k of
+  // the O(n²·d) work, not a post-hoc filter over it. Results for the
+  // surviving vec_ids are identical either way.
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    q20Impl(s, dir, lit(true))
+  private def q20Impl(s: SparkSession, dir: String, probe: Column): DataFrame = {
     val e = withNorm(s, load(s, dir, "embeddings"))
-    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("norm").as("na"))
+    val a = e.filter(probe)
+      .select(col("vec_id").as("a_id"), col("v").as("va"), col("norm").as("na"))
     val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("norm").as("nb"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     a.join(broadcast(b), col("a_id") =!= col("b_id"))
@@ -107,11 +115,13 @@ object SimilarityOps {
   // q23 — bucketed ANN top-3: candidates come from an equi-join on the
   // LSH bucket (vs q20's all-pairs); approximate by construction but
   // fully deterministic, so the oracle replays it exactly.
-  private def q23(s: SparkSession, dir: String): DataFrame = {
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    q23Impl(s, dir, lit(true))
+  private def q23Impl(s: SparkSession, dir: String, probe: Column): DataFrame = {
     val e = withNorm(s, load(s, dir, "embeddings"))
     // cache: both join sides reuse the same signature computation
     val bucketed = graft.ops.AnnIndex.withBucket(e, "v", AnnPlanes, Dims).cache()
-    val a = bucketed.select(col("vec_id").as("a_id"), col("v").as("va"),
+    val a = bucketed.filter(probe).select(col("vec_id").as("a_id"), col("v").as("va"),
       col("norm").as("na"), col("bucket"))
     val b = bucketed.select(col("vec_id").as("b_id"), col("v").as("vb"),
       col("norm").as("nb"), col("bucket"))
@@ -228,11 +238,14 @@ object SimilarityOps {
   // cell table is broadcast (cells × dims doubles) and candidate
   // generation stays an equi-join; widening recall = probing the p
   // nearest cells, which multiplies candidates by p, never by n.
-  private def q62(s: SparkSession, dir: String): DataFrame = {
+  private def q62(s: SparkSession, dir: String): DataFrame =
+    q62Impl(s, dir, lit(true))
+  private def q62Impl(s: SparkSession, dir: String, probe: Column): DataFrame = {
     val assigned = ivfAssigned(s, dir).select(col("vec_id"), col("cell_id"))
     val e = withNorm(s, load(s, dir, "embeddings"))
     val av = assigned.join(e, Seq("vec_id")).cache()
-    val a = av.select(col("vec_id"), col("v").as("va"), col("norm").as("na"), col("cell_id"))
+    val a = av.filter(probe)
+      .select(col("vec_id"), col("v").as("va"), col("norm").as("na"), col("cell_id"))
     val b = av.select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
       col("norm").as("nb"), col("cell_id"))
     val pairs = a.join(b, Seq("cell_id")).filter(col("vec_id") =!= col("neighbor_id"))
@@ -326,14 +339,21 @@ object SimilarityOps {
   // audit, and the measurement a pipeline owner runs on a bounded
   // sample before trusting an index configuration at 100 TB. Every
   // count is an exact integer over deterministic candidate sets, so the
-  // recall fractions are engine-identical; the exact side is the
-  // bounded piece (run on the audit sample), and each hit check is a
+  // recall fractions are engine-identical, and each hit check is a
   // semi-join on (query, neighbor) pairs.
+  // The audit runs on a deterministic 1-in-5 QUERY sample (vec_id % 5),
+  // pushed into the probe side of all four searches — the index side
+  // stays the full corpus, so each sampled query still ranks against
+  // everything and its per-query result is unchanged. This is the
+  // bounded-sample shape the 100 TB deployment needs (exact ground
+  // truth is O(sample·n·d), never O(n²·d)) rather than a post-hoc
+  // filter over full-corpus audits.
+  private val AuditSample = col("vec_id") % 5 === 0
   private def q87(s: SparkSession, dir: String): DataFrame = {
     // four readers (three semi-joins + the denominator count) over the
     // brute-force exact top-k — cache it rather than re-running the
-    // all-pairs scan per method
-    val exact3 = q20(s, dir).filter(col("rank") <= 3)
+    // sampled all-pairs scan per method
+    val exact3 = q20Impl(s, dir, AuditSample).filter(col("rank") <= 3)
       .select(col("vec_id"), col("neighbor_id")).cache()
     val exactN = exact3.agg(count(lit(1)).as("n_exact"))
     def audit(m: String, approx: DataFrame) =
@@ -343,21 +363,26 @@ object SimilarityOps {
         .crossJoin(broadcast(exactN))
         .select(lit(m).as("method"), col("n_exact"), col("n_hit"),
           (col("n_hit").cast("double") / col("n_exact")).as("recall_at_3"))
-    audit("ivf_q62", q62(s, dir))
-      .unionByName(audit("lsh_q23", q23(s, dir)))
-      .unionByName(audit("multiprobe_q39", q39(s, dir)))
+    audit("ivf_q62", q62Impl(s, dir, AuditSample))
+      .unionByName(audit("lsh_q23", q23Impl(s, dir, AuditSample)))
+      .unionByName(audit("multiprobe_q39", q39Impl(s, dir, AuditSample)))
       .orderBy(col("method"))
   }
+  // Oracle: the sample filter sits OUTSIDE each composed query — for the
+  // surviving vec_ids that is provably the same result as pushing it
+  // into the probe side (the index side is untouched), and it keeps the
+  // component SQL strings shared verbatim with q20/q23/q39/q62.
   private lazy val q87Sql = {
     def hits(cte: String) =
       s"""(SELECT COUNT(*) FROM exact3 e
          |     WHERE EXISTS (SELECT 1 FROM $cte a
          |       WHERE a.vec_id = e.vec_id AND a.neighbor_id = e.neighbor_id))""".stripMargin
     s"""WITH exact3 AS (
-      |  SELECT vec_id, neighbor_id FROM ($q20Sql) t WHERE rank <= 3),
-      |a_lsh AS (SELECT vec_id, neighbor_id FROM ($q23Sql) t),
-      |a_mp AS (SELECT vec_id, neighbor_id FROM ($q39Sql) t),
-      |a_ivf AS (SELECT vec_id, neighbor_id FROM ($q62Sql) t),
+      |  SELECT vec_id, neighbor_id FROM ($q20Sql) t
+      |  WHERE rank <= 3 AND vec_id % 5 = 0),
+      |a_lsh AS (SELECT vec_id, neighbor_id FROM ($q23Sql) t WHERE vec_id % 5 = 0),
+      |a_mp AS (SELECT vec_id, neighbor_id FROM ($q39Sql) t WHERE vec_id % 5 = 0),
+      |a_ivf AS (SELECT vec_id, neighbor_id FROM ($q62Sql) t WHERE vec_id % 5 = 0),
       |n AS (SELECT COUNT(*) AS n_exact FROM exact3)
       |SELECT method, n_exact, n_hit,
       |  CAST(n_hit AS DOUBLE) / n_exact AS recall_at_3
@@ -860,20 +885,22 @@ object SimilarityOps {
 
   // q39 — multi-probe ANN top-3: the probe side expands to its home
   // bucket plus all 1-flip neighbors, still an equi-join on bucket keys.
-  // Measured by the oracle-checked q87 audit at sf0.01: recall@3 is
-  // 0.150 single-bucket (q23) → 0.495 multi-probe — the recall lever
-  // that costs ×(planes+1) candidates, never ×n.
+  // Measured by the oracle-checked q87 audit (1-in-5 query sample,
+  // sf0.01): recall@3 is 0.180 single-bucket (q23) → 0.470 multi-probe
+  // — the recall lever that costs ×(planes+1) candidates, never ×n.
   // No pair dedup is needed: a candidate's bucket is one fixed value and
   // the 9 probe buckets are pairwise distinct, so each (a, b) pair can
   // match through AT MOST ONE probe — the DISTINCT this query originally
   // carried was a no-op that re-shuffled the full pair stream. Ranking
   // runs through the native TopKPerGroup operator (one streaming
   // group-scan) instead of window + filter.
-  private def q39(s: SparkSession, dir: String): DataFrame = {
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    q39Impl(s, dir, lit(true))
+  private def q39Impl(s: SparkSession, dir: String, probe: Column): DataFrame = {
     val e = withNorm(s, load(s, dir, "embeddings"))
     val bucketed = graft.ops.AnnIndex.withBucket(e, "v", AnnPlanes, Dims).cache()
     val probes = graft.ops.AnnIndex.withProbeBuckets(
-      bucketed.select(col("vec_id").as("a_id"), col("v").as("va"),
+      bucketed.filter(probe).select(col("vec_id").as("a_id"), col("v").as("va"),
         col("norm").as("na"), col("bucket")), AnnPlanes)
     val b = bucketed.select(col("vec_id").as("b_id"), col("v").as("vb"),
       col("norm").as("nb"), col("bucket").as("b_bucket"))
