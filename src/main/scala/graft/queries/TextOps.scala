@@ -1486,6 +1486,108 @@ object TextOps {
       |FROM meta m LEFT JOIN ag a USING (config), nt""".stripMargin
   }
 
+  // q147 — dedup-aware split LEAKAGE audit: the reason q65's per-doc
+  // hash split is NOT enough for training data. A naive content-hash
+  // split assigns each doc independently, so two near-duplicates can
+  // land one in train and one in test — the eval set then scores
+  // memorization. The fix assigns each q67 near-dup CLUSTER atomically:
+  // every doc inherits the split of its cluster representative
+  // (cluster_id = min doc_id), so singleton clusters keep exactly their
+  // naive assignment and near-dup groups move together. The query
+  // MEASURES both policies on the same corpus: clusters whose members
+  // straddle ≥2 splits under each scheme (grouped is 0 by construction
+  // — computed, not asserted).
+  // Scale shape: one extra equi-join on cluster_id over q67's output
+  // (the representative table is |clusters| rows — joined, not
+  // broadcast: at 100 TB it is corpus-sized because most clusters are
+  // singletons) plus two partial-agg rollups. All counts are exact
+  // integers.
+  // Measured at sf0.01: naive straddles 5 clusters; grouped straddles
+  // 0 — but the corpus's band-collision mega-component (~440 of 500
+  // docs, see q134's histogram) lands atomically in ONE split, skewing
+  // proportions to 452/45/3. Both numbers are the point: naive leaks,
+  // cluster-atomic inherits cluster-size pathology — which is why a
+  // production split breaks mega-components first (verified-edge
+  // clustering, q61's hamming filter) or dedups them outright.
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    def splitOf(b: Column): Column =
+      when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    val base = q67(s, dir)
+      .join(docs(s, dir).select(col("doc_id"), col("text")), "doc_id")
+      .withColumn("naive_split", splitOf(h60(col("text")) % 100))
+      .drop("text")
+    val reps = base.filter(col("doc_id") === col("cluster_id"))
+      .select(col("cluster_id"), col("naive_split").as("group_split"))
+    val a = base.join(reps, "cluster_id").cache()
+    val strad = a.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("naive_split")).as("ns"),
+        countDistinct(col("group_split")).as("gs"))
+      .agg(sum(when(col("ns") > 1, 1L).otherwise(0L))
+          .as("naive_straddling_clusters"),
+        sum(when(col("gs") > 1, 1L).otherwise(0L))
+          .as("grouped_straddling_clusters"))
+    a.groupBy(col("group_split").as("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        sum(when(col("cluster_size") > 1, 1L).otherwise(0L))
+          .as("n_neardup_docs"))
+      .crossJoin(broadcast(strad))
+      .orderBy(col("split"))
+  }
+  private lazy val q147Sql = {
+    val splitCase =
+      s"""CASE WHEN ${h60Sql("d.text")} % 100 < 80 THEN 'train'
+         |      WHEN ${h60Sql("d.text")} % 100 < 90 THEN 'val'
+         |      ELSE 'test' END""".stripMargin
+    s"""WITH RECURSIVE $simhashSql,
+      |banded AS (
+      |  SELECT doc_id, i AS band_idx, (simhash >> CAST(i * 15 AS INT)) & 32767 AS band_val
+      |  FROM sigs CROSS JOIN GENERATE_SERIES(0, 3) g(i)),
+      |edges AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM banded a JOIN banded b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |    AND a.doc_id < b.doc_id),
+      |und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+      |lbl(id, label) AS (
+      |  SELECT doc_id, doc_id FROM sigs
+      |  UNION
+      |  SELECT u.dst, l.label FROM lbl l JOIN und u ON u.src = l.id),
+      |comp AS (SELECT id, MIN(label) AS cluster_id FROM lbl GROUP BY id),
+      |cc AS (
+      |  SELECT c.id AS doc_id, c.cluster_id, s.cluster_size
+      |  FROM comp c JOIN (
+      |    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      |    FROM comp GROUP BY 1) s USING (cluster_id)),
+      |b AS (
+      |  SELECT cc.doc_id, cc.cluster_id, cc.cluster_size,
+      |    $splitCase AS naive_split
+      |  FROM cc JOIN documents d ON cc.doc_id = d.doc_id),
+      |reps AS (SELECT cluster_id, naive_split AS group_split
+      |         FROM b WHERE doc_id = cluster_id),
+      |a AS (
+      |  SELECT b.doc_id, b.cluster_id, b.cluster_size, b.naive_split,
+      |    r.group_split
+      |  FROM b JOIN reps r ON b.cluster_id = r.cluster_id),
+      |strad AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS naive_straddling_clusters,
+      |    CAST(SUM(CASE WHEN gs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS grouped_straddling_clusters
+      |  FROM (SELECT cluster_id, COUNT(DISTINCT naive_split) AS ns,
+      |          COUNT(DISTINCT group_split) AS gs
+      |        FROM a GROUP BY 1) t)
+      |SELECT a.group_split AS split, COUNT(*) AS n_docs,
+      |  CAST(COUNT(DISTINCT a.cluster_id) AS BIGINT) AS n_clusters,
+      |  CAST(SUM(CASE WHEN a.cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_neardup_docs,
+      |  s.naive_straddling_clusters, s.grouped_straddling_clusters
+      |FROM a CROSS JOIN strad s
+      |GROUP BY 1, 5, 6
+      |ORDER BY 1""".stripMargin
+  }
+
   // Stopword lists per language for the n-gram/stopword language-ID
   // heuristic. (The synthetic corpus is English-ish regardless of its
   // `lang` label — the operator, not the accuracy, is under test.)
@@ -2661,5 +2763,6 @@ object TextOps {
     QueryDef("q141_vocab_growth", q141, Some(q141Sql)),
     QueryDef("q142_hll_distinct", q142, Some(q142Sql)),
     QueryDef("q146_lsh_sweep", q146, Some(q146Sql)),
+    QueryDef("q147_split_leakage", q147, Some(q147Sql)),
   )
 }

@@ -507,6 +507,23 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(rows.head.getAs[Long]("recall_permille") >= 900L)
   }
 
+  test("q147 split leakage: cluster-atomic split never straddles, counts reconcile") {
+    val rows = SparkEntry.queries("q147_split_leakage")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 3) // splits present in this corpus
+    // grouped assignment cannot straddle a cluster by construction —
+    // the query COMPUTES it (vs asserting), so pin the invariant here
+    assert(rows.forall(_.getAs[Long]("grouped_straddling_clusters") == 0L))
+    // every doc lands in exactly one split
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(total == docs, s"split docs $total != corpus $docs")
+    // per-split near-dup docs can't exceed the split's docs
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_neardup_docs") <= r.getAs[Long]("n_docs")))
+    // the straddle scalars are identical on every row (broadcast join)
+    assert(rows.map(_.getAs[Long]("naive_straddling_clusters")).distinct.length == 1)
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
