@@ -353,7 +353,64 @@ object EventsOps {
     QueryDef("q139_retention_cohorts", q139, Some(q139Sql)),
     QueryDef("q144_markov_transitions", q144, Some(q144Sql)),
     QueryDef("q145_user_lifecycle", q145, Some(q145Sql)),
+    QueryDef("q148_ewma_daily", q148, Some(q148Sql)),
   )
+
+  // q148 — exponentially-weighted daily event rate, EXACT: the
+  // monitoring smoother (α = 1/2, window truncated at 20 lags — beyond
+  // that the weight is < 2⁻¹⁹ of the head and contributes nothing a
+  // permille readout can see). The classic formulation is a sequential
+  // fold (e_t = x_t/2 + e_{t-1}/2) — unparallelizable as written and
+  // float-ordered; rewritten as a WEIGHTED WINDOW SUM with power-of-two
+  // integer weights it becomes one join + partial agg, bit-exact in any
+  // engine: num_t = Σ_{j=0..19} cnt_{t-j}·2^(19-j), den_t = 2^20 −
+  // 2^(19-L) (L = lags available since the series start; missing
+  // calendar days contribute 0 by construction), ewma = num/den emitted
+  // in exact permille. Shape at 100 TB: the event stream collapses via
+  // one (type, day) partial-agg shuffle; the smoothing self-join runs
+  // on the tiny rollup (|types|·|days| rows), never on events.
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val first = daily.groupBy(col("event_type")).agg(min(col("day")).as("day0"))
+    val b = daily.select(col("event_type").as("et_b"),
+      col("day").as("day_b"), col("cnt").as("cnt_b"))
+    daily.join(b, col("event_type") === col("et_b") &&
+        datediff(col("day"), col("day_b")).between(0, 19))
+      .groupBy(col("event_type"), col("day"), col("cnt"))
+      .agg(sum(col("cnt_b") *
+        expr("shiftleft(1L, cast(19 - datediff(day, day_b) as int))"))
+        .as("ewma_num"))
+      .join(first, "event_type")
+      .withColumn("lag_cap", least(lit(19), datediff(col("day"), col("day0"))))
+      .withColumn("ewma_den", lit(1L << 20) -
+        expr("shiftleft(1L, cast(19 - lag_cap as int))"))
+      .select(col("event_type"), col("day"), col("cnt"),
+        col("ewma_num"), col("ewma_den"),
+        expr("(1000 * ewma_num) div ewma_den").as("ewma_milli"))
+  }
+  private val q148Sql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |f AS (SELECT event_type, MIN(day) AS day0 FROM daily GROUP BY 1),
+      |sm AS (
+      |  SELECT a.event_type, a.day, a.cnt,
+      |    CAST(SUM(b.cnt *
+      |      (CAST(1 AS BIGINT) << (19 - DATEDIFF('day', b.day, a.day)))) AS BIGINT)
+      |      AS ewma_num
+      |  FROM daily a JOIN daily b ON a.event_type = b.event_type
+      |    AND DATEDIFF('day', b.day, a.day) BETWEEN 0 AND 19
+      |  GROUP BY 1, 2, 3),
+      |dn AS (
+      |  SELECT sm.*,
+      |    (CAST(1 AS BIGINT) << 20) - (CAST(1 AS BIGINT) <<
+      |      (19 - LEAST(19, DATEDIFF('day', f.day0, sm.day)))) AS ewma_den
+      |  FROM sm JOIN f ON sm.event_type = f.event_type)
+      |SELECT event_type, day, cnt, ewma_num, ewma_den,
+      |  (1000 * ewma_num) // ewma_den AS ewma_milli
+      |FROM dn""".stripMargin
 
   // q145 — daily user LIFECYCLE: actives, first-seen (new), returning,
   // and the cumulative unique-user curve. The running-distinct is the

@@ -524,6 +524,26 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("naive_straddling_clusters")).distinct.length == 1)
   }
 
+  test("q148 EWMA: first day equals its count, weights stay in the convex hull") {
+    val rows = SparkEntry.queries("q148_ewma_daily")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    for ((_, rs) <- byType) {
+      val sorted = rs.sortBy(_.getAs[java.sql.Date]("day").toString)
+      // series head: the only weight is its own count → exact identity
+      assert(sorted.head.getAs[Long]("ewma_milli") ==
+        1000L * sorted.head.getAs[Long]("cnt"))
+      // a weighted mean of counts can never leave [min, max] of the series
+      val cs = sorted.map(_.getAs[Long]("cnt"))
+      assert(sorted.forall { r =>
+        val m = r.getAs[Long]("ewma_milli")
+        m >= 1000L * cs.min && m <= 1000L * cs.max
+      })
+      // denominator saturates at 2^20 - 1 once 20 lags exist
+      assert(sorted.drop(19).forall(_.getAs[Long]("ewma_den") == (1L << 20) - 1))
+    }
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
