@@ -1588,6 +1588,67 @@ object TextOps {
       |ORDER BY 1""".stripMargin
   }
 
+  // q149 — SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo '95): the
+  // third candidate-generation strategy in the dedup family, next to
+  // LSH banding (q61: probabilistic, any-similarity) and prefix
+  // filtering (q132: exact-threshold). Docs sort by a normalized
+  // content key; each doc pairs only with its w−1 = 3 sort successors
+  // — candidates are O(n·w) regardless of cluster structure, the
+  // property banding loses on a viral key. Every candidate is verified
+  // with SimHash hamming distance (cheap, already-built signatures).
+  // Distributed form: a global sort window would serialize on one
+  // task, so docs first BLOCK on their leading word (hash-bucketed)
+  // and the neighborhood window runs per block — the standard
+  // multi-pass SNM compromise: boundary pairs across blocks are missed
+  // by this pass and covered by passes with different keys (here, the
+  // q61/q132 passes play that role). Shape at 100 TB: one shuffle on
+  // block, per-block sort, narrow rank self-join; no pair explosion.
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(s, dir).select(col("doc_id"),
+        lower(substring(col("text"), 1, 24)).as("skey"),
+        expr("split(text, ' ')[0]").as("w0"))
+      .withColumn("block", h60(col("w0")) % 8)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("block")).orderBy(col("skey"), col("doc_id"))))
+    val a = keyed.select(col("block"), col("rn"),
+      col("doc_id").as("doc_a"), col("skey").as("key_a"))
+    val b = keyed.select(col("block").as("block_b"), col("rn").as("rn_b"),
+      col("doc_id").as("doc_b"))
+    val sigs = simhashed(s, dir)
+    val pairs = a.join(b, col("block") === col("block_b") &&
+        col("rn_b").between(col("rn") + 1, col("rn") + 3))
+      .select(col("doc_a"), col("doc_b"), col("block"),
+        (col("rn_b") - col("rn")).cast("long").as("gap"))
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("block"), col("gap"),
+        expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)").as("hamming"))
+      .orderBy(col("hamming").asc, col("doc_a").asc, col("doc_b").asc)
+      .limit(100)
+  }
+  private lazy val q149Sql =
+    s"""WITH $simhashSql,
+      |keyed AS (
+      |  SELECT doc_id, LOWER(SUBSTRING(text, 1, 24)) AS skey,
+      |    ${h60Sql("SPLIT_PART(text, ' ', 1)")} % 8 AS block
+      |  FROM documents),
+      |rn AS (
+      |  SELECT doc_id, skey, block,
+      |    ROW_NUMBER() OVER (PARTITION BY block ORDER BY skey, doc_id) AS rn
+      |  FROM keyed),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.block,
+      |    CAST(b.rn - a.rn AS BIGINT) AS gap
+      |  FROM rn a JOIN rn b ON a.block = b.block
+      |    AND b.rn BETWEEN a.rn + 1 AND a.rn + 3)
+      |SELECT p.doc_a, p.doc_b, p.block, p.gap,
+      |  CAST(BIT_COUNT(XOR(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+      |FROM pairs p
+      |  JOIN sigs sa ON p.doc_a = sa.doc_id
+      |  JOIN sigs sb ON p.doc_b = sb.doc_id
+      |ORDER BY hamming ASC, doc_a ASC, doc_b ASC LIMIT 100""".stripMargin
+
   // Stopword lists per language for the n-gram/stopword language-ID
   // heuristic. (The synthetic corpus is English-ish regardless of its
   // `lang` label — the operator, not the accuracy, is under test.)
@@ -2764,5 +2825,6 @@ object TextOps {
     QueryDef("q142_hll_distinct", q142, Some(q142Sql)),
     QueryDef("q146_lsh_sweep", q146, Some(q146Sql)),
     QueryDef("q147_split_leakage", q147, Some(q147Sql)),
+    QueryDef("q149_sorted_neighborhood", q149, Some(q149Sql)),
   )
 }

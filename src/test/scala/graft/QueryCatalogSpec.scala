@@ -544,6 +544,21 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q149 sorted neighborhood: O(n·w) candidates, ordered pairs, gap ≤ w-1") {
+    val rows = SparkEntry.queries("q149_sorted_neighborhood")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("doc_a") != r.getAs[Long]("doc_b")))
+    assert(rows.forall(r => (1L to 3L).contains(r.getAs[Long]("gap"))))
+    // candidate volume is bounded by n·(w−1) regardless of data skew —
+    // the property that distinguishes SNM from banding on a hot key
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    val full = SparkEntry.queries("q149_sorted_neighborhood")(spark, dir)
+    assert(full.count() <= math.min(3 * n, 100L))
+    // each (block, pair) is unique
+    assert(rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .distinct.length == rows.length)
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
