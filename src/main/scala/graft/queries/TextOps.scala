@@ -1649,6 +1649,79 @@ object TextOps {
       |  JOIN sigs sb ON p.doc_b = sb.doc_id
       |ORDER BY hamming ASC, doc_a ASC, doc_b ASC LIMIT 100""".stripMargin
 
+  // q150 — SPAN CORRUPTION (T5 denoising objective): the step that
+  // turns a clean corpus into encoder-decoder training examples. ~15%
+  // of tokens are masked via a deterministic per-(doc, position) hash
+  // (reproducible across engines, re-runs, and re-partitioning — the
+  // same property q65 leans on), consecutive masked tokens merge into
+  // ONE span (gaps-and-islands over the token index), span k is
+  // replaced by sentinel <extra_id_k> in the input, and the target is
+  // the sentinel-delimited sequence of removed spans. Shape at 100 TB:
+  // one shuffle on doc_id for the token-order windows (lag + running
+  // span count), everything else narrow; reassembly is a per-doc
+  // ordered aggregation, never a driver-side loop.
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+    val toks = docs(s, dir)
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("idx", "tok")))
+      .withColumn("idx", col("idx").cast("long"))
+      .withColumn("m", h60(concat(col("doc_id").cast("string"), lit(":"),
+        col("idx").cast("string"))) % 100 < 15)
+    val spans = toks
+      .withColumn("is_first", col("m") && !lag(col("m"), 1, false).over(wDoc))
+      .withColumn("s_no",
+        sum(when(col("is_first"), 1L).otherwise(0L)).over(
+          wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+      .withColumn("sentinel",
+        concat(lit("<extra_id_"), col("s_no").cast("string"), lit(">")))
+    spans
+      .withColumn("in_tok",
+        when(!col("m"), col("tok")).when(col("is_first"), col("sentinel")))
+      .withColumn("tgt_tok",
+        when(col("m") && col("is_first"),
+          concat(col("sentinel"), lit(" "), col("tok")))
+          .when(col("m"), col("tok")))
+      .groupBy(col("doc_id"))
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(idx, in_tok)))," +
+          " x -> x.in_tok), ' ')").as("input_text"),
+        expr("array_join(transform(array_sort(collect_list(struct(idx, tgt_tok)))," +
+          " x -> x.tgt_tok), ' ')").as("target_text"),
+        sum(when(col("is_first"), 1L).otherwise(0L)).as("n_spans"),
+        sum(when(col("m"), 1L).otherwise(0L)).as("n_masked"))
+  }
+  private lazy val q150Sql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, UNNEST(range(len(l))) AS idx, UNNEST(l) AS tok
+      |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents)),
+      |mk AS (
+      |  SELECT doc_id, idx, tok,
+      |    (${h60Sql("CAST(doc_id AS VARCHAR) || ':' || CAST(idx AS VARCHAR)")} % 100 < 15) AS m
+      |  FROM toks),
+      |sp AS (
+      |  SELECT *, m AND NOT COALESCE(
+      |      LAG(m) OVER (PARTITION BY doc_id ORDER BY idx), FALSE) AS is_first
+      |  FROM mk),
+      |sn AS (
+      |  SELECT *,
+      |    SUM(CASE WHEN is_first THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY doc_id ORDER BY idx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS s_no
+      |  FROM sp),
+      |o AS (
+      |  SELECT doc_id, idx, m, is_first, tok,
+      |    '<extra_id_' || CAST(s_no AS VARCHAR) || '>' AS sentinel
+      |  FROM sn)
+      |SELECT doc_id,
+      |  COALESCE(STRING_AGG(CASE WHEN NOT m THEN tok WHEN is_first THEN sentinel END,
+      |    ' ' ORDER BY idx), '') AS input_text,
+      |  COALESCE(STRING_AGG(
+      |    CASE WHEN m AND is_first THEN sentinel || ' ' || tok
+      |         WHEN m THEN tok END, ' ' ORDER BY idx), '') AS target_text,
+      |  CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+      |  CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+      |FROM o GROUP BY doc_id""".stripMargin
+
   // Stopword lists per language for the n-gram/stopword language-ID
   // heuristic. (The synthetic corpus is English-ish regardless of its
   // `lang` label — the operator, not the accuracy, is under test.)
@@ -2826,5 +2899,6 @@ object TextOps {
     QueryDef("q146_lsh_sweep", q146, Some(q146Sql)),
     QueryDef("q147_split_leakage", q147, Some(q147Sql)),
     QueryDef("q149_sorted_neighborhood", q149, Some(q149Sql)),
+    QueryDef("q150_span_corruption", q150, Some(q150Sql)),
   )
 }

@@ -559,6 +559,32 @@ class QueryCatalogSpec extends AnyFunSuite {
       .distinct.length == rows.length)
   }
 
+  test("q150 span corruption: substituting target spans into input reconstructs the doc") {
+    val rows = SparkEntry.queries("q150_span_corruption")(spark, dir).collect()
+    val orig = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(rows.length == orig.size)
+    val sentinel = "<extra_id_(\\d+)>".r
+    for (r <- rows) {
+      val (in, tgt) = (r.getAs[String]("input_text"), r.getAs[String]("target_text"))
+      // target parses as sentinel-delimited spans 0..n_spans-1 in order
+      val ids = sentinel.findAllMatchIn(tgt).map(_.group(1).toInt).toSeq
+      assert(ids == (0 until r.getAs[Long]("n_spans").toInt))
+      val spans = sentinel.split(tgt).drop(1).map(_.trim) // text after each sentinel
+      val rebuilt = spans.zipWithIndex.foldLeft(in) { case (acc, (span, k)) =>
+        acc.replace(s"<extra_id_$k>", span)
+      }
+      assert(rebuilt == orig(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")} failed to reconstruct")
+      assert(r.getAs[Long]("n_masked") >= r.getAs[Long]("n_spans"))
+    }
+    // corpus-wide mask rate lands near the 15% target
+    val masked = rows.map(_.getAs[Long]("n_masked")).sum.toDouble
+    val toks = orig.values.map(_.split(" ").length.toLong).sum.toDouble
+    assert(masked / toks > 0.05 && masked / toks < 0.30, s"rate ${masked / toks}")
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
