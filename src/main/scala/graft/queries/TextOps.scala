@@ -1722,6 +1722,100 @@ object TextOps {
       |  CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
       |FROM o GROUP BY doc_id""".stripMargin
 
+  // q151 — chat-template RENDERING with loss-mask offsets: the SFT
+  // assembly step — each doc becomes one templated training example
+  // (user turn = instruction + excerpt, assistant turn = the doc's
+  // tail as a stand-in completion), and the output carries the exact
+  // [mask_start, mask_end] character span of the assistant text so the
+  // trainer can zero the loss everywhere else. Offsets are computed
+  // from prefix lengths IN the engine (no re-tokenization downstream,
+  // no off-by-one drift between renderer and masker — the bug class
+  // this operator exists to kill). Entirely narrow: per-row string
+  // assembly + integer lengths, streams at scan speed; the template
+  // lives in the plan, not in driver code.
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    val nl = lit("\n")
+    val resp = expr(
+      "array_join(slice(split(text, ' '), cast(greatest(1, size(split(text, ' ')) - 19) as int), 20), ' ')")
+    docs(s, dir)
+      .withColumn("resp", resp)
+      .withColumn("prefix", concat(
+        lit("<|user|>"), nl,
+        lit("Summarize the "), col("lang"), lit(" document from "),
+        col("source"), lit(":"), nl,
+        substring(col("text"), 1, 160), nl,
+        lit("<|assistant|>"), nl))
+      .select(col("doc_id"),
+        concat(col("prefix"), col("resp"), lit("<|end|>")).as("rendered"),
+        (length(col("prefix")) + 1).cast("long").as("mask_start"),
+        (length(col("prefix")) + length(col("resp"))).cast("long").as("mask_end"),
+        (length(col("prefix")) + length(col("resp")) + lit(7)).cast("long")
+          .as("n_render_chars"))
+  }
+  private val q151Sql =
+    """WITH r AS (
+      |  SELECT doc_id,
+      |    ARRAY_TO_STRING(l[GREATEST(1, LEN(l) - 19):], ' ') AS resp,
+      |    '<|user|>' || CHR(10) ||
+      |      'Summarize the ' || lang || ' document from ' || source || ':' ||
+      |      CHR(10) || SUBSTRING(text, 1, 160) || CHR(10) ||
+      |      '<|assistant|>' || CHR(10) AS prefix
+      |  FROM (SELECT doc_id, lang, source, text,
+      |          STRING_SPLIT(text, ' ') AS l FROM documents))
+      |SELECT doc_id, prefix || resp || '<|end|>' AS rendered,
+      |  CAST(LENGTH(prefix) + 1 AS BIGINT) AS mask_start,
+      |  CAST(LENGTH(prefix) + LENGTH(resp) AS BIGINT) AS mask_end,
+      |  CAST(LENGTH(prefix) + LENGTH(resp) + 7 AS BIGINT) AS n_render_chars
+      |FROM r""".stripMargin
+
+  // q152 — CURRICULUM ordering with source interleaving: the data-order
+  // step between curation and packing. Docs rank within their source by
+  // a quality signal (type-token ratio in exact permille — narrow:
+  // array_distinct/size per row, no token shuffle), then sources
+  // round-robin: pos = (rank−1)·n_sources + source_index, so training
+  // sees the best of EVERY source early instead of one source's entire
+  // archive first — the ordering failure that makes early checkpoints
+  // source-biased. pos has gaps once a source exhausts (it is an
+  // ordering key, not a dense index — densifying is the one
+  // zipWithIndex pass the sink already does, Clean.runScalable shape).
+  // Shape at 100 TB: one shuffle on source for the rank window; the
+  // source-index table is |sources| rows, broadcast.
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    val ttr = expr("(CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000)" +
+      " div CAST(size(split(text, ' ')) AS BIGINT)")
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("source"), ttr.as("ttr_permille"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("ttr_permille").desc, col("doc_id").asc)).cast("long"))
+    val srcIdx = base.select(col("source")).distinct()
+      .withColumn("src_idx",
+        (row_number().over(Window.orderBy(col("source"))) - 1).cast("long"))
+    val n = srcIdx.agg(count(lit(1)).as("n_sources"))
+    base.join(broadcast(srcIdx), "source")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("source"), col("ttr_permille"), col("rn"),
+        ((col("rn") - 1) * col("n_sources") + col("src_idx")).as("pos"))
+  }
+  private val q152Sql =
+    """WITH b AS (
+      |  SELECT doc_id, source,
+      |    (CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT) * 1000)
+      |      // CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS ttr_permille
+      |  FROM documents),
+      |r AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY ttr_permille DESC, doc_id ASC) AS BIGINT) AS rn
+      |  FROM b),
+      |s AS (
+      |  SELECT source,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY source) - 1 AS BIGINT) AS src_idx
+      |  FROM (SELECT DISTINCT source FROM documents)),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sources FROM s)
+      |SELECT r.doc_id, r.source, r.ttr_permille, r.rn,
+      |  (r.rn - 1) * n.n_sources + s.src_idx AS pos
+      |FROM r JOIN s USING (source) CROSS JOIN n""".stripMargin
+
   // Stopword lists per language for the n-gram/stopword language-ID
   // heuristic. (The synthetic corpus is English-ish regardless of its
   // `lang` label — the operator, not the accuracy, is under test.)
@@ -2900,5 +2994,7 @@ object TextOps {
     QueryDef("q147_split_leakage", q147, Some(q147Sql)),
     QueryDef("q149_sorted_neighborhood", q149, Some(q149Sql)),
     QueryDef("q150_span_corruption", q150, Some(q150Sql)),
+    QueryDef("q151_chat_template", q151, Some(q151Sql)),
+    QueryDef("q152_curriculum_order", q152, Some(q152Sql)),
   )
 }

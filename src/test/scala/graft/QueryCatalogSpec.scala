@@ -585,6 +585,42 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(masked / toks > 0.05 && masked / toks < 0.30, s"rate ${masked / toks}")
   }
 
+  test("q151 chat template: mask offsets slice exactly the assistant span") {
+    val rows = SparkEntry.queries("q151_chat_template")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val txt = r.getAs[String]("rendered")
+      val (ms, me) = (r.getAs[Long]("mask_start").toInt, r.getAs[Long]("mask_end").toInt)
+      assert(txt.length == r.getAs[Long]("n_render_chars"))
+      assert(txt.endsWith("<|end|>") && me + 7 == txt.length)
+      val span = txt.substring(ms - 1, me) // 1-based inclusive offsets
+      // the masked span is the assistant text: preceded by the assistant
+      // tag, free of any template markup itself
+      assert(txt.substring(0, ms - 1).endsWith("<|assistant|>\n"))
+      assert(!span.contains("<|"), s"markup leaked into loss span: $span")
+    }
+  }
+
+  test("q152 curriculum order: positions unique, round-robin across sources, quality-desc within") {
+    val rows = SparkEntry.queries("q152_curriculum_order")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // pos is collision-free across the corpus (rank × stride + index)
+    val pos = rows.map(_.getAs[Long]("pos"))
+    assert(pos.distinct.length == pos.length)
+    // within a source, walking pos ascending walks quality descending
+    for ((_, rs) <- rows.groupBy(_.getAs[String]("source"))) {
+      val sorted = rs.sortBy(_.getAs[Long]("pos"))
+      val q = sorted.map(_.getAs[Long]("ttr_permille"))
+      assert(q.zip(q.tail).forall { case (a, b) => a >= b },
+        s"quality not descending: ${q.take(10).toSeq}")
+    }
+    // the first |sources| positions hold one doc from each source
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    val k = bySrc.size
+    val head = rows.sortBy(_.getAs[Long]("pos")).take(k)
+    assert(head.map(_.getAs[String]("source")).distinct.length == k)
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
