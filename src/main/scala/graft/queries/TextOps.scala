@@ -1816,6 +1816,78 @@ object TextOps {
       |  (r.rn - 1) * n.n_sources + s.src_idx AS pos
       |FROM r JOIN s USING (source) CROSS JOIN n""".stripMargin
 
+  // q153 — span-cut REWRITE: q94 scores duplicated spans; this operator
+  // REMOVES them — the actual Lee et al. exact-substring dedup action
+  // (cut the repeated text, keep the document). A token is cut iff some
+  // corpus-duplicated 8-word window covers it: duplicated window STARTS
+  // (q94's hash-frequency pass, ~12 B/window on the wire) flag their
+  // position, and coverage is a per-doc ordered window max over the 8
+  // preceding start flags — positional extent is exact, not the
+  // approximate per-doc ratio q94 settles for. Shape at 100 TB: one
+  // shuffle on the window hash for corpus-wide frequency, one
+  // (doc, position) join of integer flags, one doc-keyed ordered window
+  // + reassembly agg; full text moves only scan→final-agg, never
+  // through the frequency exchange.
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), words(col("text")).as("w"))
+    val toks = base.select(col("doc_id"),
+        posexplode(col("w")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("j"), col("tok"))
+    val win = base.filter(size(col("w")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 7)," +
+          " i -> struct(CAST(i AS BIGINT) AS i, h60(array_join(slice(w, i, 8), ' ')) AS k))"))
+        .as("s"))
+      .select(col("doc_id"), col("s.i").as("i"), col("s.k").as("k"))
+    val dupStarts = win
+      .withColumn("freq", count(lit(1)).over(Window.partitionBy(col("k"))))
+      .filter(col("freq") >= 2)
+      .select(col("doc_id"), col("i"), lit(1).as("flag"))
+    val cov = toks
+      .join(dupStarts, toks("doc_id") === dupStarts("doc_id") &&
+        col("j") === col("i"), "left")
+      .select(toks("doc_id"), col("j"), col("tok"),
+        coalesce(col("flag"), lit(0)).as("flag"))
+      .withColumn("c", max(col("flag")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("j"))
+          .rowsBetween(-7, Window.currentRow)))
+    cov.groupBy(col("doc_id"))
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(" +
+          "struct(j, CASE WHEN c = 0 THEN tok END AS t))), x -> x.t), ' ')")
+          .as("clean_text"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("c")).cast("long").as("n_removed"))
+  }
+  private lazy val q153Sql =
+    s"""WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+      |toks AS (
+      |  SELECT doc_id, UNNEST(GENERATE_SERIES(1, LEN(ws))) AS j, ws FROM w),
+      |tok2 AS (SELECT doc_id, CAST(j AS BIGINT) AS j, ws[j] AS tok FROM toks),
+      |pos AS (
+      |  SELECT doc_id, ws,
+      |    UNNEST(GENERATE_SERIES(1, GREATEST(LEN(ws) - 7, 0))) AS i FROM w),
+      |win AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+      |    ${h60Sql("ARRAY_TO_STRING(ws[i:i+7], ' ')")} AS k
+      |  FROM pos),
+      |f AS (SELECT doc_id, i, COUNT(*) OVER (PARTITION BY k) AS freq FROM win),
+      |ds AS (SELECT doc_id, i FROM f WHERE freq >= 2),
+      |fl AS (
+      |  SELECT t.doc_id, t.j, t.tok,
+      |    CASE WHEN ds.i IS NULL THEN 0 ELSE 1 END AS flag
+      |  FROM tok2 t LEFT JOIN ds ON t.doc_id = ds.doc_id AND t.j = ds.i),
+      |cov AS (
+      |  SELECT *, MAX(flag) OVER (PARTITION BY doc_id ORDER BY j
+      |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS c
+      |  FROM fl)
+      |SELECT doc_id,
+      |  COALESCE(STRING_AGG(CASE WHEN c = 0 THEN tok END, ' ' ORDER BY j), '')
+      |    AS clean_text,
+      |  COUNT(*) AS n_tokens,
+      |  CAST(SUM(c) AS BIGINT) AS n_removed
+      |FROM cov GROUP BY doc_id""".stripMargin
+
   // Stopword lists per language for the n-gram/stopword language-ID
   // heuristic. (The synthetic corpus is English-ish regardless of its
   // `lang` label — the operator, not the accuracy, is under test.)
@@ -2996,5 +3068,6 @@ object TextOps {
     QueryDef("q150_span_corruption", q150, Some(q150Sql)),
     QueryDef("q151_chat_template", q151, Some(q151Sql)),
     QueryDef("q152_curriculum_order", q152, Some(q152Sql)),
+    QueryDef("q153_span_cut", q153, Some(q153Sql)),
   )
 }

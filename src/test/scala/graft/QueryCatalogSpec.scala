@@ -621,6 +621,25 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(head.map(_.getAs[String]("source")).distinct.length == k)
   }
 
+  test("q153 span cut: agrees with q94's scores, conserves tokens, cuts whole windows") {
+    val cut = SparkEntry.queries("q153_span_cut")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val score = SparkEntry.queries("q94_span_dedup")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup_spans")).toMap
+    assert(cut.keySet == score.keySet)
+    for ((id, r) <- cut) {
+      val (n, removed) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"))
+      val kept = r.getAs[String]("clean_text")
+      // clean text holds exactly the uncut tokens
+      val keptToks = if (kept.isEmpty) 0L else kept.split(" ").length.toLong
+      assert(keptToks == n - removed, s"doc $id: $keptToks != $n - $removed")
+      // a doc is touched iff q94 found a duplicated span in it, and a
+      // duplicated span removes at least its full 8-token window
+      if (score(id) > 0L) assert(removed >= 8L, s"doc $id removed $removed")
+      else assert(removed == 0L, s"doc $id cut without dup spans")
+    }
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
