@@ -354,7 +354,63 @@ object EventsOps {
     QueryDef("q144_markov_transitions", q144, Some(q144Sql)),
     QueryDef("q145_user_lifecycle", q145, Some(q145Sql)),
     QueryDef("q148_ewma_daily", q148, Some(q148Sql)),
+    QueryDef("q154_multitouch_attribution", q154, Some(q154Sql)),
   )
+
+  // q154 — MULTI-TOUCH attribution: the multi-match sibling of the
+  // as-of join (q27 credits only the last click; linear attribution
+  // splits each purchase's credit over EVERY click in the preceding
+  // hour). Exactness trick: 1000 permille never divides evenly, so
+  // each click gets 1000 div n and the REMAINDER goes to the latest
+  // click (ts, event_id tie-break) — credit conserves to exactly
+  // 1000 × purchases-with-touches, an invariant float weights can't
+  // hold and the spec pins. Shape at 100 TB: the user-keyed range join
+  // is the q27/q53 shape (co-partition on user_id, time-bucket the
+  // range); per-purchase normalization is a window over that
+  // purchase's own touch rows only, then one partial agg per click.
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pt"), col("event_id").as("pid"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("ct"),
+        col("event_id").as("cid"))
+    val wP = Window.partitionBy(col("pid"))
+    val wLast = wP.orderBy(col("ct").desc, col("cid").desc)
+    val pairs = p.join(c, col("user_id") === col("cu") &&
+        col("ct") <= col("pt") &&
+        col("ct") > col("pt") - expr("INTERVAL 1 HOUR"))
+      .withColumn("n", count(lit(1)).over(wP))
+      .withColumn("last_cid", first(col("cid")).over(wLast))
+      .withColumn("credit", expr(
+        "(1000 div n) + (CASE WHEN cid = last_cid THEN 1000 % n ELSE 0 END)"))
+    pairs.groupBy(col("cid").as("event_id"), col("cu").as("user_id"))
+      .agg(count(lit(1)).as("n_attributions"),
+        sum(col("credit")).as("credit_permille"))
+  }
+  private val q154Sql =
+    """WITH p AS (
+      |  SELECT user_id, ts AS pt, event_id AS pid
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id AS cu, ts AS ct, event_id AS cid
+      |  FROM events WHERE event_type = 'click'),
+      |pr AS (
+      |  SELECT pid, cid, cu, ct,
+      |    COUNT(*) OVER (PARTITION BY pid) AS n,
+      |    FIRST_VALUE(cid) OVER (PARTITION BY pid
+      |      ORDER BY ct DESC, cid DESC) AS last_cid
+      |  FROM p JOIN c ON p.user_id = c.cu
+      |    AND c.ct <= p.pt AND c.ct > p.pt - INTERVAL 1 HOUR),
+      |cr AS (
+      |  SELECT pid, cid, cu,
+      |    1000 // n + CASE WHEN cid = last_cid THEN 1000 % n ELSE 0 END
+      |      AS credit
+      |  FROM pr)
+      |SELECT cid AS event_id, cu AS user_id,
+      |  COUNT(*) AS n_attributions,
+      |  CAST(SUM(credit) AS BIGINT) AS credit_permille
+      |FROM cr GROUP BY 1, 2""".stripMargin
 
   // q148 — exponentially-weighted daily event rate, EXACT: the
   // monitoring smoother (α = 1/2, window truncated at 20 lags — beyond

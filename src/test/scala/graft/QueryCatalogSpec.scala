@@ -640,6 +640,26 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q154 attribution: credit conserves to exactly 1000 per touched purchase") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q154_multitouch_attribution")(spark, dir)
+    val totalCredit = rows.agg(sum("credit_permille")).collect()(0).getLong(0)
+    // count purchases that have ≥1 click in their preceding hour —
+    // integer-remainder assignment makes conservation EXACT
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pt"), col("event_id").as("pid"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("ct"))
+    val touched = p.join(c, col("user_id") === col("cu") &&
+        col("ct") <= col("pt") &&
+        col("ct") > col("pt") - expr("INTERVAL 1 HOUR"))
+      .select("pid").distinct().count()
+    assert(totalCredit == 1000L * touched,
+      s"credit $totalCredit != 1000 × $touched")
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
