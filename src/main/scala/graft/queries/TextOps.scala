@@ -1888,6 +1888,67 @@ object TextOps {
       |  CAST(SUM(c) AS BIGINT) AS n_removed
       |FROM cov GROUP BY doc_id""".stripMargin
 
+  // q155 — cross-source QUANTILE NORMALIZATION of quality scores: a
+  // fixed quality threshold means different things in different sources
+  // (one source's median is another's top decile), so mixture curation
+  // first maps every doc's score onto the POOLED distribution: doc at
+  // within-source rank r of n_src gets the pooled value at quantile
+  // r/n_src. All integer: target position = ceil(r·N/n_src) by
+  // (r·N + n_src − 1) div n_src, and the pooled lookup needs NO global
+  // sort — scores live in the bounded permille domain, so the pooled
+  // distribution is a ≤1001-row cumulative histogram (broadcast), and
+  // the quantile lookup is a min-over-threshold join against it. Shape
+  // at 100 TB: one per-source rank window (the partition-wide window
+  // every per-source statistic pays), one tiny broadcast; the corpus
+  // never globally sorts.
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    val ttr = expr("(CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000)" +
+      " div CAST(size(split(text, ' ')) AS BIGINT)")
+    val base = docs(s, dir)
+      .select(col("doc_id"), col("source"), ttr.as("ttr_permille"))
+    val wSrc = Window.partitionBy(col("source"))
+    val ranked = base
+      .withColumn("src_rank", row_number().over(
+        wSrc.orderBy(col("ttr_permille").asc, col("doc_id").asc)).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(wSrc))
+    val nTotal = base.agg(count(lit(1)).as("n_total"))
+    val pooled = base.groupBy(col("ttr_permille").as("pv"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("pv"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("pv"), col("cum"))
+    ranked.crossJoin(broadcast(nTotal))
+      .withColumn("idx",
+        expr("(src_rank * n_total + n_src - 1) div n_src"))
+      .join(broadcast(pooled), col("cum") >= col("idx"))
+      .groupBy(col("doc_id"), col("source"), col("ttr_permille"), col("src_rank"))
+      .agg(min(col("pv")).as("norm_ttr"))
+  }
+  private val q155Sql =
+    """WITH b AS (
+      |  SELECT doc_id, source,
+      |    (CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT) * 1000)
+      |      // CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS ttr_permille
+      |  FROM documents),
+      |r AS (
+      |  SELECT *,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY ttr_permille, doc_id) AS BIGINT) AS src_rank,
+      |    COUNT(*) OVER (PARTITION BY source) AS n_src
+      |  FROM b),
+      |n AS (SELECT COUNT(*) AS n_total FROM b),
+      |p AS (SELECT ttr_permille AS pv, COUNT(*) AS c FROM b GROUP BY 1),
+      |pc AS (
+      |  SELECT pv, SUM(c) OVER (ORDER BY pv
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM p)
+      |SELECT r.doc_id, r.source, r.ttr_permille, r.src_rank,
+      |  MIN(pc.pv) AS norm_ttr
+      |FROM r CROSS JOIN n
+      |  JOIN pc ON pc.cum >= (r.src_rank * n.n_total + r.n_src - 1) // r.n_src
+      |GROUP BY 1, 2, 3, 4""".stripMargin
+
   // Stopword lists per language for the n-gram/stopword language-ID
   // heuristic. (The synthetic corpus is English-ish regardless of its
   // `lang` label — the operator, not the accuracy, is under test.)
@@ -3069,5 +3130,6 @@ object TextOps {
     QueryDef("q151_chat_template", q151, Some(q151Sql)),
     QueryDef("q152_curriculum_order", q152, Some(q152Sql)),
     QueryDef("q153_span_cut", q153, Some(q153Sql)),
+    QueryDef("q155_quantile_norm", q155, Some(q155Sql)),
   )
 }

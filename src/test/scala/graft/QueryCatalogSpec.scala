@@ -660,6 +660,21 @@ class QueryCatalogSpec extends AnyFunSuite {
       s"credit $totalCredit != 1000 × $touched")
   }
 
+  test("q155 quantile norm: sources align on the pooled distribution, monotone in rank") {
+    val rows = SparkEntry.queries("q155_quantile_norm")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val globalMax = rows.map(_.getAs[Long]("ttr_permille")).max
+    for ((_, rs) <- rows.groupBy(_.getAs[String]("source"))) {
+      val sorted = rs.sortBy(_.getAs[Long]("src_rank"))
+      val norms = sorted.map(_.getAs[Long]("norm_ttr"))
+      // normalized score never decreases as within-source rank rises
+      assert(norms.zip(norms.tail).forall { case (a, b) => a <= b })
+      // every source's best doc maps to the pooled maximum — the
+      // alignment property the operator exists for
+      assert(norms.last == globalMax, s"${norms.last} != $globalMax")
+    }
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
