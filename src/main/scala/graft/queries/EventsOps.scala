@@ -426,9 +426,12 @@ object EventsOps {
   // one (type, day) partial-agg shuffle; the smoothing self-join runs
   // on the tiny rollup (|types|·|days| rows), never on events.
   private def q148(s: SparkSession, dir: String): DataFrame = {
+    // cached: three readers (both join sides + the series-start lookup)
+    // would otherwise each re-scan and re-aggregate the event stream
     val daily = events(s, dir)
       .groupBy(col("event_type"), col("ts").cast("date").as("day"))
       .agg(count(lit(1)).as("cnt"))
+      .cache()
     val first = daily.groupBy(col("event_type")).agg(min(col("day")).as("day0"))
     val b = daily.select(col("event_type").as("et_b"),
       col("day").as("day_b"), col("cnt").as("cnt_b"))

@@ -346,4 +346,44 @@ class PlanSpec extends AnyFunSuite {
       .findAllMatchIn(p).map(_.group(1)).toSet
     assert(parts.subsetOf(Set("user_id")), s"unexpected shuffle keys $parts in:\n$p")
   }
+
+  test("q148: the smoothing join runs on the daily rollup, never on raw events") {
+    val df = SparkEntry.queries("q148_ewma_daily")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the daily rollup is cached and all three consumers (both join
+    // sides + the series-start lookup) read the InMemory rollup instead
+    // of re-aggregating the event stream. (Scan-parquet occurrences
+    // can't be counted here: InMemoryTableScan's rendering re-prints
+    // the cached subplan.)
+    // (can't split at "== Initial Plan ==": the cached InMemoryRelation
+    // embeds its own marker and would truncate the outer final plan)
+    val imts = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(imts >= 3, s"expected 3 rollup readers, saw $imts in:\n$p")
+    // and the smoothing join itself is broadcast on the tiny rollup
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("q153: corpus text stays out of the window-hash frequency exchange") {
+    val df = SparkEntry.queries("q153_span_cut")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the frequency pass partitions on the 8-word window hash `k`; that
+    // exchange must carry (doc_id, i, k) integers only — if `tok` or a
+    // text column appears in its hashpartitioning row, the corpus is
+    // being shuffled
+    val kParts = p.linesIterator.filter(_.contains("hashpartitioning(k#")).toSeq
+    assert(kParts.nonEmpty, s"no window-hash exchange found in:\n$p")
+    assert(!kParts.exists(l => l.contains("tok#") || l.contains("text#")),
+      s"text entered the frequency exchange:\n${kParts.mkString("\n")}")
+  }
+
+  test("q155: the pooled quantile histogram joins as a broadcast, never a shuffle") {
+    val p = plan("q155_quantile_norm")
+    // the histogram side is ≤1001 rows; its non-equi threshold lookup
+    // must be a broadcast nested-loop, and nothing may degenerate to a
+    // cartesian of corpus rows
+    assert(p.contains("BroadcastNestedLoopJoin"), s"no broadcast lookup in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in quantile lookup:\n$p")
+  }
 }
