@@ -1949,6 +1949,100 @@ object TextOps {
       |  JOIN pc ON pc.cum >= (r.src_rank * n.n_total + r.n_src - 1) // r.n_src
       |GROUP BY 1, 2, 3, 4""".stripMargin
 
+  // q156 — GRADED decontamination: q71 flags any-overlap; real
+  // decontamination wants a RATIO and a decision per doc — what
+  // fraction of THIS doc's distinct 3-shingles also appear in the eval
+  // side, then keep (<10%), flag (10–50%), or drop (≥50%). The ratio is
+  // what separates "quotes one eval sentence" from "is an eval doc".
+  // Same scale shape as q71: the eval shingle set broadcasts (a
+  // benchmark is tiny next to a 100 TB corpus), the train stream takes
+  // one per-doc partial agg, and every train doc appears in the output
+  // (the keep rows are the receipts a removal audit needs).
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir)
+      .select(col("doc_id"), (h60(col("text")) % 100).as("bucket"),
+        words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("bucket"),
+        explode(expr("array_distinct(shingles(w, 3))")).as("shingle"))
+      .cache()
+    val test = sh.filter(col("bucket") >= 90)
+      .select(col("shingle")).distinct().withColumn("hit", lit(1L))
+    sh.filter(col("bucket") < 80)
+      .join(broadcast(test), Seq("shingle"), "left")
+      .groupBy(col("doc_id").as("train_doc"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+      .withColumn("ratio_permille",
+        expr("n_shared * 1000 div n_shingles"))
+      .withColumn("decision",
+        when(col("ratio_permille") >= 500, "drop")
+          .when(col("ratio_permille") >= 100, "flag")
+          .otherwise("keep"))
+  }
+  private val q156Sql =
+    s"""WITH sh AS (
+      |  SELECT doc_id, ${h60Sql("text")} % 100 AS bucket,
+      |    UNNEST(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 2),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+      |  FROM (SELECT doc_id, text, STRING_SPLIT(text, ' ') AS w FROM documents) t
+      |  WHERE LEN(w) >= 3),
+      |te AS (SELECT DISTINCT shingle FROM sh WHERE bucket >= 90),
+      |j AS (
+      |  SELECT tr.doc_id, CASE WHEN te.shingle IS NULL THEN 0 ELSE 1 END AS hit
+      |  FROM (SELECT doc_id, shingle FROM sh WHERE bucket < 80) tr
+      |  LEFT JOIN te USING (shingle)),
+      |ag AS (
+      |  SELECT doc_id AS train_doc, COUNT(*) AS n_shingles,
+      |    CAST(SUM(hit) AS BIGINT) AS n_shared
+      |  FROM j GROUP BY 1)
+      |SELECT train_doc, n_shingles, n_shared,
+      |  n_shared * 1000 // n_shingles AS ratio_permille,
+      |  CASE WHEN n_shared * 1000 // n_shingles >= 500 THEN 'drop'
+      |       WHEN n_shared * 1000 // n_shingles >= 100 THEN 'flag'
+      |       ELSE 'keep' END AS decision
+      |FROM ag""".stripMargin
+
+  // q157 — tokenizer FERTILITY audit per source: subword tokens per
+  // whitespace word and chars per subword token — the two numbers that
+  // tell you a tokenizer is mis-fit for a source (fertility spikes on
+  // OCR noise, code, or out-of-vocab languages, and directly multiplies
+  // training cost). Uses the real greedy tokenizer (q89's native
+  // subword_count expression — narrow, codegen'd, streams at scan
+  // speed); the rollup is one tiny per-source partial agg. Exact
+  // permille ratios of exact integer sums.
+  private def q157(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"),
+        expr("subword_count(text)").as("t"),
+        size(words(col("text"))).cast("long").as("ws"),
+        col("n_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("t")).as("n_subword"),
+        sum(col("ws")).as("n_words"),
+        sum(col("n_chars")).as("n_chars_total"))
+      .withColumn("fertility_permille",
+        expr("n_subword * 1000 div nullif(n_words, 0)"))
+      .withColumn("chars_per_token_permille",
+        expr("n_chars_total * 1000 div nullif(n_subword, 0)"))
+  private lazy val q157Sql =
+    s"""WITH RECURSIVE $subwordCte,
+      |per AS (
+      |  SELECT d.source, d.n_chars,
+      |    CAST(COALESCE(LEN(dt.toks), 0) AS BIGINT) AS t,
+      |    CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS ws
+      |  FROM documents d LEFT JOIN doc_toks dt ON dt.doc_id = d.doc_id)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(t) AS BIGINT) AS n_subword,
+      |  CAST(SUM(ws) AS BIGINT) AS n_words,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+      |  CAST(SUM(t) AS BIGINT) * 1000 // NULLIF(CAST(SUM(ws) AS BIGINT), 0)
+      |    AS fertility_permille,
+      |  CAST(SUM(n_chars) AS BIGINT) * 1000 // NULLIF(CAST(SUM(t) AS BIGINT), 0)
+      |    AS chars_per_token_permille
+      |FROM per GROUP BY source""".stripMargin
+
   // Stopword lists per language for the n-gram/stopword language-ID
   // heuristic. (The synthetic corpus is English-ish regardless of its
   // `lang` label — the operator, not the accuracy, is under test.)
@@ -3131,5 +3225,7 @@ object TextOps {
     QueryDef("q152_curriculum_order", q152, Some(q152Sql)),
     QueryDef("q153_span_cut", q153, Some(q153Sql)),
     QueryDef("q155_quantile_norm", q155, Some(q155Sql)),
+    QueryDef("q156_contamination_ratio", q156, Some(q156Sql)),
+    QueryDef("q157_tokenizer_fertility", q157, Some(q157Sql)),
   )
 }

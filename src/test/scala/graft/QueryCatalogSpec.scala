@@ -675,6 +675,35 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q156 contamination ratio: decisions match thresholds, all train docs audited") {
+    val rows = SparkEntry.queries("q156_contamination_ratio")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, shared, ratio) = (r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_shared"), r.getAs[Long]("ratio_permille"))
+      assert(shared <= n && ratio == shared * 1000 / n)
+      val want = if (ratio >= 500) "drop" else if (ratio >= 100) "flag" else "keep"
+      assert(r.getAs[String]("decision") == want)
+    }
+    // the audit covers every train-side doc (receipts, not just hits) —
+    // q71 only reports overlapping docs, so q156 must dominate it
+    val q71n = SparkEntry.queries("q71_decontaminate")(spark, dir).count()
+    assert(rows.length >= q71n.toInt)
+  }
+
+  test("q157 tokenizer fertility: one row per source, subwords at least one per word") {
+    val rows = SparkEntry.queries("q157_tokenizer_fertility")(spark, dir).collect()
+    val nSources = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source").distinct().count()
+    assert(rows.length == nSources)
+    for (r <- rows) {
+      // greedy tokenization emits ≥1 token per word → fertility ≥ 1000
+      assert(r.getAs[Long]("fertility_permille") >= 1000L)
+      assert(r.getAs[Long]("chars_per_token_permille") > 0L)
+      assert(r.getAs[Long]("n_subword") >= r.getAs[Long]("n_words"))
+    }
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
