@@ -422,7 +422,9 @@ object EventsOps {
   // engine: num_t = Σ_{j=0..19} cnt_{t-j}·2^(19-j), den_t = 2^20 −
   // 2^(19-L) (L = lags available since the series start; missing
   // calendar days contribute 0 by construction), ewma = num/den emitted
-  // in exact permille. Shape at 100 TB: the event stream collapses via
+  // in exact permille. num/den equals the zero-initialized fold with
+  // Adam-style bias correction f_t/(1 − 2^-(L+1)) — the identity is
+  // property-pinned in PropertySpec. Shape at 100 TB: the event stream collapses via
   // one (type, day) partial-agg shuffle; the smoothing self-join runs
   // on the tiny rollup (|types|·|days| rows), never on events.
   private def q148(s: SparkSession, dir: String): DataFrame = {

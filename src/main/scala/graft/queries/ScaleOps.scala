@@ -563,5 +563,67 @@ object ScaleOps {
     QueryDef("q107_zscore_outliers", q107, Some(q107Sql)),
     QueryDef("q108_ref_integrity", q108, Some(q108Sql)),
     QueryDef("q109_histogram", q109, Some(q109Sql)),
+    QueryDef("q158_skew_report", q158, Some(q158Sql)),
   )
+
+  // q158 — join-key SKEW REPORT: the diagnostic that decides whether a
+  // key needs the q63/q88 salting treatment BEFORE the job melts down
+  // at 100 TB, not after. For each key a pipeline joins or groups on:
+  // total rows, distinct keys, the hottest key's row count, its share
+  // of the table (permille), and hot/average ratio — then the decision
+  // (salt / watch / ok) by the same thresholds an AQE skew-join uses
+  // conceptually (hot partition ≫ median). Shape: one partial-agg
+  // groupBy per audited key (map-side combined), then a scalar rollup —
+  // the report costs one aggregation pass per key, nothing more. All
+  // integer-exact.
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    def audit(df: DataFrame, table: String, key: String): DataFrame =
+      df.groupBy(col(key).cast("string").as("k"))
+        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_key_rows"))
+        .select(lit(table).as("table_name"), lit(key).as("key_name"),
+          col("n_rows"), col("n_keys"), col("max_key_rows"),
+          expr("max_key_rows * 1000 div n_rows").as("top1_permille"),
+          expr("max_key_rows * 1000 * n_keys div n_rows")
+            .as("max_over_avg_permille"))
+    // raw load is fine here: only key columns are read (no ts handling)
+    val ev = load(s, dir, "events")
+    audit(load(s, dir, "lineitem"), "lineitem", "l_orderkey")
+      .unionByName(audit(load(s, dir, "orders"), "orders", "o_custkey"))
+      .unionByName(audit(ev, "events", "user_id"))
+      .unionByName(audit(ev, "events", "event_type"))
+      .unionByName(audit(load(s, dir, "documents"), "documents", "source"))
+      .withColumn("decision",
+        when(col("top1_permille") >= 100 ||
+          col("max_over_avg_permille") >= 10000, "salt")
+          .when(col("max_over_avg_permille") >= 3000, "watch")
+          .otherwise("ok"))
+      .orderBy(col("table_name"), col("key_name"))
+  }
+  private val q158Sql = {
+    def audit(table: String, key: String) =
+      s"""SELECT '$table' AS table_name, '$key' AS key_name,
+         |  CAST(SUM(c) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  CAST(MAX(c) AS BIGINT) AS max_key_rows,
+         |  CAST(MAX(c) AS BIGINT) * 1000 // CAST(SUM(c) AS BIGINT)
+         |    AS top1_permille,
+         |  CAST(MAX(c) AS BIGINT) * 1000 * CAST(COUNT(*) AS BIGINT)
+         |    // CAST(SUM(c) AS BIGINT) AS max_over_avg_permille
+         |FROM (SELECT CAST($key AS VARCHAR) AS k, COUNT(*) AS c
+         |      FROM $table GROUP BY 1) t""".stripMargin
+    val parts = Seq(
+      audit("lineitem", "l_orderkey"), audit("orders", "o_custkey"),
+      audit("events", "user_id"), audit("events", "event_type"),
+      audit("documents", "source")).mkString("\nUNION ALL\n")
+    s"""SELECT u.*,
+      |  CASE WHEN top1_permille >= 100 OR max_over_avg_permille >= 10000
+      |         THEN 'salt'
+      |       WHEN max_over_avg_permille >= 3000 THEN 'watch'
+      |       ELSE 'ok' END AS decision
+      |FROM (
+      |$parts) u
+      |ORDER BY table_name, key_name""".stripMargin
+  }
 }

@@ -140,4 +140,30 @@ class PropertySpec extends AnyFunSuite {
       Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString("the"), null))
     assert(graft.functions.CountInExpr.compute(withNull, set) == 1L)
   }
+
+  test("q148's windowed-sum EWMA equals the bias-corrected sequential fold") {
+    // The query's closed form (num_t = Σ_{j=0..L} x_{t-j}·2^(19-j),
+    // den_t = 2^20 − 2^(19-L)) must equal the zero-initialized
+    // sequential recurrence f_t = (x_t + f_{t-1})/2 over the same
+    // 20-lag window, debiased by its weight mass 1 − 2^-(L+1) (the
+    // Adam-style correction that makes early-series values unbiased).
+    // Proves the algebraic rewrite that turns an order-dependent fold
+    // into a parallel window sum. All arithmetic exact: the fold only
+    // divides by 2 (terminating in BigDecimal) and equality is checked
+    // by cross-multiplication, never a non-terminating division.
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0L, 100000L))) { xs =>
+      val series = xs.take(64)
+      series.indices.forall { t =>
+        val l = math.min(19, t)
+        val num = (0 to l).map(j => series(t - j) * (1L << (19 - j))).sum
+        val den = (1L << 20) - (1L << (19 - l))
+        val fold = ((t - l) to t).foldLeft(BigDecimal(0)) { (e, i) =>
+          (BigDecimal(series(i)) + e) / 2
+        }
+        val bias = BigDecimal(1) - BigDecimal(1) / BigDecimal(2).pow(l + 1)
+        // num/den == fold/bias ⟺ num·bias == den·fold
+        BigDecimal(num) * bias == BigDecimal(den) * fold
+      }
+    })
+  }
 }
