@@ -283,7 +283,68 @@ object Relational {
     QueryDef("q44_null_ordering", q44, Some(q44Sql)),
     QueryDef("q45_null_semantics", q45, Some(q45Sql)),
     QueryDef("q46_window_navigation", q46, Some(q46Sql)),
+    QueryDef("q159_distribution_windows", q159, Some(q159Sql)),
+    QueryDef("q160_multiset_ops", q160, Some(q160Sql)),
   )
+
+  // q159 — distribution window battery: NTILE / PERCENT_RANK /
+  // CUME_DIST — the last window-function family the catalog lacked.
+  // Determinism: ntile is order-dependent within ties, so its window
+  // carries the (price, key) total order; percent_rank and cume_dist
+  // are tie-AWARE (tied rows share a value), so they run on the price
+  // ordering alone — exercising exactly the tie semantics both engines
+  // must agree on. Values are single IEEE divisions of exact integer
+  // ranks — bit-identical. One shuffle on the partition key, as any
+  // per-group ranking.
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wT = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wP = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"))
+    load(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+      ntile(10).over(wT).cast("long").as("decile"),
+      percent_rank().over(wP).as("pct_rank"),
+      cume_dist().over(wP).as("cume"))
+  }
+  private val q159Sql =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |  CAST(NTILE(10) OVER (PARTITION BY o_orderstatus
+      |    ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile,
+      |  PERCENT_RANK() OVER (PARTITION BY o_orderstatus
+      |    ORDER BY o_totalprice) AS pct_rank,
+      |  CUME_DIST() OVER (PARTITION BY o_orderstatus
+      |    ORDER BY o_totalprice) AS cume
+      |FROM orders""".stripMargin
+
+  // q160 — MULTISET set operators: INTERSECT ALL / EXCEPT ALL, the
+  // bag-semantics forms q8's distinct variants skip. Multiplicity rules
+  // (min(m,n) for intersect, max(0, m−n) for except) are exercised on
+  // nation-key bags with real duplicate counts (customers per nation ×
+  // suppliers per nation). Output is the per-key multiplicity so the
+  // bag cardinalities themselves are gate-checked, not just membership.
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    val cn = load(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val sn = load(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    val ia = cn.intersectAll(sn).groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("multiplicity"))
+      .withColumn("op", lit("intersect_all"))
+    val ea = cn.exceptAll(sn).groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("multiplicity"))
+      .withColumn("op", lit("except_all"))
+    ia.unionByName(ea).select(col("op"), col("nationkey"), col("multiplicity"))
+  }
+  private val q160Sql =
+    """WITH cn AS (SELECT c_nationkey AS nationkey FROM customer),
+      |sn AS (SELECT s_nationkey AS nationkey FROM supplier),
+      |ia AS (SELECT nationkey FROM cn INTERSECT ALL SELECT nationkey FROM sn),
+      |ea AS (SELECT nationkey FROM cn EXCEPT ALL SELECT nationkey FROM sn)
+      |SELECT 'intersect_all' AS op, nationkey, COUNT(*) AS multiplicity
+      |FROM ia GROUP BY 2
+      |UNION ALL
+      |SELECT 'except_all' AS op, nationkey, COUNT(*) AS multiplicity
+      |FROM ea GROUP BY 2""".stripMargin
 
   // q45 — null-handling battery: NULLIF / COALESCE / null-safe equality /
   // try_divide — the three-valued-logic corners that silently corrupt

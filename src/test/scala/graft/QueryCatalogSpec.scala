@@ -704,6 +704,43 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q159 distribution windows: deciles balanced, pct_rank/cume in [0,1] and tie-aware") {
+    val rows = SparkEntry.queries("q159_distribution_windows")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for ((_, rs) <- rows.groupBy(_.getAs[String]("o_orderstatus"))) {
+      val sizes = rs.groupBy(_.getAs[Long]("decile")).values.map(_.length)
+      assert(sizes.max - sizes.min <= 1, s"ntile imbalance: $sizes") // ntile contract
+      assert(rs.forall { r =>
+        val (p, c) = (r.getAs[Double]("pct_rank"), r.getAs[Double]("cume"))
+        p >= 0.0 && p <= 1.0 && c > 0.0 && c <= 1.0 && c >= p
+      })
+      // tie-awareness: equal prices share pct_rank
+      val byPrice = rs.groupBy(_.getAs[Double]("o_totalprice"))
+      assert(byPrice.values.forall(
+        _.map(_.getAs[Double]("pct_rank")).distinct.length == 1))
+    }
+  }
+
+  test("q160 multiset ops: multiplicities follow the bag min/max-difference rules") {
+    val rows = SparkEntry.queries("q160_multiset_ops")(spark, dir).collect()
+    val cn = spark.read.parquet(s"$dir/customer.parquet")
+      .groupBy("c_nationkey").count().collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    val sn = spark.read.parquet(s"$dir/supplier.parquet")
+      .groupBy("s_nationkey").count().collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    for (r <- rows) {
+      val k = r.getAs[Number]("nationkey").longValue
+      val m = r.getAs[Long]("multiplicity")
+      r.getAs[String]("op") match {
+        case "intersect_all" =>
+          assert(m == math.min(cn.getOrElse(k, 0L), sn.getOrElse(k, 0L)))
+        case "except_all" =>
+          assert(m == math.max(0L, cn.getOrElse(k, 0L) - sn.getOrElse(k, 0L)))
+      }
+    }
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
