@@ -2043,6 +2043,68 @@ object TextOps {
       |    AS chars_per_token_permille
       |FROM per GROUP BY source""".stripMargin
 
+  // q161 — dedup KEEPER SELECTION: the canonicalization policy between
+  // clustering (q67) and rewriting. min-doc_id (q67's representative)
+  // is arbitrary; a curation pass keeps the BEST member of each
+  // near-dup cluster — here argmax of (quality, then longest, then
+  // lowest id) with quality = type-token ratio in exact permille. One
+  // row per cluster: the kept doc, the dropped count, and the keeper's
+  // margin over the cluster's worst member (0 for singletons — the
+  // audit trail a deletion needs). Deterministic total order ⇒ the
+  // argmax is engine-stable. Shape: q67's components + one narrow
+  // quality column + a single per-cluster partial-agg argmax (struct
+  // max) — no extra shuffle beyond the cluster key.
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    val ttr = expr("(CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000)" +
+      " div CAST(size(split(text, ' ')) AS BIGINT)")
+    val scored = q67(s, dir)
+      .join(docs(s, dir).select(col("doc_id"), col("n_chars"),
+        ttr.as("quality")), "doc_id")
+    scored.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        // argmax by (quality, n_chars, -doc_id): struct max with the id
+        // negated so lower ids win ties — a total, engine-stable order
+        max(struct(col("quality"), col("n_chars"), (-col("doc_id")).as("nid")))
+          .as("best"),
+        min(col("quality")).as("min_quality"))
+      .select(col("cluster_id"),
+        (-col("best.nid")).as("kept_doc"),
+        col("best.quality").as("kept_quality"),
+        (col("n_members") - 1).as("n_dropped"),
+        (col("best.quality") - col("min_quality")).as("quality_margin"))
+  }
+  private lazy val q161Sql =
+    s"""WITH RECURSIVE $simhashSql,
+      |banded AS (
+      |  SELECT doc_id, i AS band_idx, (simhash >> CAST(i * 15 AS INT)) & 32767 AS band_val
+      |  FROM sigs CROSS JOIN GENERATE_SERIES(0, 3) g(i)),
+      |edges AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM banded a JOIN banded b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |    AND a.doc_id < b.doc_id),
+      |und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+      |lbl(id, label) AS (
+      |  SELECT doc_id, doc_id FROM sigs
+      |  UNION
+      |  SELECT u.dst, l.label FROM lbl l JOIN und u ON u.src = l.id),
+      |comp AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM lbl GROUP BY id),
+      |scored AS (
+      |  SELECT c.doc_id, c.cluster_id, d.n_chars,
+      |    (CAST(LEN(LIST_DISTINCT(STRING_SPLIT(d.text, ' '))) AS BIGINT) * 1000)
+      |      // CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS quality
+      |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |    ORDER BY quality DESC, n_chars DESC, doc_id ASC) AS rn
+      |  FROM scored),
+      |st AS (SELECT cluster_id, COUNT(*) AS n_members,
+      |         MIN(quality) AS min_q
+      |       FROM scored GROUP BY 1)
+      |SELECT r.cluster_id, r.doc_id AS kept_doc, r.quality AS kept_quality,
+      |  st.n_members - 1 AS n_dropped, r.quality - st.min_q AS quality_margin
+      |FROM ranked r JOIN st USING (cluster_id) WHERE r.rn = 1""".stripMargin
+
   // Stopword lists per language for the n-gram/stopword language-ID
   // heuristic. (The synthetic corpus is English-ish regardless of its
   // `lang` label — the operator, not the accuracy, is under test.)
@@ -3227,5 +3289,6 @@ object TextOps {
     QueryDef("q155_quantile_norm", q155, Some(q155Sql)),
     QueryDef("q156_contamination_ratio", q156, Some(q156Sql)),
     QueryDef("q157_tokenizer_fertility", q157, Some(q157Sql)),
+    QueryDef("q161_dedup_keeper", q161, Some(q161Sql)),
   )
 }

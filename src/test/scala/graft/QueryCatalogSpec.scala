@@ -741,6 +741,26 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q161 keeper: one keeper per q67 cluster, members conserve, margins non-negative") {
+    val keep = SparkEntry.queries("q161_dedup_keeper")(spark, dir).collect()
+    val clusters = SparkEntry.queries("q67_neardup_clusters")(spark, dir).collect()
+      .groupBy(_.getAs[Long]("cluster_id"))
+    assert(keep.length == clusters.size)
+    val nDocs = clusters.values.map(_.length.toLong).sum
+    assert(keep.map(_.getAs[Long]("n_dropped") + 1).sum == nDocs)
+    for (r <- keep) {
+      val cid = r.getAs[Long]("cluster_id")
+      val members = clusters(cid).map(_.getAs[Long]("doc_id")).toSet
+      assert(members.contains(r.getAs[Long]("kept_doc")),
+        s"keeper not in cluster $cid")
+      assert(r.getAs[Long]("quality_margin") >= 0L)
+      if (members.size == 1) {
+        assert(r.getAs[Long]("n_dropped") == 0L &&
+          r.getAs[Long]("quality_margin") == 0L)
+      }
+    }
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
