@@ -2105,6 +2105,63 @@ object TextOps {
       |  st.n_members - 1 AS n_dropped, r.quality - st.min_q AS quality_margin
       |FROM ranked r JOIN st USING (cluster_id) WHERE r.rn = 1""".stripMargin
 
+  // q162 — NEYMAN allocation for stratified sampling: q66 samples
+  // proportionally; the variance-optimal split allocates a budget of
+  // B = 100 docs ∝ n_h·σ_h per stratum (high-variance sources deserve
+  // more sample). Exactness: n_h·σ_h = √(n_h·Σx² − (Σx)²) — the
+  // variance numerator is an exact integer, and IEEE sqrt is correctly
+  // rounded, so floor(sqrt) is engine-identical below 2^53 (above it,
+  // shift the numerator down first — the ranking survives). The
+  // integer allocation uses Hamilton apportionment: floor shares, then
+  // the deficit goes to the largest remainders (rem desc, source asc —
+  // a total order), so Σ alloc == B EXACTLY, spec-pinned. Shape: one
+  // per-stratum partial agg; everything after runs on the |sources|-row
+  // frame (broadcast scalars, one tiny window).
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    val st = docs(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sxx"))
+      .withColumn("var_num", expr("n_docs * sxx - sx * sx"))
+      .withColumn("w", expr("CAST(FLOOR(SQRT(CAST(var_num AS DOUBLE))) AS BIGINT)"))
+      .select(col("source"), col("n_docs"), col("var_num"), col("w"))
+    val tot = st.agg(sum(col("w")).as("wsum"))
+    val withFloor = st.crossJoin(broadcast(tot))
+      .withColumn("alloc_floor", expr("100 * w div wsum"))
+      .withColumn("rem", expr("(100 * w) % wsum"))
+    val deficit = withFloor.agg((lit(100) - sum(col("alloc_floor"))).as("deficit"))
+    withFloor.crossJoin(broadcast(deficit))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source").asc)).cast("long"))
+      .select(col("source"), col("n_docs"), col("var_num"), col("w"),
+        col("alloc_floor"),
+        (col("alloc_floor") +
+          when(col("rk") <= col("deficit"), 1L).otherwise(0L)).as("alloc"))
+  }
+  private val q162Sql =
+    """WITH st AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS sx,
+      |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+      |  FROM documents GROUP BY 1),
+      |v AS (
+      |  SELECT source, n_docs, n_docs * sxx - sx * sx AS var_num,
+      |    CAST(FLOOR(SQRT(CAST(n_docs * sxx - sx * sx AS DOUBLE))) AS BIGINT) AS w
+      |  FROM st),
+      |t AS (SELECT CAST(SUM(w) AS BIGINT) AS wsum FROM v),
+      |f AS (
+      |  SELECT v.*, 100 * w // wsum AS alloc_floor, (100 * w) % wsum AS rem
+      |  FROM v CROSS JOIN t),
+      |d AS (SELECT 100 - CAST(SUM(alloc_floor) AS BIGINT) AS deficit FROM f),
+      |r AS (
+      |  SELECT f.*, CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC)
+      |    AS BIGINT) AS rk
+      |  FROM f)
+      |SELECT source, n_docs, var_num, w, alloc_floor,
+      |  alloc_floor + CASE WHEN rk <= d.deficit THEN 1 ELSE 0 END AS alloc
+      |FROM r CROSS JOIN d""".stripMargin
+
   // Stopword lists per language for the n-gram/stopword language-ID
   // heuristic. (The synthetic corpus is English-ish regardless of its
   // `lang` label — the operator, not the accuracy, is under test.)
@@ -3290,5 +3347,6 @@ object TextOps {
     QueryDef("q156_contamination_ratio", q156, Some(q156Sql)),
     QueryDef("q157_tokenizer_fertility", q157, Some(q157Sql)),
     QueryDef("q161_dedup_keeper", q161, Some(q161Sql)),
+    QueryDef("q162_neyman_allocation", q162, Some(q162Sql)),
   )
 }

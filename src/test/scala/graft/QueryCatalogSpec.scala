@@ -761,6 +761,20 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q162 Neyman allocation: budget hits exactly 100, Hamilton stays within 1 of floor") {
+    val rows = SparkEntry.queries("q162_neyman_allocation")(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("alloc")).sum == 100L)
+    for (r <- rows) {
+      val (f, a) = (r.getAs[Long]("alloc_floor"), r.getAs[Long]("alloc"))
+      assert(a == f || a == f + 1, s"alloc $a not in {$f, ${f + 1}}")
+      assert(r.getAs[Long]("var_num") >= 0L) // n·Σx² ≥ (Σx)² (Cauchy-Schwarz)
+    }
+    // floor shares are monotone in the Neyman weight
+    val byW = rows.sortBy(_.getAs[Long]("w"))
+    val floors = byW.map(_.getAs[Long]("alloc_floor"))
+    assert(floors.zip(floors.tail).forall { case (a, b) => a <= b })
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
