@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.{dec, load}
 import graft.QueryDef
@@ -109,15 +109,33 @@ object ScaleOps {
     graft.ops.ZOrder.withZ(li, "l_partkey", "l_suppkey")
       .select(col("l_orderkey"), col("l_linenumber"), col("z"))
   }
+  // Morton "part1by1" spread, decimal renderings of the magic masks
+  // (shared by q74's key check and q163's zone-map audit)
+  private def spreadSql(e: String): String =
+    Seq((16, "281470681808895"), (8, "71777214294589695"),
+      (4, "1085102592571150095"), (2, "3689348814741910323"),
+      (1, "6148914691236517205"))
+      .foldLeft(s"($e & 65535)") { case (x, (sh, m)) =>
+        s"(($x | ($x << $sh)) & $m)"
+      }
+  /** Shared oracle CTE chain: per-row Morton key of (l_partkey,
+    * l_suppkey) as `zk(l_orderkey, l_linenumber, l_partkey, l_suppkey,
+    * z)`. */
+  private lazy val zkCteSql =
+    s"""b AS (
+      |  SELECT MIN(l_partkey) AS minx, MAX(l_partkey) AS maxx,
+      |         MIN(l_suppkey) AS miny, MAX(l_suppkey) AS maxy
+      |  FROM lineitem),
+      |bk AS (
+      |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |    (CAST(l_partkey - minx AS BIGINT) * 65536) // (CAST(maxx - minx AS BIGINT) + 1) AS bx,
+      |    (CAST(l_suppkey - miny AS BIGINT) * 65536) // (CAST(maxy - miny AS BIGINT) + 1) AS by
+      |  FROM lineitem CROSS JOIN b),
+      |zk AS (
+      |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |    (${spreadSql("bx")} | (${spreadSql("by")} << 1)) AS z
+      |  FROM bk)""".stripMargin
   private val q74Sql = {
-    // Morton "part1by1" spread, decimal renderings of the magic masks
-    def spreadSql(e: String): String =
-      Seq((16, "281470681808895"), (8, "71777214294589695"),
-        (4, "1085102592571150095"), (2, "3689348814741910323"),
-        (1, "6148914691236517205"))
-        .foldLeft(s"($e & 65535)") { case (x, (sh, m)) =>
-          s"(($x | ($x << $sh)) & $m)"
-        }
     s"""WITH b AS (
       |  SELECT MIN(l_partkey) AS minx, MAX(l_partkey) AS maxx,
       |         MIN(l_suppkey) AS miny, MAX(l_suppkey) AS maxy
@@ -564,7 +582,75 @@ object ScaleOps {
     QueryDef("q108_ref_integrity", q108, Some(q108Sql)),
     QueryDef("q109_histogram", q109, Some(q109Sql)),
     QueryDef("q158_skew_report", q158, Some(q158Sql)),
+    QueryDef("q163_zonemap_audit", q163, Some(q163Sql)),
   )
+
+  // q163 — ZONE-MAP effectiveness audit: q74 proves the Morton key is
+  // exact; this query proves the LAYOUT PAYS — measured, not asserted
+  // (the q146-sweep pattern applied to file skipping). Rows are tiled
+  // into 32 equal chunks under two layouts (natural ingest order vs
+  // z-order), each chunk keeps per-column min/max (a parquet footer's
+  // zone map), and the score is the expected number of chunks a
+  // uniform-random point predicate must read: Σ_chunks(width)/domain,
+  // in exact milli-chunks. Natural order leaves every chunk spanning
+  // ~the whole partkey domain (expected ≈ all 32 chunks); z-order cuts
+  // BOTH dimensions at once — the number that justifies paying the
+  // z-sort at ingest. In production the "chunk" is a file and min/max
+  // come from footer stats; the ntile model is the same math run as an
+  // audit (on a sample at 100 TB — the tiling window would otherwise
+  // serialize).
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+    val zed = graft.ops.ZOrder.withZ(li, "l_partkey", "l_suppkey")
+    def audit(df: DataFrame, layout: String, order: Seq[Column]) = {
+      val chunked = df.withColumn("chunk",
+        ntile(32).over(Window.orderBy(order: _*)))
+      chunked.groupBy(col("chunk"))
+        .agg(min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+          min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("max_pk") - col("min_pk") + 1).cast("long").as("sum_width_part"),
+          sum(col("max_sk") - col("min_sk") + 1).cast("long").as("sum_width_supp"))
+        .crossJoin(broadcast(df.agg(
+          (max(col("l_partkey")) - min(col("l_partkey")) + 1).cast("long").as("dom_pk"),
+          (max(col("l_suppkey")) - min(col("l_suppkey")) + 1).cast("long").as("dom_sk"))))
+        .select(lit(layout).as("layout"), col("n_chunks"),
+          col("sum_width_part"), col("sum_width_supp"),
+          expr("sum_width_part * 1000 div dom_pk").as("exp_chunks_part_milli"),
+          expr("sum_width_supp * 1000 div dom_sk").as("exp_chunks_supp_milli"))
+    }
+    audit(li, "natural", Seq(col("l_orderkey"), col("l_linenumber")))
+      .unionByName(audit(zed, "zorder",
+        Seq(col("z"), col("l_orderkey"), col("l_linenumber"))))
+      .orderBy(col("layout"))
+  }
+  private lazy val q163Sql = {
+    def audit(layout: String, src: String, order: String) =
+      s"""SELECT '$layout' AS layout, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(SUM(max_pk - min_pk + 1) AS BIGINT) AS sum_width_part,
+         |  CAST(SUM(max_sk - min_sk + 1) AS BIGINT) AS sum_width_supp,
+         |  CAST(SUM(max_pk - min_pk + 1) AS BIGINT) * 1000
+         |    // (SELECT CAST(MAX(l_partkey) - MIN(l_partkey) + 1 AS BIGINT) FROM lineitem)
+         |    AS exp_chunks_part_milli,
+         |  CAST(SUM(max_sk - min_sk + 1) AS BIGINT) * 1000
+         |    // (SELECT CAST(MAX(l_suppkey) - MIN(l_suppkey) + 1 AS BIGINT) FROM lineitem)
+         |    AS exp_chunks_supp_milli
+         |FROM (
+         |  SELECT chunk, MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+         |    MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk
+         |  FROM (SELECT l_partkey, l_suppkey,
+         |          NTILE(32) OVER (ORDER BY $order) AS chunk
+         |        FROM $src) t
+         |  GROUP BY chunk) c""".stripMargin
+    s"""WITH $zkCteSql
+      |${audit("natural", "lineitem", "l_orderkey, l_linenumber")}
+      |UNION ALL
+      |${audit("zorder", "zk", "z, l_orderkey, l_linenumber")}
+      |ORDER BY layout""".stripMargin
+  }
 
   // q158 — join-key SKEW REPORT: the diagnostic that decides whether a
   // key needs the q63/q88 salting treatment BEFORE the job melts down

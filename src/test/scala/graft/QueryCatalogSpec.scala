@@ -775,6 +775,23 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(floors.zip(floors.tail).forall { case (a, b) => a <= b })
   }
 
+  test("q163 zone maps: z-order beats natural layout on BOTH dimensions, measured") {
+    val rows = SparkEntry.queries("q163_zonemap_audit")(spark, dir).collect()
+      .map(r => r.getAs[String]("layout") -> r).toMap
+    assert(rows.keySet == Set("natural", "zorder"))
+    val (nat, z) = (rows("natural"), rows("zorder"))
+    assert(nat.getAs[Long]("n_chunks") == 32L && z.getAs[Long]("n_chunks") == 32L)
+    // natural ingest order gives no skipping: a random point key is
+    // expected to hit (nearly) every chunk
+    assert(nat.getAs[Long]("exp_chunks_part_milli") >= 30000L)
+    // z-order must strictly reduce the expected read on BOTH columns —
+    // the multi-dimensional win single-column sorting cannot give
+    assert(z.getAs[Long]("exp_chunks_part_milli") <
+      nat.getAs[Long]("exp_chunks_part_milli"))
+    assert(z.getAs[Long]("exp_chunks_supp_milli") <
+      nat.getAs[Long]("exp_chunks_supp_milli"))
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
