@@ -355,7 +355,58 @@ object EventsOps {
     QueryDef("q145_user_lifecycle", q145, Some(q145Sql)),
     QueryDef("q148_ewma_daily", q148, Some(q148Sql)),
     QueryDef("q154_multitouch_attribution", q154, Some(q154Sql)),
+    QueryDef("q164_ab_readout", q164, Some(q164Sql)),
   )
+
+  // q164 — A/B experiment READOUT with an exact significance decision:
+  // users split into variants by id parity (the deterministic hash
+  // assignment of q65, degenerate form), conversion = "≥ 14 events of
+  // the type", and each type's 2×2 table gets Pearson's chi² — decided
+  // WITHOUT A SINGLE FLOAT: chi² = N(ad−bc)²/D ≥ 3.841 is evaluated by
+  // cross-multiplication (1000·N·(ad−bc)² ≥ 3841·D), so the
+  // significance bit is bitwise-reproducible, never a libm artifact.
+  // (Magnitudes stay in BIGINT through sf0.1; at larger N promote the
+  // two products to DECIMAL(38,0) — the comparison stays exact.)
+  // Shape at 100 TB: one (user, type) partial-agg shuffle, then a
+  // |types|-row frame; the readout is free next to the count pass.
+  private def q164(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), (col("user_id") % 2 === 0).as("va"),
+        (col("n") >= 14).as("conv"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("va") && col("conv"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("va") && !col("conv"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("va") && col("conv"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("va") && !col("conv"), 1L).otherwise(0L)).as("d"))
+      .withColumn("n_users", expr("a + b + c + d"))
+      .withColumn("chi2_num", expr("n_users * (a * d - b * c) * (a * d - b * c)"))
+      .withColumn("chi2_den", expr("(a + b) * (c + d) * (a + c) * (b + d)"))
+      .withColumn("significant",
+        expr("chi2_den > 0 AND 1000 * chi2_num >= 3841 * chi2_den"))
+  private val q164Sql =
+    """WITH uc AS (
+      |  SELECT user_id, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |fl AS (
+      |  SELECT event_type, user_id % 2 = 0 AS va, n >= 14 AS conv FROM uc),
+      |tab AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN va AND conv THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(SUM(CASE WHEN va AND NOT conv THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |    CAST(SUM(CASE WHEN NOT va AND conv THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |    CAST(SUM(CASE WHEN NOT va AND NOT conv THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |  FROM fl GROUP BY 1)
+      |SELECT event_type, a, b, c, d,
+      |  a + b + c + d AS n_users,
+      |  (a + b + c + d) * (a * d - b * c) * (a * d - b * c) AS chi2_num,
+      |  (a + b) * (c + d) * (a + c) * (b + d) AS chi2_den,
+      |  (a + b) * (c + d) * (a + c) * (b + d) > 0 AND
+      |    1000 * (a + b + c + d) * (a * d - b * c) * (a * d - b * c) >=
+      |    3841 * (a + b) * (c + d) * (a + c) * (b + d) AS significant
+      |FROM tab""".stripMargin
 
   // q154 — MULTI-TOUCH attribution: the multi-match sibling of the
   // as-of join (q27 credits only the last click; linear attribution

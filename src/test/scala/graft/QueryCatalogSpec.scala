@@ -792,6 +792,22 @@ class QueryCatalogSpec extends AnyFunSuite {
       nat.getAs[Long]("exp_chunks_supp_milli"))
   }
 
+  test("q164 A/B readout: tables reconcile and the integer decision matches chi²") {
+    val rows = SparkEntry.queries("q164_ab_readout")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (a, b, c, d) = (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("c"), r.getAs[Long]("d"))
+      assert(a + b + c + d == r.getAs[Long]("n_users"))
+      assert(r.getAs[Long]("chi2_num") >= 0L && r.getAs[Long]("chi2_den") >= 0L)
+      // the no-float decision agrees with the float chi² it encodes
+      val den = r.getAs[Long]("chi2_den")
+      val expected = den > 0 &&
+        r.getAs[Long]("chi2_num").toDouble / den >= 3.841
+      assert(r.getAs[Boolean]("significant") == expected)
+    }
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
