@@ -583,7 +583,88 @@ object ScaleOps {
     QueryDef("q109_histogram", q109, Some(q109Sql)),
     QueryDef("q158_skew_report", q158, Some(q158Sql)),
     QueryDef("q163_zonemap_audit", q163, Some(q163Sql)),
+    QueryDef("q165_encoding_advisor", q165, Some(q165Sql)),
   )
+
+  // q165 — column ENCODING ADVISOR: the storage-layout sibling of
+  // q163's zone-map audit. Per column: distinct count (dictionary
+  // potential) and run count in the physical (l_orderkey, l_linenumber)
+  // order (RLE potential — runs are what the writer actually encodes),
+  // then the recommendation parquet's writer heuristics would make:
+  // RLE when avg run ≥ 2, DICT when ≤1% distinct, else PLAIN. Values
+  // are canonicalized to strings through integer/date casts only (a
+  // raw double→string would hit engine formatting differences). Run
+  // detection needs the neighbor in storage order: per-column lag
+  // windows here; at 100 TB runs are counted per row-group inside each
+  // file task (mapPartitions shape) and summed — the number is the
+  // same, the window never spans files.
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = load(s, dir, "lineitem")
+    val cols = Seq(
+      "l_returnflag" -> col("l_returnflag"),
+      "l_linestatus" -> col("l_linestatus"),
+      "l_quantity" -> col("l_quantity").cast("long").cast("string"),
+      "l_shipdate" -> col("l_shipdate").cast("date").cast("string"),
+      "l_suppkey" -> col("l_suppkey").cast("string"))
+    val long = li.select(col("l_orderkey"), col("l_linenumber"),
+        array(cols.map { case (n, c) =>
+          struct(lit(n).as("col_name"), c.as("val"))
+        }: _*).as("a"))
+      .select(col("l_orderkey"), col("l_linenumber"), explode(col("a")).as("s"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("s.col_name").as("col_name"), col("s.val").as("val"))
+    // (l_orderkey, l_linenumber) is NOT unique in this data; appending
+    // val makes the run count well-defined — rows still tied on the
+    // full key have EQUAL values, so their internal order can't change
+    // the break pattern
+    val w = Window.partitionBy(col("col_name"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("val"))
+    long
+      .withColumn("brk",
+        when(lag(col("val"), 1).over(w).isNull ||
+          lag(col("val"), 1).over(w) =!= col("val"), 1L).otherwise(0L))
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("val")).as("n_distinct"),
+        sum(col("brk")).as("n_runs"))
+      .withColumn("avg_run_milli", expr("n_rows * 1000 div n_runs"))
+      .withColumn("encoding",
+        when(col("avg_run_milli") >= 2000, "rle")
+          .when(col("n_distinct") * 100 <= col("n_rows"), "dict")
+          .otherwise("plain"))
+      .orderBy(col("col_name"))
+  }
+  private val q165Sql = {
+    def one(name: String, e: String) =
+      s"SELECT l_orderkey, l_linenumber, '$name' AS col_name, $e AS val FROM lineitem"
+    val stacked = Seq(
+      one("l_returnflag", "l_returnflag"),
+      one("l_linestatus", "l_linestatus"),
+      one("l_quantity", "CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)"),
+      one("l_shipdate", "CAST(CAST(l_shipdate AS DATE) AS VARCHAR)"),
+      one("l_suppkey", "CAST(l_suppkey AS VARCHAR)"))
+      .mkString("\nUNION ALL\n")
+    s"""WITH longf AS (
+      |$stacked),
+      |runs AS (
+      |  SELECT col_name, val,
+      |    CASE WHEN LAG(val) OVER (PARTITION BY col_name
+      |        ORDER BY l_orderkey, l_linenumber, val) IS DISTINCT FROM val
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM longf),
+      |ag AS (
+      |  SELECT col_name, COUNT(*) AS n_rows,
+      |    CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct,
+      |    CAST(SUM(brk) AS BIGINT) AS n_runs
+      |  FROM runs GROUP BY 1)
+      |SELECT col_name, n_rows, n_distinct, n_runs,
+      |  n_rows * 1000 // n_runs AS avg_run_milli,
+      |  CASE WHEN n_rows * 1000 // n_runs >= 2000 THEN 'rle'
+      |       WHEN n_distinct * 100 <= n_rows THEN 'dict'
+      |       ELSE 'plain' END AS encoding
+      |FROM ag ORDER BY col_name""".stripMargin
+  }
 
   // q163 — ZONE-MAP effectiveness audit: q74 proves the Morton key is
   // exact; this query proves the LAYOUT PAYS — measured, not asserted

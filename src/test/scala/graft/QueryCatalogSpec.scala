@@ -808,6 +808,21 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q165 encoding advisor: runs bounded by rows and distincts, rules consistent") {
+    val rows = SparkEntry.queries("q165_encoding_advisor")(spark, dir).collect()
+    assert(rows.length == 5)
+    for (r <- rows) {
+      val (n, d, runs) = (r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_distinct"), r.getAs[Long]("n_runs"))
+      assert(d <= runs && runs <= n, s"$d ≤ $runs ≤ $n violated")
+      val avg = r.getAs[Long]("avg_run_milli")
+      assert(avg == n * 1000 / runs)
+      val want = if (avg >= 2000) "rle"
+        else if (d * 100 <= n) "dict" else "plain"
+      assert(r.getAs[String]("encoding") == want)
+    }
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
