@@ -356,7 +356,103 @@ object EventsOps {
     QueryDef("q148_ewma_daily", q148, Some(q148Sql)),
     QueryDef("q154_multitouch_attribution", q154, Some(q154Sql)),
     QueryDef("q164_ab_readout", q164, Some(q164Sql)),
+    QueryDef("q166_seasonal_residuals", q166, Some(q166Sql)),
+    QueryDef("q167_cohort_ltv", q167, Some(q167Sql)),
   )
+
+  // q166 — SEASONAL-NAIVE anomaly residuals: q106 flags spikes against
+  // a trailing window; traffic with a daily cycle needs the seasonal
+  // baseline instead — each (type, hour-of-day, date) count compares to
+  // the SAME hour one day earlier (the seasonal-naive forecast), and
+  // the residual ratio in exact permille flags hours that broke their
+  // own daily pattern. Residual = cnt·1000 div prev_day_cnt; flagged
+  // outside [500, 2000]. One (type, hour-slot) keyed lag window over
+  // the hourly rollup — the event stream collapses first, the window
+  // runs on ~24·days·types rows.
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    val hourly = events(s, dir)
+      .groupBy(col("event_type"),
+        col("ts").cast("date").as("day"),
+        hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type"), col("hod")).orderBy(col("day"))
+    hourly
+      .withColumn("prev_cnt", lag(col("cnt"), 1).over(w))
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      // only a TRUE day-over-day neighbor is a seasonal baseline — a
+      // gap (missing hour yesterday) is itself an anomaly signal
+      .filter(col("prev_cnt").isNotNull &&
+        datediff(col("day"), col("prev_day")) === 1)
+      .withColumn("residual_permille", expr("cnt * 1000 div prev_cnt"))
+      .withColumn("anomalous",
+        col("residual_permille") < 500 || col("residual_permille") > 2000)
+      .select(col("event_type"), col("day"), col("hod"), col("cnt"),
+        col("prev_cnt"), col("residual_permille"), col("anomalous"))
+  }
+  private val q166Sql =
+    """WITH hourly AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hod, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2, 3),
+      |lg AS (
+      |  SELECT *,
+      |    LAG(cnt) OVER (PARTITION BY event_type, hod ORDER BY day) AS prev_cnt,
+      |    LAG(day) OVER (PARTITION BY event_type, hod ORDER BY day) AS prev_day
+      |  FROM hourly)
+      |SELECT event_type, day, hod, cnt, prev_cnt,
+      |  cnt * 1000 // prev_cnt AS residual_permille,
+      |  (cnt * 1000 // prev_cnt < 500 OR cnt * 1000 // prev_cnt > 2000)
+      |    AS anomalous
+      |FROM lg
+      |WHERE prev_cnt IS NOT NULL AND DATEDIFF('day', prev_day, day) = 1""".stripMargin
+
+  // q167 — cohort LTV curve: q139 tracks WHO comes back; this tracks
+  // WHAT THEY SPEND — revenue by first-purchase cohort week × week
+  // offset, plus the running cumulative per cohort (the curve LTV
+  // projections are fit to). Money stays in DECIMAL(18,6) end to end
+  // (the q1/q49 bridge), emitted as exact integer micro-units; the
+  // cumulative window runs over the cohort×offset matrix, never the
+  // event stream. Shape: one user-keyed min (cohort assignment,
+  // partial-agg), one (cohort, week) rollup, a tiny ordered window.
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    val p = events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("CAST(date_trunc('week', ts) AS DATE)").as("wk"),
+        dec(col("value")).as("v"))
+    val cohort = p.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    p.join(cohort, "user_id")
+      .withColumn("offset_w",
+        expr("CAST(datediff(wk, cohort_wk) div 7 AS BIGINT)"))
+      .groupBy(col("cohort_wk"), col("offset_w"))
+      .agg(countDistinct(col("user_id")).as("n_buyers"),
+        sum(col("v")).as("rev"))
+      .withColumn("revenue_micro",
+        (col("rev") * 1000000).cast("long"))
+      .withColumn("cum_revenue_micro",
+        sum(col("revenue_micro")).over(
+          Window.partitionBy(col("cohort_wk")).orderBy(col("offset_w"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("cohort_wk"), col("offset_w"), col("n_buyers"),
+        col("revenue_micro"), col("cum_revenue_micro"))
+  }
+  private val q167Sql =
+    """WITH p AS (
+      |  SELECT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS wk,
+      |    CAST(value AS DECIMAL(18,6)) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM p GROUP BY 1),
+      |ag AS (
+      |  SELECT c.cohort_wk,
+      |    CAST(DATEDIFF('day', c.cohort_wk, p.wk) // 7 AS BIGINT) AS offset_w,
+      |    COUNT(DISTINCT p.user_id) AS n_buyers,
+      |    CAST(SUM(p.v) * 1000000 AS BIGINT) AS revenue_micro
+      |  FROM p JOIN c USING (user_id)
+      |  GROUP BY 1, 2)
+      |SELECT cohort_wk, offset_w, n_buyers, revenue_micro,
+      |  CAST(SUM(revenue_micro) OVER (PARTITION BY cohort_wk ORDER BY offset_w
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_revenue_micro
+      |FROM ag""".stripMargin
 
   // q164 — A/B experiment READOUT with an exact significance decision:
   // users split into variants by id parity (the deterministic hash

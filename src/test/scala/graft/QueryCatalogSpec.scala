@@ -823,6 +823,36 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q166 seasonal residuals: ratio arithmetic exact, flags match band") {
+    val rows = SparkEntry.queries("q166_seasonal_residuals")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (c, p) = (r.getAs[Long]("cnt"), r.getAs[Long]("prev_cnt"))
+      val res = r.getAs[Long]("residual_permille")
+      assert(p > 0 && res == c * 1000 / p)
+      assert(r.getAs[Boolean]("anomalous") == (res < 500 || res > 2000))
+    }
+  }
+
+  test("q167 cohort LTV: cumulative reconciles per cohort and totals match raw revenue") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q167_cohort_ltv")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for ((_, rs) <- rows.groupBy(_.getAs[java.sql.Date]("cohort_wk"))) {
+      val sorted = rs.sortBy(_.getAs[Long]("offset_w"))
+      assert(sorted.head.getAs[Long]("offset_w") == 0L) // cohort starts at its own week
+      val cums = sorted.scanLeft(0L)(_ + _.getAs[Long]("revenue_micro")).drop(1)
+      assert(sorted.map(_.getAs[Long]("cum_revenue_micro")).toSeq == cums.toSeq)
+    }
+    // micro-unit totals equal the exact DECIMAL sum of purchase values
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .agg(sum(col("value").cast("decimal(18,6)")).as("s"))
+      .collect()(0).getDecimal(0)
+    val total = rows.map(_.getAs[Long]("revenue_micro")).sum
+    assert(total == e.movePointRight(6).longValueExact)
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
