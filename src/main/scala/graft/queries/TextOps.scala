@@ -2162,6 +2162,79 @@ object TextOps {
       |  alloc_floor + CASE WHEN rk <= d.deficit THEN 1 ELSE 0 END AS alloc
       |FROM r CROSS JOIN d""".stripMargin
 
+  // q168 — SimHash CALIBRATION curve: q146 measured banding configs for
+  // MinHash; this measures what a SimHash hamming THRESHOLD means in
+  // ground-truth Jaccard — for every banded candidate pair (q61's
+  // generation), exact 3-shingle Jaccard in permille, aggregated per
+  // hamming distance. The monotone curve is how an operator picks the
+  // hamming cutoff for a target similarity floor — measured on the
+  // corpus, not assumed from the cos-angle formula. Cost is bounded by
+  // the CANDIDATE set (never all pairs); the exact-Jaccard side joins
+  // per-pair common-shingle counts only for those candidates.
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    val banded = simhashed(s, dir)
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array((0 to 3).map(i =>
+          shiftright(col("simhash"), i * 15).bitwiseAND(lit(32767L))): _*))
+          .as(Seq("band_idx", "band_val")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(first(expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)"))
+        .as("hamming"))
+    val shs = docs(s, dir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), expr("array_distinct(shingles(w, 3))").as("sh"))
+    cand
+      .join(shs.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(shs.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .withColumn("common", expr("CAST(size(array_intersect(sa, sb)) AS BIGINT)"))
+      .withColumn("jac_permille",
+        expr("common * 1000 div (size(sa) + size(sb) - common)"))
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("CAST(sum(jac_permille) AS BIGINT) div count(1)")
+          .as("avg_jac_permille"),
+        min(col("jac_permille")).as("min_jac"),
+        max(col("jac_permille")).as("max_jac"))
+      .orderBy(col("hamming"))
+  }
+  private lazy val q168Sql =
+    s"""WITH $simhashSql,
+      |banded AS (
+      |  SELECT doc_id, simhash, i AS band_idx,
+      |    (simhash >> CAST(i * 15 AS INT)) & 32767 AS band_val
+      |  FROM sigs CROSS JOIN GENERATE_SERIES(0, 3) g(i)),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(BIT_COUNT(XOR(MIN(a.simhash), MIN(b.simhash))) AS BIGINT)
+      |      AS hamming
+      |  FROM banded a JOIN banded b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |    AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |shd AS (
+      |  SELECT doc_id,
+      |    LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 2),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents) t
+      |  WHERE LEN(w) >= 3),
+      |jc AS (
+      |  SELECT c.hamming,
+      |    CAST(LEN(LIST_INTERSECT(x.sh, y.sh)) AS BIGINT) * 1000
+      |      // (LEN(x.sh) + LEN(y.sh) - LEN(LIST_INTERSECT(x.sh, y.sh)))
+      |      AS jac_permille
+      |  FROM cand c JOIN shd x ON c.doc_a = x.doc_id
+      |              JOIN shd y ON c.doc_b = y.doc_id)
+      |SELECT hamming, COUNT(*) AS n_pairs,
+      |  CAST(SUM(jac_permille) AS BIGINT) // COUNT(*) AS avg_jac_permille,
+      |  CAST(MIN(jac_permille) AS BIGINT) AS min_jac,
+      |  CAST(MAX(jac_permille) AS BIGINT) AS max_jac
+      |FROM jc GROUP BY hamming ORDER BY hamming""".stripMargin
+
   // Stopword lists per language for the n-gram/stopword language-ID
   // heuristic. (The synthetic corpus is English-ish regardless of its
   // `lang` label — the operator, not the accuracy, is under test.)
@@ -3348,5 +3421,6 @@ object TextOps {
     QueryDef("q157_tokenizer_fertility", q157, Some(q157Sql)),
     QueryDef("q161_dedup_keeper", q161, Some(q161Sql)),
     QueryDef("q162_neyman_allocation", q162, Some(q162Sql)),
+    QueryDef("q168_simhash_calibration", q168, Some(q168Sql)),
   )
 }

@@ -853,6 +853,25 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(total == e.movePointRight(6).longValueExact)
   }
 
+  test("q168 SimHash calibration: low hamming means near-identical Jaccard, high means noise") {
+    val rows = SparkEntry.queries("q168_simhash_calibration")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (lo, avg, hi) = (r.getAs[Long]("min_jac"),
+        r.getAs[Long]("avg_jac_permille"), r.getAs[Long]("max_jac"))
+      assert(lo <= avg && avg <= hi && hi <= 1000L)
+    }
+    // the tightest band must be near-duplicate territory (hamming ≤ 2;
+    // at hamming 3 the tiny sf0.001 corpus already mixes in a
+    // coincidental band collision); far hamming must average to noise
+    val near = rows.filter(_.getAs[Long]("hamming") <= 2)
+    if (near.nonEmpty)
+      assert(near.forall(_.getAs[Long]("avg_jac_permille") >= 900L))
+    val far = rows.filter(_.getAs[Long]("hamming") >= 10)
+    if (far.nonEmpty)
+      assert(far.forall(_.getAs[Long]("avg_jac_permille") <= 100L))
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
