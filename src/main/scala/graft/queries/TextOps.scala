@@ -2235,6 +2235,84 @@ object TextOps {
       |  CAST(MAX(jac_permille) AS BIGINT) AS max_jac
       |FROM jc GROUP BY hamming ORDER BY hamming""".stripMargin
 
+  // q169 — corpus TEMPLATE-SAFETY lint: before q151 renders documents
+  // into chat templates, scan for content that would corrupt the
+  // template or the loss mask — literal template markup ('<|'),
+  // double-brace placeholders ('{{'), sentinel-pattern collisions
+  // ('extra_id'), and non-ASCII bytes (octet length ≠ char length — an
+  // engine-portable check that needs no regex class). Per source:
+  // counts + a clean rate in permille — the data-safety receipt a
+  // rendering pipeline gates on. Entirely narrow + one tiny rollup.
+  private def q169(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"),
+        (instr(col("text"), "<|") > 0).as("markup"),
+        (instr(col("text"), "{{") > 0).as("braces"),
+        (instr(col("text"), "extra_id") > 0).as("sentinel"),
+        (octet_length(col("text")) =!= length(col("text"))).as("nonascii"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("markup"), 1L).otherwise(0L)).as("n_markup"),
+        sum(when(col("braces"), 1L).otherwise(0L)).as("n_braces"),
+        sum(when(col("sentinel"), 1L).otherwise(0L)).as("n_sentinel"),
+        sum(when(col("nonascii"), 1L).otherwise(0L)).as("n_nonascii"))
+      .withColumn("clean_permille", expr(
+        "(n_docs - n_markup - n_braces - n_sentinel - n_nonascii) * 1000" +
+          " div n_docs"))
+  private val q169Sql =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN POSITION('<|' IN text) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_markup,
+      |  CAST(SUM(CASE WHEN POSITION('{{' IN text) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_braces,
+      |  CAST(SUM(CASE WHEN POSITION('extra_id' IN text) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_sentinel,
+      |  CAST(SUM(CASE WHEN STRLEN(text) <> LENGTH(text) THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_nonascii,
+      |  (COUNT(*)
+      |    - CAST(SUM(CASE WHEN POSITION('<|' IN text) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    - CAST(SUM(CASE WHEN POSITION('{{' IN text) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    - CAST(SUM(CASE WHEN POSITION('extra_id' IN text) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    - CAST(SUM(CASE WHEN STRLEN(text) <> LENGTH(text) THEN 1 ELSE 0 END) AS BIGINT))
+      |    * 1000 // COUNT(*) AS clean_permille
+      |FROM documents GROUP BY source""".stripMargin
+
+  // q170 — PACKING EFFICIENCY audit: q82 assigns docs to packs; this
+  // measures what the budget choice costs — per shard: packs, docs,
+  // token utilization of the 2048 budget in permille (min/avg/max),
+  // and how many packs OVERFLOW (greedy boundary-spanning docs spill
+  // past the budget — the count a loader either truncates or pads,
+  // so it is the number to tune budget against). Pure rollup over
+  // q82's pinned (shard, pack) assignment; adds no new shuffle shape.
+  private def q170(s: SparkSession, dir: String): DataFrame =
+    q82(s, dir)
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("used"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_packs"),
+        sum(col("n_docs")).as("n_docs"),
+        min(expr("used * 1000 div 2048")).as("min_util_permille"),
+        expr("CAST(sum(used) AS BIGINT) * 1000 div (count(1) * 2048)")
+          .as("avg_util_permille"),
+        max(expr("used * 1000 div 2048")).as("max_util_permille"),
+        sum(when(col("used") > 2048L, 1L).otherwise(0L)).as("n_overfull"))
+      .orderBy(col("shard"))
+  private lazy val q170Sql =
+    s"""WITH packs AS ($q82Sql),
+      |pp AS (
+      |  SELECT shard, pack_id, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS used
+      |  FROM packs GROUP BY 1, 2)
+      |SELECT shard, COUNT(*) AS n_packs,
+      |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(MIN(used * 1000 // 2048) AS BIGINT) AS min_util_permille,
+      |  CAST(SUM(used) AS BIGINT) * 1000 // (COUNT(*) * 2048)
+      |    AS avg_util_permille,
+      |  CAST(MAX(used * 1000 // 2048) AS BIGINT) AS max_util_permille,
+      |  CAST(SUM(CASE WHEN used > 2048 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_overfull
+      |FROM pp GROUP BY shard ORDER BY shard""".stripMargin
+
   // Stopword lists per language for the n-gram/stopword language-ID
   // heuristic. (The synthetic corpus is English-ish regardless of its
   // `lang` label — the operator, not the accuracy, is under test.)
@@ -3422,5 +3500,7 @@ object TextOps {
     QueryDef("q161_dedup_keeper", q161, Some(q161Sql)),
     QueryDef("q162_neyman_allocation", q162, Some(q162Sql)),
     QueryDef("q168_simhash_calibration", q168, Some(q168Sql)),
+    QueryDef("q169_template_lint", q169, Some(q169Sql)),
+    QueryDef("q170_packing_efficiency", q170, Some(q170Sql)),
   )
 }

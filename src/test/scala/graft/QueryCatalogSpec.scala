@@ -872,6 +872,34 @@ class QueryCatalogSpec extends AnyFunSuite {
       assert(far.forall(_.getAs[Long]("avg_jac_permille") <= 100L))
   }
 
+  test("q169 template lint: clean rate reconciles with the four flag counts") {
+    val rows = SparkEntry.queries("q169_template_lint")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val n = r.getAs[Long]("n_docs")
+      val dirty = r.getAs[Long]("n_markup") + r.getAs[Long]("n_braces") +
+        r.getAs[Long]("n_sentinel") + r.getAs[Long]("n_nonascii")
+      assert(dirty >= 0 && dirty <= n)
+      assert(r.getAs[Long]("clean_permille") == (n - dirty) * 1000 / n)
+    }
+  }
+
+  test("q170 packing efficiency: docs conserve, utilization ordered, overfull consistent") {
+    val rows = SparkEntry.queries("q170_packing_efficiency")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs)
+    for (r <- rows) {
+      val (lo, avg, hi) = (r.getAs[Long]("min_util_permille"),
+        r.getAs[Long]("avg_util_permille"), r.getAs[Long]("max_util_permille"))
+      assert(lo <= avg && avg <= hi)
+      // every pack except possibly each shard's LAST one starts below
+      // budget and spills at most one doc past it; overfull count is
+      // bounded by pack count
+      assert(r.getAs[Long]("n_overfull") <= r.getAs[Long]("n_packs"))
+    }
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
