@@ -2313,6 +2313,133 @@ object TextOps {
       |    AS n_overfull
       |FROM pp GROUP BY shard ORDER BY shard""".stripMargin
 
+  // q171 — the TRAINING-SET FUNNEL: the capstone composition a corpus
+  // owner materializes — every curation stage in execution order with
+  // survivor receipts: (0) ingest, (1) quality gate (length band +
+  // TTR ≥ 0.4), (2) exact dedup (min-id per md5), (3) near-dup keeper
+  // (q161's quality-argmax per q67 cluster, applied among survivors),
+  // (4) decontamination (q156's ratio ≥ 500 ⇒ drop, vs the full-corpus
+  // eval side), then (5) leakage-safe split sizes under q147's
+  // cluster-atomic policy. The per-stage numbers are the funnel chart
+  // every data card publishes; each stage's operator is independently
+  // gate-checked by its own query — this one proves the COMPOSITION.
+  // Shape at 100 TB: union of the component shapes (one md5 window,
+  // the membership CC, one broadcast eval join); stages are narrow
+  // filters between them.
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    val ttrE = expr(
+      "(CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000)" +
+        " div CAST(size(split(text, ' ')) AS BIGINT)")
+    val base = docs(s, dir).select(col("doc_id"), col("text"), col("n_chars"))
+      .withColumn("ttr", ttrE)
+    val s1 = base.filter(col("n_chars").between(150, 20000) && col("ttr") >= 400)
+    val s2 = s1.withColumn("mk",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("mk")).drop("mk")
+    val cl = s2.join(q67(s, dir).select(col("doc_id"), col("cluster_id")), "doc_id")
+    val keep3 = cl.withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("ttr").desc, col("n_chars").desc, col("doc_id").asc)))
+      .filter(col("rn") === 1).drop("rn")
+    val sh = docs(s, dir)
+      .select(col("doc_id"), (h60(col("text")) % 100).as("bucket"),
+        words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("bucket"),
+        explode(expr("array_distinct(shingles(w, 3))")).as("shingle"))
+    val te = sh.filter(col("bucket") >= 90)
+      .select(col("shingle")).distinct().withColumn("hit", lit(1L))
+    val ratios = sh.join(keep3.select(col("doc_id")), "doc_id")
+      .join(broadcast(te), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(expr("sum(coalesce(hit, 0L)) * 1000 div count(1)").as("ratio"))
+    val s4 = keep3.join(ratios, Seq("doc_id"), "left")
+      .filter(coalesce(col("ratio"), lit(0L)) < 500)
+    val repSplit = docs(s, dir)
+      .select(col("doc_id").as("cluster_id"), (h60(col("text")) % 100).as("b"))
+      .select(col("cluster_id"),
+        when(col("b") < 80, "train").when(col("b") < 90, "val")
+          .otherwise("test").as("group_split"))
+    val split = s4.join(repSplit, "cluster_id")
+    def cnt(df: DataFrame, stage: String) =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(stage).as("stage"), col("n_docs"))
+    cnt(base, "0_ingest")
+      .unionByName(cnt(s1, "1_quality"))
+      .unionByName(cnt(s2, "2_exact"))
+      .unionByName(cnt(keep3, "3_neardup"))
+      .unionByName(cnt(s4, "4_decontam"))
+      .unionByName(split
+        .groupBy(concat(lit("5_"), col("group_split")).as("stage"))
+        .agg(count(lit(1)).as("n_docs")))
+      .orderBy(col("stage"))
+  }
+  private lazy val q171Sql =
+    s"""WITH RECURSIVE $simhashSql,
+      |banded AS (
+      |  SELECT doc_id, i AS band_idx, (simhash >> CAST(i * 15 AS INT)) & 32767 AS band_val
+      |  FROM sigs CROSS JOIN GENERATE_SERIES(0, 3) g(i)),
+      |edges AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM banded a JOIN banded b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |    AND a.doc_id < b.doc_id),
+      |und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+      |lbl(id, label) AS (
+      |  SELECT doc_id, doc_id FROM sigs
+      |  UNION
+      |  SELECT u.dst, l.label FROM lbl l JOIN und u ON u.src = l.id),
+      |comp AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM lbl GROUP BY id),
+      |q AS (
+      |  SELECT doc_id, text, n_chars,
+      |    (CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT) * 1000)
+      |      // CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS ttr
+      |  FROM documents),
+      |s1 AS (SELECT * FROM q
+      |       WHERE n_chars BETWEEN 150 AND 20000 AND ttr >= 400),
+      |s2 AS (SELECT doc_id, text, n_chars, ttr FROM (
+      |         SELECT s1.*, MIN(doc_id) OVER (PARTITION BY MD5(text)) AS mk
+      |         FROM s1) x
+      |       WHERE doc_id = mk),
+      |cl AS (SELECT s2.*, c.cluster_id FROM s2 JOIN comp c USING (doc_id)),
+      |keep3 AS (SELECT doc_id, text, n_chars, ttr, cluster_id FROM (
+      |            SELECT cl.*, ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |              ORDER BY ttr DESC, n_chars DESC, doc_id ASC) AS rn
+      |            FROM cl) x
+      |          WHERE rn = 1),
+      |shx AS (
+      |  SELECT doc_id, ${h60Sql("text")} % 100 AS bucket,
+      |    UNNEST(LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 2),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+      |  FROM (SELECT doc_id, text, STRING_SPLIT(text, ' ') AS w FROM documents) t
+      |  WHERE LEN(w) >= 3),
+      |te AS (SELECT DISTINCT shingle FROM shx WHERE bucket >= 90),
+      |ratios AS (
+      |  SELECT s.doc_id,
+      |    CAST(SUM(CASE WHEN te.shingle IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+      |      * 1000 // COUNT(*) AS ratio
+      |  FROM shx s JOIN keep3 k ON s.doc_id = k.doc_id
+      |  LEFT JOIN te ON s.shingle = te.shingle
+      |  GROUP BY 1),
+      |s4 AS (
+      |  SELECT k.* FROM keep3 k LEFT JOIN ratios r USING (doc_id)
+      |  WHERE COALESCE(r.ratio, 0) < 500),
+      |reps AS (
+      |  SELECT doc_id AS cluster_id,
+      |    CASE WHEN ${h60Sql("text")} % 100 < 80 THEN 'train'
+      |         WHEN ${h60Sql("text")} % 100 < 90 THEN 'val'
+      |         ELSE 'test' END AS group_split
+      |  FROM documents),
+      |sp AS (SELECT s4.doc_id, r.group_split
+      |       FROM s4 JOIN reps r USING (cluster_id))
+      |SELECT '0_ingest' AS stage, COUNT(*) AS n_docs FROM q
+      |UNION ALL SELECT '1_quality', COUNT(*) FROM s1
+      |UNION ALL SELECT '2_exact', COUNT(*) FROM s2
+      |UNION ALL SELECT '3_neardup', COUNT(*) FROM keep3
+      |UNION ALL SELECT '4_decontam', COUNT(*) FROM s4
+      |UNION ALL SELECT '5_' || group_split, COUNT(*) FROM sp GROUP BY 1
+      |ORDER BY stage""".stripMargin
+
   // Stopword lists per language for the n-gram/stopword language-ID
   // heuristic. (The synthetic corpus is English-ish regardless of its
   // `lang` label — the operator, not the accuracy, is under test.)
@@ -3502,5 +3629,6 @@ object TextOps {
     QueryDef("q168_simhash_calibration", q168, Some(q168Sql)),
     QueryDef("q169_template_lint", q169, Some(q169Sql)),
     QueryDef("q170_packing_efficiency", q170, Some(q170Sql)),
+    QueryDef("q171_training_funnel", q171, Some(q171Sql)),
   )
 }

@@ -900,6 +900,21 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q171 funnel: stages shrink monotonically and splits partition the survivors") {
+    val rows = SparkEntry.queries("q171_training_funnel")(spark, dir).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    val stages = Seq("0_ingest", "1_quality", "2_exact", "3_neardup", "4_decontam")
+    assert(stages.forall(rows.contains))
+    val counts = stages.map(rows)
+    assert(counts.head ==
+      spark.read.parquet(s"$dir/documents.parquet").count())
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"funnel not monotone: $counts")
+    val splitTotal = rows.collect { case (k, v) if k.startsWith("5_") => v }.sum
+    assert(splitTotal == rows("4_decontam"),
+      s"splits $splitTotal != survivors ${rows("4_decontam")}")
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
