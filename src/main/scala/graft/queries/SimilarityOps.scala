@@ -881,7 +881,122 @@ object SimilarityOps {
     QueryDef("q121_semdedup_recall", q121, Some(q121Sql)),
     QueryDef("q122_kmeans_round", q122, Some(q122Sql)),
     QueryDef("q131_hard_negatives", q131, Some(q131Sql)),
+    QueryDef("q172_modal_integrity", q172, Some(q172Sql)),
+    QueryDef("q173_filtered_ann", q173, Some(q173Sql)),
   )
+
+  // q172 — cross-MODAL integrity audit: the referential gate between
+  // the text and embedding modalities (q108's FK-audit shape applied to
+  // the training tables) — docs without a vector, vectors without a
+  // doc, duplicate vector ids, dimension drift (≠64), and zero-norm
+  // vectors (un-normalizable → poison for cosine). One row per check
+  // with the violating count: all zeros on healthy data, and the zeros
+  // ARE the receipt a pipeline gates on before any similarity work.
+  // Anti-join + narrow scans; nothing shuffles more than the id sets.
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val d = load(s, dir, "documents").select(col("doc_id"))
+    val e = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def row(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_issues"))
+        .select(lit(name).as("check_name"), col("n_issues"))
+    row("docs_without_vector",
+        d.join(e.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti"))
+      .unionByName(row("vectors_without_doc",
+        e.select(col("vec_id").as("doc_id"))
+          .join(d, Seq("doc_id"), "left_anti")))
+      .unionByName(row("duplicate_vec_ids",
+        e.groupBy(col("vec_id")).agg(count(lit(1)).as("c")).filter(col("c") > 1)))
+      .unionByName(row("dimension_drift", e.filter(size(col("v")) =!= 64)))
+      .unionByName(row("zero_norm_vectors",
+        e.filter(expr("vec_norm(v)") === 0d)))
+      .orderBy(col("check_name"))
+  }
+  private val q172Sql =
+    """SELECT check_name, n_issues FROM (
+      |  SELECT 'docs_without_vector' AS check_name, COUNT(*) AS n_issues
+      |  FROM documents d WHERE NOT EXISTS (
+      |    SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+      |  UNION ALL
+      |  SELECT 'vectors_without_doc', COUNT(*)
+      |  FROM embeddings e WHERE NOT EXISTS (
+      |    SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)
+      |  UNION ALL
+      |  SELECT 'duplicate_vec_ids', COUNT(*) FROM (
+      |    SELECT vec_id FROM embeddings GROUP BY 1 HAVING COUNT(*) > 1)
+      |  UNION ALL
+      |  SELECT 'dimension_drift', COUNT(*)
+      |  FROM embeddings WHERE LEN(embedding) <> 64
+      |  UNION ALL
+      |  SELECT 'zero_norm_vectors', COUNT(*)
+      |  FROM embeddings
+      |  WHERE SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]),
+      |    CAST(embedding AS DOUBLE[]))) = 0) t
+      |ORDER BY check_name""".stripMargin
+
+  // q173 — FILTERED vector search, and the post-filter trap MEASURED:
+  // a metadata predicate (label even) can be applied BEFORE the search
+  // (exact top-3 over the eligible corpus — always 3 results) or AFTER
+  // an unfiltered ANN (q62's IVF top-3, then filter — results starve
+  // whenever the predicate kills retrieved neighbors). Per query: both
+  // result counts and the starvation flag. At 100 TB pre-filtering is
+  // an index-design question (per-label partitions / filtered cells);
+  // this query gives the number that forces the decision — the
+  // fraction of queries an after-the-fact filter leaves under-served.
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    val sample = col("vec_id") % 50 === 0
+    val labels = load(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    val e = withNorm(s, load(s, dir, "embeddings"))
+      .join(labels, "vec_id")
+    val q = e.filter(sample)
+      .select(col("vec_id").as("q_id"), col("v").as("va"), col("norm").as("na"))
+    val elig = e.filter(col("label") % 2 === 0)
+      .select(col("vec_id").as("b_id"), col("v").as("vb"), col("norm").as("nb"))
+    val pre = graft.ops.TopK.perGroup(
+      q.join(broadcast(elig), col("q_id") =!= col("b_id"))
+        .select(col("q_id"), col("b_id"),
+          (expr("dot_product(va, vb)") / (col("na") * col("nb"))).as("cos_sim")),
+      Seq("q_id"), Seq(col("cos_sim").desc, col("b_id").asc), 3, "rank")
+      .groupBy(col("q_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_prefilter"))
+    val post = q62Impl(s, dir, sample)
+      .join(broadcast(labels.select(col("vec_id").as("neighbor_id"),
+        col("label"))), "neighbor_id")
+      .filter(col("label") % 2 === 0)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_postfilter"))
+    pre.join(post, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("n_prefilter"),
+        coalesce(col("n_postfilter"), lit(0L)).as("n_postfilter"))
+      .withColumn("starved", col("n_postfilter") < col("n_prefilter"))
+      .orderBy(col("vec_id"))
+  }
+  private lazy val q173Sql =
+    s"""WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+      |    SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]),
+      |      CAST(embedding AS DOUBLE[]))) AS norm
+      |  FROM embeddings),
+      |pre AS (
+      |  SELECT q_id AS vec_id, COUNT(*) AS n_prefilter FROM (
+      |    SELECT a.vec_id AS q_id, b.vec_id AS b_id,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |        ORDER BY LIST_DOT_PRODUCT(a.v, b.v) / (a.norm * b.norm) DESC,
+      |          b.vec_id ASC) AS rank
+      |    FROM e a JOIN e b ON a.vec_id <> b.vec_id AND b.label % 2 = 0
+      |    WHERE a.vec_id % 50 = 0) t
+      |  WHERE rank <= 3 GROUP BY 1),
+      |post AS (
+      |  SELECT i.vec_id, COUNT(*) AS n_postfilter
+      |  FROM ($q62Sql) i JOIN e ON i.neighbor_id = e.vec_id
+      |  WHERE i.vec_id % 50 = 0 AND e.label % 2 = 0
+      |  GROUP BY 1)
+      |SELECT p.vec_id, p.n_prefilter,
+      |  COALESCE(po.n_postfilter, 0) AS n_postfilter,
+      |  COALESCE(po.n_postfilter, 0) < p.n_prefilter AS starved
+      |FROM pre p LEFT JOIN post po USING (vec_id)
+      |ORDER BY p.vec_id""".stripMargin
 
   // q39 — multi-probe ANN top-3: the probe side expands to its home
   // bucket plus all 1-flip neighbors, still an equi-join on bucket keys.

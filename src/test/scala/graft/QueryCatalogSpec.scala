@@ -915,6 +915,26 @@ class QueryCatalogSpec extends AnyFunSuite {
       s"splits $splitTotal != survivors ${rows("4_decontam")}")
   }
 
+  test("q172 modal integrity: all five checks present and clean on this corpus") {
+    val rows = SparkEntry.queries("q172_modal_integrity")(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("check_name")).toSet == Set(
+      "docs_without_vector", "vectors_without_doc", "duplicate_vec_ids",
+      "dimension_drift", "zero_norm_vectors"))
+    // the driver tables are aligned by construction — zeros are the
+    // receipt; a nonzero here means the audit (or the data) broke
+    assert(rows.forall(_.getAs[Long]("n_issues") == 0L))
+  }
+
+  test("q173 filtered ANN: pre-filter always serves k, post-filter can only starve") {
+    val rows = SparkEntry.queries("q173_filtered_ann")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (pre, post) = (r.getAs[Long]("n_prefilter"), r.getAs[Long]("n_postfilter"))
+      assert(pre > 0L && pre <= 3L && post >= 0L && post <= 3L)
+      assert(r.getAs[Boolean]("starved") == (post < pre))
+    }
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
