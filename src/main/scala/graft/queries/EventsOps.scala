@@ -358,7 +358,120 @@ object EventsOps {
     QueryDef("q164_ab_readout", q164, Some(q164Sql)),
     QueryDef("q166_seasonal_residuals", q166, Some(q166Sql)),
     QueryDef("q167_cohort_ltv", q167, Some(q167Sql)),
+    QueryDef("q174_session_quality", q174, Some(q174Sql)),
+    QueryDef("q175_deletion_manifest", q175, Some(q175Sql)),
   )
+
+  // q174 — session QUALITY rollup: the product-analytics layer on top
+  // of q11's sessionization — per session-start day: sessions, bounce
+  // rate (single-event sessions), conversion rate (sessions containing
+  // a purchase), and duration, all in exact integer units (permille
+  // rates, microsecond durations — no float seconds anywhere). Same
+  // single user-keyed exchange as q11 (the session build), then one
+  // day-keyed partial agg over the session frame.
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).cast("date").as("day"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_buys"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+    sess.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"),
+        sum(when(col("n_buys") > 0, 1L).otherwise(0L)).as("n_converted"),
+        sum(col("dur_us")).as("total_dur_us"))
+      .withColumn("bounce_permille", expr("n_bounce * 1000 div n_sessions"))
+      .withColumn("conversion_permille", expr("n_converted * 1000 div n_sessions"))
+      .withColumn("avg_dur_us", expr("total_dur_us div n_sessions"))
+  }
+  private val q174Sql =
+    """WITH base AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    EPOCH_US(ts) AS ts_us,
+      |    LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_us
+      |  FROM events),
+      |marked AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM base),
+      |sess AS (
+      |  SELECT user_id, event_type, ts, ts_us,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked),
+      |agg AS (
+      |  SELECT user_id, session_id, COUNT(*) AS n_events,
+      |    CAST(MIN(ts) AS DATE) AS day,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_buys,
+      |    CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS dur_us
+      |  FROM sess GROUP BY 1, 2)
+      |SELECT day, COUNT(*) AS n_sessions,
+      |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+      |  CAST(SUM(CASE WHEN n_buys > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+      |  CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+      |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000
+      |    // COUNT(*) AS bounce_permille,
+      |  CAST(SUM(CASE WHEN n_buys > 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000
+      |    // COUNT(*) AS conversion_permille,
+      |  CAST(SUM(dur_us) AS BIGINT) // COUNT(*) AS avg_dur_us
+      |FROM agg GROUP BY day""".stripMargin
+
+  // q175 — DELETION manifest (right-to-be-forgotten receipts): given a
+  // deterministic deletion cohort (user_id % 97 = 0 stands in for the
+  // request list), report per user what a cascade will remove — event
+  // count, span, and types touched — and the post-delete verification
+  // count (rows that would SURVIVE an anti-join wipe: must be 0 per
+  // deleted user, computed not asserted). The manifest is written
+  // BEFORE the wipe; the verification query re-runs after. Broadcast
+  // the (tiny) request list against the stream; one user-keyed
+  // partial agg.
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    val del = events(s, dir).select(col("user_id")).distinct()
+      .filter(col("user_id") % 97 === 0)
+    val manifest = events(s, dir)
+      .join(broadcast(del), "user_id")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
+        countDistinct(col("event_type")).as("n_types"))
+    val wiped = events(s, dir)
+      .join(broadcast(del), Seq("user_id"), "left_anti")
+      .join(broadcast(del), "user_id")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    manifest
+      .join(wiped.select(col("user_id"), col("c").as("surviving_after_wipe")),
+        Seq("user_id"), "left")
+      .na.fill(0L, Seq("surviving_after_wipe"))
+      .orderBy(col("user_id"))
+  }
+  private val q175Sql =
+    """WITH del AS (
+      |  SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0),
+      |manifest AS (
+      |  SELECT e.user_id, COUNT(*) AS n_events,
+      |    MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+      |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+      |  FROM events e JOIN del USING (user_id) GROUP BY 1),
+      |wiped AS (SELECT * FROM events WHERE user_id NOT IN (SELECT user_id FROM del)),
+      |survivors AS (
+      |  SELECT w.user_id, COUNT(*) AS c
+      |  FROM wiped w JOIN del USING (user_id) GROUP BY 1)
+      |SELECT m.user_id, m.n_events, m.first_ts, m.last_ts, m.n_types,
+      |  COALESCE(s.c, 0) AS surviving_after_wipe
+      |FROM manifest m LEFT JOIN survivors s USING (user_id)
+      |ORDER BY m.user_id""".stripMargin
 
   // q166 — SEASONAL-NAIVE anomaly residuals: q106 flags spikes against
   // a trailing window; traffic with a daily cycle needs the seasonal

@@ -935,6 +935,33 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q174 session quality: rates bounded, components never exceed sessions") {
+    val rows = SparkEntry.queries("q174_session_quality")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val n = r.getAs[Long]("n_sessions")
+      assert(r.getAs[Long]("n_bounce") <= n && r.getAs[Long]("n_converted") <= n)
+      assert(r.getAs[Long]("bounce_permille") <= 1000L)
+      assert(r.getAs[Long]("conversion_permille") <= 1000L)
+      assert(r.getAs[Long]("avg_dur_us") ==
+        r.getAs[Long]("total_dur_us") / n)
+    }
+  }
+
+  test("q175 deletion manifest: cohort covered, wipe verification reads zero") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q175_deletion_manifest")(spark, dir).collect()
+    val cohort = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("user_id") % 97 === 0).select("user_id").distinct().count()
+    assert(rows.length == cohort.toInt) // a receipt per requested user
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_events") > 0L)
+      // the anti-join wipe leaves nothing — computed by the query, not
+      // assumed by the test
+      assert(r.getAs[Long]("surviving_after_wipe") == 0L)
+    }
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
