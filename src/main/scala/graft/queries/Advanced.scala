@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables.{dec, load, loadEvents}
@@ -254,6 +255,108 @@ object Advanced {
       |         WHERE o.o_custkey = c.c_custkey
       |         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 3) t""".stripMargin
 
+  // q176 — SCD TYPE-2 history build: collapse each customer's order
+  // sequence into [valid_from, valid_to) status intervals — the
+  // warehouse "slowly changing dimension" maintenance op the reference
+  // would need the moment its articles carried mutable attributes.
+  // Classic gaps-and-islands: a change flag (status differs from the
+  // lag) cumulative-summed into a version number, one aggregate per
+  // (customer, version) island, then lead() turns each island's start
+  // into the predecessor's exclusive end (NULL = current row, the open
+  // interval). Total order inside a customer is (o_orderdate,
+  // o_orderkey) — ties on date are broken by key, so both engines walk
+  // the identical sequence.
+  // Shape at 100 TB: every window and the aggregate share the ONE
+  // customer-keyed exchange (same partitioning, different sort — sorts
+  // are local); nothing else shuffles. History builds append-only:
+  // with CDC (q79/q80) only changed customers' islands re-derive.
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val cum = byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byVersion = Window.partitionBy(col("o_custkey")).orderBy(col("version"))
+    load(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderstatus"))
+      .withColumn("chg",
+        when(lag(col("o_orderstatus"), 1).over(byCust).isNull ||
+          lag(col("o_orderstatus"), 1).over(byCust) =!= col("o_orderstatus"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(cum))
+      .groupBy(col("o_custkey"), col("version"))
+      .agg(min(col("o_orderstatus")).as("status"),
+        min(col("o_orderdate")).as("valid_from"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byVersion))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+  private val q176Sql =
+    """WITH seq AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+      |    CASE WHEN LAG(o_orderstatus) OVER w IS NULL
+      |           OR LAG(o_orderstatus) OVER w <> o_orderstatus
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |versioned AS (
+      |  SELECT *, CAST(SUM(chg) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+      |  FROM seq),
+      |islands AS (
+      |  SELECT o_custkey, version, MIN(o_orderstatus) AS status,
+      |    MIN(o_orderdate) AS valid_from, COUNT(*) AS n_orders
+      |  FROM versioned GROUP BY 1, 2)
+      |SELECT o_custkey, version, status, valid_from, n_orders,
+      |  LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY version)
+      |    AS valid_to,
+      |  LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY version) IS NULL
+      |    AS is_current
+      |FROM islands""".stripMargin
+
+  // q179 — BENFORD leading-digit audit on order totals: the
+  // data-quality screen fraud and synthetic-data teams run on money
+  // columns. Leading digit comes from exact integer cents (the DECIMAL
+  // bridge — never a double-to-string format, which the two engines
+  // spell differently); expected shares are the floored-permille
+  // Benford table log10(1+1/d) as integer literals, so the comparison
+  // is float-free end to end. The output IS the audit: per digit the
+  // observed and expected permille and the signed delta (this synthetic
+  // data is uniform-ish, so the deltas are the finding).
+  // Shape at 100 TB: partial-agg groupBy on a 9-value key — map-side
+  // combine reduces each partition to ≤9 rows before the exchange.
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    val expected = typedLit(Map(1 -> 301L, 2 -> 176L, 3 -> 124L, 4 -> 96L,
+      5 -> 79L, 6 -> 66L, 7 -> 57L, 8 -> 51L, 9 -> 45L))
+    val digits = load(s, dir, "orders")
+      .select(substring((dec(col("o_totalprice")) * 100).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("total"))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        expr("n * 1000 div total").as("obs_permille"),
+        element_at(expected, col("digit")).as("exp_permille"))
+      .withColumn("delta_permille", col("obs_permille") - col("exp_permille"))
+      .orderBy(col("digit"))
+  }
+  private val q179Sql =
+    """WITH digits AS (
+      |  SELECT CAST(SUBSTRING(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100
+      |      AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+      |    COUNT(*) AS n
+      |  FROM orders GROUP BY 1),
+      |benford(digit, exp_permille) AS (VALUES
+      |  (1, 301), (2, 176), (3, 124), (4, 96), (5, 79),
+      |  (6, 66), (7, 57), (8, 51), (9, 45))
+      |SELECT d.digit, d.n,
+      |  CAST(d.n * 1000 // (SELECT SUM(n) FROM digits) AS BIGINT) AS obs_permille,
+      |  CAST(b.exp_permille AS BIGINT) AS exp_permille,
+      |  CAST(d.n * 1000 // (SELECT SUM(n) FROM digits)
+      |    - b.exp_permille AS BIGINT) AS delta_permille
+      |FROM digits d JOIN benford b USING (digit)
+      |ORDER BY d.digit""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q48_local_supplier_revenue", q48, Some(q48Sql)),
     QueryDef("q49_grouping_sets", q49, Some(q49Sql)),
@@ -264,5 +367,91 @@ object Advanced {
     QueryDef("q54_not_in_null_trap", q54, Some(q54Sql)),
     QueryDef("q55_exists_predicate", q55, Some(q55Sql)),
     QueryDef("q56_lateral_topk", q56, Some(q56Sql)),
+    QueryDef("q176_scd2_history", q176, Some(q176Sql)),
+    QueryDef("q179_benford_audit", q179, Some(q179Sql)),
+    QueryDef("q182_bootstrap_ci", q182, Some(q182Sql)),
   )
+
+  // q182 — deterministic POISSON-BOOTSTRAP confidence interval for the
+  // mean order value per priority (Chamandy et al., "Estimating
+  // Uncertainty for Massive Data Streams" — the one-pass bootstrap that
+  // works when the data cannot be resampled centrally). Each of 64
+  // replicates reweights every order by a Poisson(1)-distributed count
+  // w ∈ {0..4} drawn NOT from a RNG but from md5(o_orderkey ':' b)
+  // reduced to a permille and thresholded at the Poisson(1) CDF
+  // (368/736/920/981) — deterministic, engine-independent, stable
+  // under re-partitioning. Replicate means are exact integer cents;
+  // the interval is the 4th/61st order statistic of the 64 replicate
+  // means (≈ the 5th/95th percentile), selected by rank — no floats
+  // anywhere.
+  // Shape at 100 TB: the ×64 replicate fan-out is narrow (explode of a
+  // constant sequence — no shuffle carries it), and each (priority, b)
+  // partial-aggregates map-side to ≤ 64·|priorities| rows; the rank
+  // window then runs on 64 rows per priority. One scan, one tiny
+  // exchange — uncertainty for free at any scale.
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    val cents = load(s, dir, "orders").select(
+      col("o_orderpriority").as("priority"), col("o_orderkey"),
+      (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val reps = cents
+      .withColumn("b", explode(expr("sequence(0, 63)")))
+      .withColumn("u", expr(
+        "CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), ':'," +
+          " CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000"))
+      .withColumn("w", when(col("u") < 368, 0L).when(col("u") < 736, 1L)
+        .when(col("u") < 920, 2L).when(col("u") < 981, 3L).otherwise(4L))
+      .groupBy(col("priority"), col("b"))
+      .agg(expr("sum(w * cents) div NULLIF(sum(w), 0)").as("rep_mean_cents"))
+    val ranked = reps.withColumn("r", row_number().over(
+      Window.partitionBy(col("priority"))
+        .orderBy(col("rep_mean_cents"), col("b"))))
+    val ci = ranked.groupBy(col("priority")).agg(
+      count(lit(1)).as("n_reps"),
+      min(when(col("r") === 4, col("rep_mean_cents"))).as("boot_lo_cents"),
+      min(when(col("r") === 61, col("rep_mean_cents"))).as("boot_hi_cents"))
+    val point = cents.groupBy(col("priority")).agg(
+      count(lit(1)).as("n_orders"),
+      expr("sum(cents) div count(1)").as("mean_cents"))
+    point.join(ci, Seq("priority")).orderBy(col("priority"))
+  }
+  private val q182Sql =
+    """WITH cents AS (
+      |  SELECT o_orderpriority AS priority, o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |expanded AS (
+      |  SELECT c.priority, c.cents, g.b,
+      |    CAST('0x' || SUBSTRING(MD5(CAST(c.o_orderkey AS VARCHAR) || ':'
+      |      || CAST(g.b AS VARCHAR)), 1, 15) AS BIGINT) % 1000 AS u
+      |  FROM cents c CROSS JOIN
+      |    (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS b) g),
+      |reps AS (
+      |  SELECT priority, b,
+      |    CAST(SUM(w * cents) // NULLIF(SUM(w), 0) AS BIGINT)
+      |      AS rep_mean_cents
+      |  FROM (SELECT priority, cents, b,
+      |          CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1
+      |               WHEN u < 920 THEN 2 WHEN u < 981 THEN 3
+      |               ELSE 4 END AS w
+      |        FROM expanded) t
+      |  GROUP BY priority, b),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY priority
+      |    ORDER BY rep_mean_cents, b) AS r
+      |  FROM reps),
+      |ci AS (
+      |  SELECT priority, COUNT(*) AS n_reps,
+      |    CAST(MIN(CASE WHEN r = 4 THEN rep_mean_cents END) AS BIGINT)
+      |      AS boot_lo_cents,
+      |    CAST(MIN(CASE WHEN r = 61 THEN rep_mean_cents END) AS BIGINT)
+      |      AS boot_hi_cents
+      |  FROM ranked GROUP BY priority),
+      |point AS (
+      |  SELECT priority, COUNT(*) AS n_orders,
+      |    CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mean_cents
+      |  FROM cents GROUP BY priority)
+      |SELECT p.priority, p.n_orders, p.mean_cents,
+      |  c.n_reps, c.boot_lo_cents, c.boot_hi_cents
+      |FROM point p JOIN ci c USING (priority)
+      |ORDER BY p.priority""".stripMargin
 }

@@ -647,6 +647,72 @@ object CurationOps {
       |  CAST(COUNT(*) AS BIGINT) AS n_total
       |FROM ft, w2""".stripMargin
 
+  // q178 — PREFERENCE-pair construction (the DPO/RLHF data-assembly
+  // step): within each (source, lang) stratum, rank documents by an
+  // integer quality score (lexical diversity in permille — distinct
+  // words per word) and pair the k-th best with the k-th worst while
+  // the margin clears a floor. The two rankings are exact duals
+  // ((score DESC, id ASC) vs (score ASC, id DESC)), so r_bot =
+  // n − r_top + 1 and pairs with k ≤ n/2 are provably disjoint — no
+  // doc is ever its own rejected twin. Deterministic: integer scores,
+  // total tie-break on doc_id.
+  // Shape at 100 TB: both window ranks and the pair join share the ONE
+  // (source, lang)-keyed exchange (same partitioning — the second sort
+  // is local); the join matches on (group, k) so its fan-out is 1:1.
+  // Strata are bounded by the curation design (per-source shards), so
+  // no partition outgrows an executor; a viral stratum would surface
+  // in q158's skew report first.
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir).select(
+      col("doc_id"), col("source"), col("lang"),
+      expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000" +
+        " div NULLIF(CAST(size(split(text, ' ')) AS BIGINT), 0)").as("score"))
+      .filter(col("score").isNotNull)
+    val grp = Window.partitionBy(col("source"), col("lang"))
+    val ranked = scored
+      .withColumn("r_top", row_number()
+        .over(grp.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .withColumn("r_bot", row_number()
+        .over(grp.orderBy(col("score").asc, col("doc_id").desc)).cast("long"))
+      .withColumn("n", count(lit(1)).over(grp))
+    val top = ranked.select(col("source"), col("lang"),
+      col("r_top").as("pair_k"), col("doc_id").as("chosen_id"),
+      col("score").as("chosen_score"), col("n"))
+    val bot = ranked.select(col("source").as("b_source"),
+      col("lang").as("b_lang"), col("r_bot"),
+      col("doc_id").as("rejected_id"), col("score").as("rejected_score"))
+    top.join(bot, col("source") === col("b_source") &&
+        col("lang") === col("b_lang") && col("pair_k") === col("r_bot"))
+      .filter(col("pair_k") <= expr("n div 2") &&
+        col("chosen_score") - col("rejected_score") >= 50)
+      .select(col("source"), col("lang"), col("pair_k"),
+        col("chosen_id"), col("rejected_id"),
+        col("chosen_score"), col("rejected_score"),
+        (col("chosen_score") - col("rejected_score")).as("margin"))
+  }
+  private val q178Sql =
+    """WITH scored AS (
+      |  SELECT doc_id, source, lang,
+      |    LEN(LIST_DISTINCT(STR_SPLIT(text, ' '))) * 1000
+      |      // NULLIF(LEN(STR_SPLIT(text, ' ')), 0) AS score
+      |  FROM documents),
+      |nn AS (SELECT * FROM scored WHERE score IS NOT NULL),
+      |ranked AS (
+      |  SELECT *,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source, lang
+      |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS r_top,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source, lang
+      |      ORDER BY score ASC, doc_id DESC) AS BIGINT) AS r_bot,
+      |    COUNT(*) OVER (PARTITION BY source, lang) AS n
+      |  FROM nn)
+      |SELECT t.source, t.lang, t.r_top AS pair_k,
+      |  t.doc_id AS chosen_id, b.doc_id AS rejected_id,
+      |  t.score AS chosen_score, b.score AS rejected_score,
+      |  t.score - b.score AS margin
+      |FROM ranked t JOIN ranked b
+      |  ON t.source = b.source AND t.lang = b.lang AND t.r_top = b.r_bot
+      |WHERE t.r_top <= t.n // 2 AND t.score - b.score >= 50""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q113_pii_redaction", q113, Some(q113Sql)),
     QueryDef("q114_fuzzy_match", q114, Some(q114Sql)),
@@ -659,5 +725,61 @@ object CurationOps {
     QueryDef("q123_drift_report", q123, Some(q123Sql)),
     QueryDef("q124_triangle_count", q124, Some(q124Sql)),
     QueryDef("q143_perceptron_round", q143, Some(q143Sql)),
+    QueryDef("q178_preference_pairs", q178, Some(q178Sql)),
+    QueryDef("q181_token_budget", q181, Some(q181Sql)),
   )
+
+  // q181 — token-BUDGET planner (the data-mixing ledger): given a total
+  // training budget and q81's deterministic per-source mixture weights,
+  // compute each source's available tokens (n_chars div 4, the q14
+  // estimator), its floored proportional allocation, and the implied
+  // epoch count in permille — then the Muennighoff-style repetition
+  // decision: ≤1 epoch "unique", ≤4 epochs "repeat" (quality holds
+  // through ~4 epochs), beyond that "exhausted" (the source cannot fill
+  // its allocation without degrading). All integer arithmetic — budget,
+  // weights, allocations and permille epochs are exact in both engines.
+  // Shape at 100 TB: one narrow pass + a partial-aggregatable groupBy
+  // to |sources| rows; the weight-total is a broadcast one-row scalar.
+  // The plan itself never touches text — it reads one long column.
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    val budget = 1000000L
+    val perSrc = docs(s, dir)
+      .select(col("source"), expr("n_chars div 4").as("est_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("est_tokens")).as("avail_tokens"))
+      .withColumn("weight_permille", h60(col("source")) % 800 + 100)
+    val tot = perSrc.agg(sum(col("weight_permille")).as("sum_w"))
+    perSrc.crossJoin(broadcast(tot))
+      .withColumn("alloc_tokens", expr(s"$budget * weight_permille div sum_w"))
+      .withColumn("epochs_permille",
+        expr("alloc_tokens * 1000 div NULLIF(avail_tokens, 0)"))
+      .withColumn("decision", when(col("epochs_permille") <= 1000, "unique")
+        .when(col("epochs_permille") <= 4000, "repeat")
+        .otherwise("exhausted"))
+      .select(col("source"), col("n_docs"), col("avail_tokens"),
+        col("weight_permille"), col("alloc_tokens"),
+        col("epochs_permille"), col("decision"))
+      .orderBy(col("source"))
+  }
+  private val q181Sql =
+    s"""WITH per AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_chars // 4) AS BIGINT) AS avail_tokens,
+      |    ${h60Sql("source")} % 800 + 100 AS weight_permille
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(weight_permille) AS BIGINT) AS sum_w FROM per),
+      |alloc AS (
+      |  SELECT source, n_docs, avail_tokens, weight_permille,
+      |    CAST(1000000 * weight_permille // sum_w AS BIGINT) AS alloc_tokens
+      |  FROM per, tot),
+      |ep AS (
+      |  SELECT *, CAST(alloc_tokens * 1000 // NULLIF(avail_tokens, 0)
+      |    AS BIGINT) AS epochs_permille
+      |  FROM alloc)
+      |SELECT source, n_docs, avail_tokens, weight_permille, alloc_tokens,
+      |  epochs_permille,
+      |  CASE WHEN epochs_permille <= 1000 THEN 'unique'
+      |       WHEN epochs_permille <= 4000 THEN 'repeat'
+      |       ELSE 'exhausted' END AS decision
+      |FROM ep ORDER BY source""".stripMargin
 }

@@ -335,7 +335,65 @@ object EventsOps {
       |       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM x GROUP BY win_start, event_type""".stripMargin
 
+  // q183 — per-group OLS TREND: the "is this metric drifting" readout —
+  // least-squares slope of event value over time, one row per event
+  // type, decided from exact integer moments. x = days since the
+  // corpus's first day (centering keeps every product within BIGINT:
+  // x ≤ span-days, so n·Σxy ≈ n²·x·y ≈ 5.7e14 at sf0.1 — nine digits
+  // of headroom; at much larger n promote the two products to
+  // DECIMAL(38,0), the comparison stays exact); y = exact cents
+  // (ROUND(value·100), the q130 rule). slope_num/slope_den are the
+  // classic normal-equation numerators n·Σxy − Σx·Σy over n·Σx² − (Σx)²,
+  // published as exact integers; the double ratio of two exact integers
+  // is IEEE-deterministic, so even the float column hash-matches.
+  // Shape at 100 TB: one narrow pass + a partial-aggregatable groupBy
+  // on event_type (5 moments map-side combined to ≤|types| rows per
+  // task); the global min-day is a broadcast one-row scalar. No joins,
+  // no windows, nothing driver-side.
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type"),
+      datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+        .cast("long").as("d"),
+      expr("CAST(ROUND(value * 100) AS BIGINT)").as("y"))
+    val d0 = ev.agg(min(col("d")).as("d0"))
+    ev.crossJoin(broadcast(d0))
+      .select(col("event_type"), (col("d") - col("d0")).as("x"), col("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        sum(expr("x * y")).as("sum_xy"), sum(expr("x * x")).as("sum_xx"))
+      .withColumn("slope_num", col("n") * col("sum_xy") - col("sum_x") * col("sum_y"))
+      .withColumn("slope_den", col("n") * col("sum_xx") - col("sum_x") * col("sum_x"))
+      // den > 0 whenever a type spans ≥2 distinct days (the 30-day
+      // fixture guarantees it); double ratio of exact ints is bit-stable
+      .withColumn("slope_cents_per_day",
+        col("slope_num").cast("double") / col("slope_den").cast("double"))
+      .orderBy(col("event_type"))
+  }
+  private val q183Sql =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    CAST(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+      |    CAST(ROUND(value * 100) AS BIGINT) AS y
+      |  FROM events),
+      |m AS (SELECT MIN(d) AS d0 FROM ev),
+      |xy AS (SELECT event_type, d - d0 AS x, y FROM ev, m),
+      |agg AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+      |    CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sum_xx
+      |  FROM xy GROUP BY event_type)
+      |SELECT event_type, n, sum_x, sum_y, sum_xy, sum_xx,
+      |  CAST(n * sum_xy - sum_x * sum_y AS BIGINT) AS slope_num,
+      |  CAST(n * sum_xx - sum_x * sum_x AS BIGINT) AS slope_den,
+      |  CAST(CAST(n * sum_xy - sum_x * sum_y AS BIGINT) AS DOUBLE)
+      |    / CAST(CAST(n * sum_xx - sum_x * sum_x AS BIGINT) AS DOUBLE)
+      |    AS slope_cents_per_day
+      |FROM agg ORDER BY event_type""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
+    QueryDef("q183_trend_slope", q183, Some(q183Sql)),
     QueryDef("q10_events_hourly", q10, Some(q10Sql)),
     QueryDef("q106_rate_spikes", q106, Some(q106Sql)),
     QueryDef("q83_event_funnel", q83, Some(q83Sql)),

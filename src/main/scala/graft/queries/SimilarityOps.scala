@@ -883,7 +883,113 @@ object SimilarityOps {
     QueryDef("q131_hard_negatives", q131, Some(q131Sql)),
     QueryDef("q172_modal_integrity", q172, Some(q172Sql)),
     QueryDef("q173_filtered_ann", q173, Some(q173Sql)),
+    QueryDef("q177_rag_context", q177, Some(q177Sql)),
+    QueryDef("q180_comoment_matrix", q180, Some(q180Sql)),
   )
+
+  // q180 — embedding CO-MOMENT matrix (the second-moment statistics a
+  // whitening/PCA step consumes): for the first 8 dims, every unordered
+  // pair (i ≤ j) gets n, Σxᵢ, Σxⱼ, Σxᵢxⱼ and the covariance numerator
+  // n·Σxᵢxⱼ − Σxᵢ·Σxⱼ — all on the integer micro-grid (floor(x·1e6),
+  // the q21 rule), so the matrix is bit-identical cross-engine.
+  // DECIMAL(38,0) carries the final product: n·Σxᵢxⱼ brushes 7·10¹⁸ at
+  // sf0.1 and would overflow BIGINT at the next scale step.
+  // Shape at 100 TB: the per-row d(d+1)/2 pair expansion is narrow (36
+  // structs from one cached 8-slice — no self-join, no shuffle of
+  // vectors); the only exchange is a partial-aggregatable groupBy onto
+  // 36 keys, so every task map-side combines to ≤36 rows and the full
+  // covariance of a trillion vectors reduces to one 36-row result. The
+  // d² cost lives per-row where it parallelizes, never as a join.
+  private def q180(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "embeddings")
+      .select(expr(
+        "transform(slice(cast(embedding as array<double>), 1, 8)," +
+          " x -> cast(floor(x * 1000000) as bigint))").as("xm"))
+      .select(expr(
+        """inline(flatten(transform(sequence(0, 7), i ->
+          |  transform(sequence(i, 7), j ->
+          |    named_struct('i', cast(i as bigint), 'j', cast(j as bigint),
+          |      'xi', xm[i], 'xj', xm[j])))))""".stripMargin))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xi")).as("sum_xi"), sum(col("xj")).as("sum_xj"),
+        sum(col("xi") * col("xj")).as("sum_xixj"))
+      .withColumn("comoment", expr(
+        "CAST(CAST(n AS DECIMAL(38,0)) * sum_xixj" +
+          " - CAST(sum_xi AS DECIMAL(38,0)) * sum_xj AS DECIMAL(38,0))"))
+      .orderBy(col("i"), col("j"))
+  private val q180Sql =
+    """WITH xm AS (
+      |  SELECT LIST_TRANSFORM(CAST(embedding AS DOUBLE[])[1:8],
+      |    x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |dims AS (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS k),
+      |tri AS (
+      |  SELECT a.k AS i, b.k AS j, xm.v[a.k + 1] AS xi, xm.v[b.k + 1] AS xj
+      |  FROM xm, dims a, dims b WHERE a.k <= b.k)
+      |SELECT i, j, COUNT(*) AS n,
+      |  CAST(SUM(xi) AS BIGINT) AS sum_xi,
+      |  CAST(SUM(xj) AS BIGINT) AS sum_xj,
+      |  CAST(SUM(xi * xj) AS BIGINT) AS sum_xixj,
+      |  CAST(COUNT(*) * CAST(SUM(xi * xj) AS HUGEINT)
+      |    - CAST(SUM(xi) AS HUGEINT) * CAST(SUM(xj) AS HUGEINT)
+      |    AS DECIMAL(38,0)) AS comoment
+      |FROM tri GROUP BY i, j ORDER BY i, j""".stripMargin
+
+  // q177 — RAG context ASSEMBLY: the serving-side step after retrieval —
+  // per query (1-in-20 sample), take the exact cosine top-5 (q20's
+  // oracle-checked ranking), join passage lengths, and greedily pack
+  // passages in rank order into a 1000-char context budget. Output per
+  // query: candidates seen, passages kept, context size, the ordered
+  // doc-id manifest, and whether the budget truncated the list — the
+  // receipt a serving pipeline logs per request. Deterministic: ranking
+  // ties break on doc id, packing is a rank-ordered cumulative sum, and
+  // the manifest aggregates through sort_array(struct(rank, id)) rather
+  // than relying on collect order.
+  // Shape at 100 TB: candidate generation is the ANN family's problem
+  // (q23/q39/q62 — this query rides q20's audited exact path on the
+  // bounded sample); assembly itself is one query-keyed window + agg on
+  // k rows per query, and the passage-length join broadcasts the doc
+  // metadata projection, never the corpus text.
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    val budget = 1000L
+    val lens = load(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q20Impl(s, dir, col("vec_id") % 20 === 0)
+      .join(broadcast(lens), col("neighbor_id") === col("doc_id"))
+      .withColumn("cum_chars", sum(col("n_chars")).over(w))
+      .withColumn("kept", col("cum_chars") <= budget)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_passages"),
+        coalesce(sum(when(col("kept"), col("n_chars"))), lit(0L)).as("ctx_chars"),
+        collect_list(when(col("kept"), struct(col("rank"), col("doc_id"))))
+          .as("ids"))
+      .withColumn("ids_csv",
+        expr("array_join(transform(array_sort(ids), x -> CAST(x.doc_id AS STRING)), ',')"))
+      .withColumn("truncated", col("n_passages") < col("n_candidates"))
+      .drop("ids")
+      .orderBy(col("vec_id"))
+  }
+  private lazy val q177Sql =
+    s"""WITH cand AS (
+      |  SELECT * FROM ($q20Sql) WHERE vec_id % 20 = 0),
+      |cum AS (
+      |  SELECT c.vec_id, c.rank, d.doc_id, d.n_chars,
+      |    SUM(d.n_chars) OVER (PARTITION BY c.vec_id ORDER BY c.rank
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_chars
+      |  FROM cand c JOIN documents d ON c.neighbor_id = d.doc_id)
+      |SELECT vec_id, COUNT(*) AS n_candidates,
+      |  CAST(SUM(CASE WHEN cum_chars <= 1000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_passages,
+      |  CAST(COALESCE(SUM(CASE WHEN cum_chars <= 1000 THEN n_chars END), 0)
+      |    AS BIGINT) AS ctx_chars,
+      |  COALESCE(STRING_AGG(CASE WHEN cum_chars <= 1000
+      |    THEN CAST(doc_id AS VARCHAR) END, ',' ORDER BY rank), '') AS ids_csv,
+      |  SUM(CASE WHEN cum_chars <= 1000 THEN 1 ELSE 0 END) < COUNT(*)
+      |    AS truncated
+      |FROM cum GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
   // q172 — cross-MODAL integrity audit: the referential gate between
   // the text and embedding modalities (q108's FK-audit shape applied to

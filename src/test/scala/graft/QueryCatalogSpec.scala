@@ -962,6 +962,132 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q176 SCD2: intervals chain per customer, one open row, orders reconcile") {
+    val rows = SparkEntry.queries("q176_scd2_history")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val orders = spark.read.parquet(s"$dir/orders.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == orders)
+    rows.groupBy(_.getAs[Long]("o_custkey")).foreach { case (_, hist) =>
+      val sorted = hist.sortBy(_.getAs[Long]("version"))
+      // exactly one open (current) interval, and it is the last one
+      assert(sorted.count(_.getAs[Boolean]("is_current")) == 1)
+      assert(sorted.last.getAs[Boolean]("is_current"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // each interval's exclusive end is the successor's start,
+          // and an island never repeats its neighbor's status
+          assert(a.getAs[Any]("valid_to") == b.getAs[Any]("valid_from"))
+          assert(a.getAs[String]("status") != b.getAs[String]("status"))
+        case _ =>
+      }
+    }
+  }
+
+  test("q177 RAG context: budget respected, manifest matches the kept count") {
+    val rows = SparkEntry.queries("q177_rag_context")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val kept = r.getAs[Long]("n_passages")
+      assert(r.getAs[Long]("ctx_chars") <= 1000L)
+      assert(kept <= r.getAs[Long]("n_candidates"))
+      assert(r.getAs[Boolean]("truncated") ==
+        (kept < r.getAs[Long]("n_candidates")))
+      val csv = r.getAs[String]("ids_csv")
+      assert((if (csv.isEmpty) 0 else csv.split(",").length).toLong == kept)
+    }
+  }
+
+  test("q178 preference pairs: margin floor holds and sides are disjoint") {
+    val rows = SparkEntry.queries("q178_preference_pairs")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("margin") ==
+        r.getAs[Long]("chosen_score") - r.getAs[Long]("rejected_score"))
+      assert(r.getAs[Long]("margin") >= 50L)
+      assert(r.getAs[Long]("chosen_id") != r.getAs[Long]("rejected_id"))
+    }
+    val chosen = rows.map(_.getAs[Long]("chosen_id")).toSet
+    val rejected = rows.map(_.getAs[Long]("rejected_id")).toSet
+    assert(chosen.intersect(rejected).isEmpty)
+  }
+
+  test("q179 Benford audit: digits partition the table, permilles reconcile") {
+    val rows = SparkEntry.queries("q179_benford_audit")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 9)
+    val orders = spark.read.parquet(s"$dir/orders.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == orders)
+    for (r <- rows) {
+      assert(r.getAs[Int]("digit") >= 1 && r.getAs[Int]("digit") <= 9)
+      assert(r.getAs[Long]("delta_permille") ==
+        r.getAs[Long]("obs_permille") - r.getAs[Long]("exp_permille"))
+    }
+    // floored permilles can only undershoot the whole
+    val obsSum = rows.map(_.getAs[Long]("obs_permille")).sum
+    assert(obsSum <= 1000L && obsSum > 1000L - rows.length)
+  }
+
+  test("q180 co-moment: 36 cells, diagonal variance nonneg, symmetric moments") {
+    val rows = SparkEntry.queries("q180_comoment_matrix")(spark, dir).collect()
+    assert(rows.length == 36)
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    for (r <- rows) {
+      assert(r.getAs[Long]("n") == n)
+      val i = r.getAs[Long]("i"); val j = r.getAs[Long]("j")
+      assert(i >= 0 && i <= j && j <= 7)
+      // diagonal cells carry the variance numerator: n·Σx² − (Σx)² ≥ 0
+      if (i == j)
+        assert(r.getAs[java.math.BigDecimal]("comoment").signum >= 0)
+    }
+    // Σxᵢ reported in cell (i,i) must agree with the Σxᵢ of every (i,j)
+    val sumByDim = rows.filter(r => r.getAs[Long]("i") == r.getAs[Long]("j"))
+      .map(r => r.getAs[Long]("i") -> r.getAs[Long]("sum_xi")).toMap
+    for (r <- rows) {
+      assert(r.getAs[Long]("sum_xi") == sumByDim(r.getAs[Long]("i")))
+      assert(r.getAs[Long]("sum_xj") == sumByDim(r.getAs[Long]("j")))
+    }
+  }
+
+  test("q181 token budget: allocations bounded by budget, decisions consistent") {
+    val rows = SparkEntry.queries("q181_token_budget")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("alloc_tokens")).sum <= 1000000L)
+    for (r <- rows) {
+      val ep = r.getAs[Long]("epochs_permille")
+      val d = r.getAs[String]("decision")
+      assert(if (ep <= 1000) d == "unique"
+             else if (ep <= 4000) d == "repeat" else d == "exhausted")
+      assert(r.getAs[Long]("weight_permille") >= 100 &&
+        r.getAs[Long]("weight_permille") < 900)
+    }
+  }
+
+  test("q182 bootstrap CI: interval brackets the point mean plausibly") {
+    val rows = SparkEntry.queries("q182_bootstrap_ci")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val lo = r.getAs[Long]("boot_lo_cents"); val hi = r.getAs[Long]("boot_hi_cents")
+      assert(r.getAs[Long]("n_reps") == 64L)
+      assert(lo <= hi)
+      // the point mean need not sit inside every CI, but the interval
+      // must be in the same regime (within 50% of the point mean)
+      val mean = r.getAs[Long]("mean_cents")
+      assert(lo > mean / 2 && hi < mean * 2)
+    }
+  }
+
+  test("q183 trend slope: moments reconcile and slope is the exact ratio") {
+    val rows = SparkEntry.queries("q183_trend_slope")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val num = r.getAs[Long]("slope_num"); val den = r.getAs[Long]("slope_den")
+      assert(num == r.getAs[Long]("n") * r.getAs[Long]("sum_xy") -
+        r.getAs[Long]("sum_x") * r.getAs[Long]("sum_y"))
+      assert(den > 0)
+      assert(r.getAs[Double]("slope_cents_per_day") ==
+        num.toDouble / den.toDouble)
+    }
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
