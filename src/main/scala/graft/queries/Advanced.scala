@@ -370,7 +370,124 @@ object Advanced {
     QueryDef("q176_scd2_history", q176, Some(q176Sql)),
     QueryDef("q179_benford_audit", q179, Some(q179Sql)),
     QueryDef("q182_bootstrap_ci", q182, Some(q182Sql)),
+    QueryDef("q186_ship_lag_sla", q186, Some(q186Sql)),
+    QueryDef("q187_weighted_median", q187, Some(q187Sql)),
   )
+
+  // q186 — order-to-SHIP lag SLA (TPC-H Q12's spirit on the columns
+  // this fixture carries): join every line item to its order, lag =
+  // days from order date to ship date, rolled up per order priority
+  // into fixed SLA buckets (≤30 / ≤60 / ≤90 / >90 days) plus the exact
+  // permille breach rate — the fulfilment-health dashboard row.
+  // Shape at 100 TB: this is the canonical BIG-BIG join (lineitem ⋈
+  // orders on orderkey). The projection carries two dates + one string,
+  // so the shuffle is narrow; at warehouse scale both sides would be
+  // bucketed by orderkey at ingest (ops/Bucketing — q64 pins the
+  // zero-Exchange plan) making the join shuffle-free. The rollup after
+  // it is a 5-key partial agg — free.
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    val o = load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate").cast("date").as("od"))
+    val l = load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate").cast("date").as("sd"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lag_days", datediff(col("sd"), col("od")).cast("long"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        min(col("lag_days")).as("min_lag"), max(col("lag_days")).as("max_lag"),
+        sum(when(col("lag_days") <= 30, 1L).otherwise(0L)).as("n_le30"),
+        sum(when(col("lag_days") > 30 && col("lag_days") <= 60, 1L)
+          .otherwise(0L)).as("n_le60"),
+        sum(when(col("lag_days") > 60 && col("lag_days") <= 90, 1L)
+          .otherwise(0L)).as("n_le90"),
+        sum(when(col("lag_days") > 90, 1L).otherwise(0L)).as("n_breach"))
+      .withColumn("breach_permille", expr("n_breach * 1000 div n_items"))
+      .orderBy(col("o_orderpriority"))
+  }
+  private val q186Sql =
+    """WITH j AS (
+      |  SELECT o.o_orderpriority,
+      |    DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+      |      CAST(l.l_shipdate AS DATE)) AS lag_days
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |agg AS (
+      |  SELECT o_orderpriority, COUNT(*) AS n_items,
+      |    CAST(MIN(lag_days) AS BIGINT) AS min_lag,
+      |    CAST(MAX(lag_days) AS BIGINT) AS max_lag,
+      |    CAST(SUM(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_le30,
+      |    CAST(SUM(CASE WHEN lag_days > 30 AND lag_days <= 60 THEN 1
+      |      ELSE 0 END) AS BIGINT) AS n_le60,
+      |    CAST(SUM(CASE WHEN lag_days > 60 AND lag_days <= 90 THEN 1
+      |      ELSE 0 END) AS BIGINT) AS n_le90,
+      |    CAST(SUM(CASE WHEN lag_days > 90 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_breach
+      |  FROM j GROUP BY o_orderpriority)
+      |SELECT *, CAST(n_breach * 1000 // n_items AS BIGINT)
+      |  AS breach_permille
+      |FROM agg ORDER BY o_orderpriority""".stripMargin
+
+  // q187 — WEIGHTED percentiles (p25/p50/p75 of line-item price,
+  // weighted by quantity — "the price a median UNIT shipped at", not
+  // the median line): the importance-weighted quantile every
+  // mixture-weighted corpus statistic needs. Exact by construction:
+  // values collapse to (flag, cents) with summed weights FIRST (the
+  // compression that makes the window affordable — it runs over
+  // distinct prices per flag, not raw rows), then one cumulative-sum
+  // window; the p-th weighted percentile is the least value whose
+  // cumulative weight covers p of the total, selected by integer
+  // cross-multiplication (4·cumw ≥ p·totw — no floats, no
+  // interpolation ambiguity).
+  // Shape at 100 TB: partial-agg groupBy compresses before the one
+  // flag-keyed exchange; window and final 1-row-per-flag agg reuse it.
+  // The sketch twin for one-pass approximation is q72 (GK quantiles).
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    val byVal = load(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        (dec(col("l_extendedprice")) * 100).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("w"))
+      .groupBy(col("flag"), col("cents")).agg(sum(col("w")).as("wv"))
+    val win = Window.partitionBy(col("flag")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("flag"))
+    byVal
+      .withColumn("cumw", sum(col("wv")).over(win))
+      .withColumn("totw", sum(col("wv")).over(tot))
+      .groupBy(col("flag"))
+      .agg(max(col("totw")).as("total_weight"),
+        countDistinct(col("cents")).as("n_values"),
+        min(when(col("cumw") * 4 >= col("totw"), col("cents")))
+          .as("wp25_cents"),
+        min(when(col("cumw") * 2 >= col("totw"), col("cents")))
+          .as("wp50_cents"),
+        min(when(col("cumw") * 4 >= col("totw") * 3, col("cents")))
+          .as("wp75_cents"))
+      .orderBy(col("flag"))
+  }
+  private val q187Sql =
+    """WITH bv AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 100 AS BIGINT)
+      |      AS cents,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wv
+      |  FROM lineitem GROUP BY 1, 2),
+      |cw AS (
+      |  SELECT flag, cents, wv,
+      |    CAST(SUM(wv) OVER (PARTITION BY flag ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cumw,
+      |    CAST(SUM(wv) OVER (PARTITION BY flag) AS BIGINT) AS totw
+      |  FROM bv)
+      |SELECT flag, MAX(totw) AS total_weight,
+      |  COUNT(DISTINCT cents) AS n_values,
+      |  CAST(MIN(CASE WHEN cumw * 4 >= totw THEN cents END) AS BIGINT)
+      |    AS wp25_cents,
+      |  CAST(MIN(CASE WHEN cumw * 2 >= totw THEN cents END) AS BIGINT)
+      |    AS wp50_cents,
+      |  CAST(MIN(CASE WHEN cumw * 4 >= totw * 3 THEN cents END) AS BIGINT)
+      |    AS wp75_cents
+      |FROM cw GROUP BY flag ORDER BY flag""".stripMargin
 
   // q182 — deterministic POISSON-BOOTSTRAP confidence interval for the
   // mean order value per priority (Chamandy et al., "Estimating

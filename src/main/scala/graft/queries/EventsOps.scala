@@ -392,8 +392,163 @@ object EventsOps {
       |    AS slope_cents_per_day
       |FROM agg ORDER BY event_type""".stripMargin
 
+  // q184 — WATERMARK-lateness audit: the "choose your watermark delay"
+  // readout for the streaming layer (graft.streaming sets watermarks;
+  // this measures what each candidate delay would drop). The fixture's
+  // event_id order IS its time order (zero natural lateness — measured),
+  // so arrival is simulated with deterministic network jitter:
+  // arrival = ts + (h(event_id) mod 600) seconds. Events are grouped
+  // into arrival-minute micro-batches; the watermark visible to a batch
+  // is the max event-time of all STRICTLY earlier batches (watermarks
+  // advance between batches, exactly Structured Streaming's contract);
+  // lateness = wm − event_time. Each candidate delay D then reports how
+  // many events it would drop (late_us > D) and the permille rate.
+  // Shape at 100 TB: per-event work is narrow (hash, bucket); the batch
+  // summary is a partial-aggregatable groupBy to |minutes| rows; the
+  // running max runs on that summary (43k rows/month — at years of
+  // history, partition by day and carry day heads, same two-level
+  // trick as q145); the summary then broadcast-joins back. The ×|D|
+  // candidate fan-out happens post-lateness on 4 constants.
+  private def q184(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("arr_us", col("ts_us") +
+        expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 15)," +
+          " 16, 10) AS BIGINT) % 600 * 1000000"))
+      .withColumn("batch", expr("arr_us div 60000000"))
+    val wm = ev.groupBy(col("batch")).agg(max(col("ts_us")).as("bmax"))
+      .withColumn("wm_us", max(col("bmax")).over(
+        Window.orderBy(col("batch"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("batch"), col("wm_us"))
+    ev.join(broadcast(wm), Seq("batch"))
+      .withColumn("late_us", when(col("wm_us").isNull, 0L)
+        .otherwise(greatest(lit(0L), col("wm_us") - col("ts_us"))))
+      .select(col("late_us"),
+        explode(expr("array(0L, 60L, 300L, 900L)")).as("delay_s"))
+      .groupBy(col("delay_s"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > col("delay_s") * 1000000L, 1L)
+          .otherwise(0L)).as("n_dropped"),
+        max(col("late_us")).as("max_late_us"))
+      .withColumn("drop_permille", expr("n_dropped * 1000 div n_events"))
+      .orderBy(col("delay_s"))
+  }
+  private val q184Sql =
+    """WITH ev AS (
+      |  SELECT EPOCH_US(ts) AS ts_us,
+      |    EPOCH_US(ts) + CAST('0x' || SUBSTRING(MD5(CAST(event_id AS VARCHAR)),
+      |      1, 15) AS BIGINT) % 600 * 1000000 AS arr_us
+      |  FROM events),
+      |evb AS (SELECT ts_us, arr_us // 60000000 AS batch FROM ev),
+      |wm AS (
+      |  SELECT batch, MAX(MAX(ts_us)) OVER (ORDER BY batch
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_us
+      |  FROM evb GROUP BY batch),
+      |lat AS (
+      |  SELECT CASE WHEN w.wm_us IS NULL THEN 0
+      |    ELSE GREATEST(0, w.wm_us - e.ts_us) END AS late_us
+      |  FROM evb e JOIN wm w USING (batch)),
+      |agg AS (
+      |  SELECT CAST(d.delay_s AS BIGINT) AS delay_s, COUNT(*) AS n_events,
+      |    CAST(SUM(CASE WHEN late_us > d.delay_s * 1000000 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_dropped,
+      |    CAST(MAX(late_us) AS BIGINT) AS max_late_us
+      |  FROM lat, (SELECT UNNEST([0, 60, 300, 900]) AS delay_s) d
+      |  GROUP BY d.delay_s)
+      |SELECT delay_s, n_events, n_dropped, max_late_us,
+      |  CAST(n_dropped * 1000 // n_events AS BIGINT) AS drop_permille
+      |FROM agg ORDER BY delay_s""".stripMargin
+
+  // q185 — CUPED variance-reduced A/B readout (Deng et al., "Improving
+  // the Sensitivity of Online Controlled Experiments"): per-user
+  // pre-period spend (first half of the window, derived from the data's
+  // own min day — sf-proof) becomes the covariate; the pooled
+  // regression coefficient θ = cov(x,y)/var(x) is carried as exact
+  // integer normal-equation numerators in DECIMAL(38,0) (n·Σxy brushes
+  // 10²⁰ at sf0.1 — BIGINT would overflow), and the adjusted mean
+  // ȳ − θ·(x̄ − x̄_pooled) is the IEEE ratio of exact integers, so even
+  // the float column hash-matches cross-engine.
+  // Shape at 100 TB: one groupBy(user) with map-side combine, one
+  // 5-moment global aggregate broadcast back, one 2-row variant
+  // aggregate. The covariate join never shuffles the event log twice.
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"),
+      to_date(col("ts")).as("d"),
+      expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+    val d0 = ev.agg(min(col("d")).as("d0"))
+    val perUser = ev.crossJoin(broadcast(d0))
+      .withColumn("is_pre", datediff(col("d"), col("d0")) < 15)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("is_pre"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(!col("is_pre"), col("cents")).otherwise(0L)).as("y"))
+      .withColumn("variant", col("user_id") % 2 === 0)
+    val mom = perUser.agg(count(lit(1)).as("gn"),
+      sum(col("x")).as("gsx"), sum(col("y")).as("gsy"),
+      sum(expr("x * y")).as("gsxy"), sum(expr("x * x")).as("gsxx"))
+    perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("sum_x_cents"), sum(col("y")).as("sum_y_cents"))
+      .crossJoin(broadcast(mom))
+      .withColumn("theta_num", expr(
+        "CAST(CAST(gn AS DECIMAL(38,0)) * gsxy" +
+          " - CAST(gsx AS DECIMAL(38,0)) * gsy AS DECIMAL(38,0))"))
+      .withColumn("theta_den", expr(
+        "CAST(CAST(gn AS DECIMAL(38,0)) * gsxx" +
+          " - CAST(gsx AS DECIMAL(38,0)) * gsx AS DECIMAL(38,0))"))
+      .withColumn("mean_adj_cents", expr(
+        "CAST(sum_y_cents AS DOUBLE) / n_users" +
+          " - (CAST(theta_num AS DOUBLE) / CAST(theta_den AS DOUBLE))" +
+          " * (CAST(sum_x_cents AS DOUBLE) / n_users" +
+          " - CAST(gsx AS DOUBLE) / gn)"))
+      .select(col("variant"), col("n_users"), col("sum_x_cents"),
+        col("sum_y_cents"), col("theta_num"), col("theta_den"),
+        col("mean_adj_cents"))
+      .orderBy(col("variant"))
+  }
+  private val q185Sql =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d,
+      |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |m AS (SELECT MIN(d) AS d0 FROM ev),
+      |pu AS (
+      |  SELECT user_id, user_id % 2 = 0 AS variant,
+      |    CAST(SUM(CASE WHEN DATEDIFF('day', d0, d) < 15 THEN cents
+      |      ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN DATEDIFF('day', d0, d) < 15 THEN 0
+      |      ELSE cents END) AS BIGINT) AS y
+      |  FROM ev, m GROUP BY user_id),
+      |mom AS (
+      |  SELECT COUNT(*) AS gn, CAST(SUM(x) AS BIGINT) AS gsx,
+      |    CAST(SUM(y) AS BIGINT) AS gsy,
+      |    CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS gsxy,
+      |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS gsxx
+      |  FROM pu),
+      |va AS (
+      |  SELECT variant, COUNT(*) AS n_users,
+      |    CAST(SUM(x) AS BIGINT) AS sum_x_cents,
+      |    CAST(SUM(y) AS BIGINT) AS sum_y_cents
+      |  FROM pu GROUP BY variant),
+      |j AS (
+      |  SELECT va.*, mom.gn, mom.gsx,
+      |    CAST(mom.gn * mom.gsxy - CAST(mom.gsx AS HUGEINT) * mom.gsy
+      |      AS DECIMAL(38,0)) AS theta_num,
+      |    CAST(mom.gn * mom.gsxx - CAST(mom.gsx AS HUGEINT) * mom.gsx
+      |      AS DECIMAL(38,0)) AS theta_den
+      |  FROM va, mom)
+      |SELECT variant, n_users, sum_x_cents, sum_y_cents,
+      |  theta_num, theta_den,
+      |  CAST(sum_y_cents AS DOUBLE) / n_users
+      |    - (CAST(theta_num AS DOUBLE) / CAST(theta_den AS DOUBLE))
+      |    * (CAST(sum_x_cents AS DOUBLE) / n_users
+      |    - CAST(gsx AS DOUBLE) / gn) AS mean_adj_cents
+      |FROM j ORDER BY variant""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q183_trend_slope", q183, Some(q183Sql)),
+    QueryDef("q184_watermark_audit", q184, Some(q184Sql)),
+    QueryDef("q185_cuped_readout", q185, Some(q185Sql)),
     QueryDef("q10_events_hourly", q10, Some(q10Sql)),
     QueryDef("q106_rate_spikes", q106, Some(q106Sql)),
     QueryDef("q83_event_funnel", q83, Some(q83Sql)),

@@ -1088,6 +1088,70 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q184 watermark audit: drops decrease with delay, permilles consistent") {
+    val rows = SparkEntry.queries("q184_watermark_audit")(spark, dir).collect()
+      .sortBy(_.getAs[Long]("delay_s"))
+    assert(rows.map(_.getAs[Long]("delay_s")).toSeq == Seq(0L, 60L, 300L, 900L))
+    val n = rows.head.getAs[Long]("n_events")
+    assert(rows.forall(_.getAs[Long]("n_events") == n))
+    // more patience can only drop fewer events
+    val drops = rows.map(_.getAs[Long]("n_dropped"))
+    assert(drops.sliding(2).forall { case Array(a, b) => b <= a; case _ => true })
+    // the jitter is < 600 s, so every event is within 900 s of the watermark
+    assert(drops.last == 0L)
+    for (r <- rows)
+      assert(r.getAs[Long]("drop_permille") ==
+        r.getAs[Long]("n_dropped") * 1000 / n)
+  }
+
+  test("q185 CUPED: two variants, pooled theta shared, adjusted mean finite") {
+    val rows = SparkEntry.queries("q185_cuped_readout")(spark, dir).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Boolean]("variant")).toSet == Set(true, false))
+    val thetas = rows.map(r => (r.getAs[java.math.BigDecimal]("theta_num"),
+      r.getAs[java.math.BigDecimal]("theta_den"))).distinct
+    assert(thetas.length == 1)              // pooled across variants
+    assert(thetas.head._2.signum > 0)       // variance numerator positive
+    for (r <- rows) {
+      assert(!r.getAs[Double]("mean_adj_cents").isNaN)
+      assert(r.getAs[Long]("n_users") > 0)
+    }
+  }
+
+  test("q186 ship lag: buckets partition the items, breach rate exact") {
+    val rows = SparkEntry.queries("q186_ship_lag_sla")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val n = r.getAs[Long]("n_items")
+      assert(r.getAs[Long]("n_le30") + r.getAs[Long]("n_le60") +
+        r.getAs[Long]("n_le90") + r.getAs[Long]("n_breach") == n)
+      assert(r.getAs[Long]("min_lag") <= r.getAs[Long]("max_lag"))
+      assert(r.getAs[Long]("breach_permille") ==
+        r.getAs[Long]("n_breach") * 1000 / n)
+    }
+  }
+
+  test("q187 weighted percentiles: ordered, and p50 covers half the weight") {
+    val rows = SparkEntry.queries("q187_weighted_median")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    for (r <- rows) {
+      val flag = r.getAs[String]("flag")
+      assert(r.getAs[Long]("wp25_cents") <= r.getAs[Long]("wp50_cents") &&
+        r.getAs[Long]("wp50_cents") <= r.getAs[Long]("wp75_cents"))
+      // independently recompute: weight at or below p50 covers ≥ half
+      import org.apache.spark.sql.functions._
+      val w = li.filter(col("l_returnflag") === flag)
+        .select((expr("CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 100 AS BIGINT)"))
+          .as("cents"), col("l_quantity").cast("long").as("w"))
+      val tot = w.agg(sum("w")).head.getLong(0)
+      val below = w.filter(col("cents") <= r.getAs[Long]("wp50_cents"))
+        .agg(sum("w")).head.getLong(0)
+      assert(below * 2 >= tot)
+      assert(tot == r.getAs[Long]("total_weight"))
+    }
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
