@@ -727,7 +727,115 @@ object CurationOps {
     QueryDef("q143_perceptron_round", q143, Some(q143Sql)),
     QueryDef("q178_preference_pairs", q178, Some(q178Sql)),
     QueryDef("q181_token_budget", q181, Some(q181Sql)),
+    QueryDef("q188_dataset_card", q188, Some(q188Sql)),
+    QueryDef("q190_signal_agreement", q190, Some(q190Sql)),
   )
+
+  // q188 — DATASET CARD: the one-row datasheet a corpus release ships
+  // with (Gebru et al., "Datasheets for Datasets") — doc/source/lang
+  // counts, char and token totals, exact-duplicate mass, and the
+  // embedding side's shape, all in one schema-stable row. Each panel is
+  // an independent scan-level aggregate; the exact-dup panel reuses the
+  // q13/q58 fingerprint-groupBy shape.
+  // Shape at 100 TB: three full-scan aggregates (each map-side combined
+  // to one row per task), one fingerprint groupBy on 16-byte keys —
+  // then three one-row broadcasts cross-joined. Nothing wide ever
+  // shuffles; the card costs two passes over metadata columns plus one
+  // over md5(text).
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val doc = d.agg(count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("n_chars")).as("total_chars"),
+      expr("CAST(SUM(n_chars div 4) AS BIGINT)").as("est_tokens"))
+    val dup = d.groupBy(md5(col("text")).as("fp"))
+      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_unique_texts"),
+        sum(expr("c - 1")).as("n_dup_docs"))
+    val emb = load(s, dir, "embeddings").agg(
+      count(lit(1)).as("n_vecs"),
+      max(size(col("embedding"))).cast("long").as("dims"))
+    doc.crossJoin(broadcast(dup)).crossJoin(broadcast(emb))
+      .withColumn("dup_permille", expr("n_dup_docs * 1000 div n_docs"))
+  }
+  private val q188Sql =
+    """WITH doc AS (
+      |  SELECT COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
+      |    COUNT(DISTINCT lang) AS n_langs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |    CAST(SUM(n_chars // 4) AS BIGINT) AS est_tokens
+      |  FROM documents),
+      |dup AS (
+      |  SELECT COUNT(*) AS n_unique_texts,
+      |    CAST(SUM(c - 1) AS BIGINT) AS n_dup_docs
+      |  FROM (SELECT COUNT(*) AS c FROM documents GROUP BY MD5(text)) t),
+      |emb AS (
+      |  SELECT COUNT(*) AS n_vecs, CAST(MAX(LEN(embedding)) AS BIGINT) AS dims
+      |  FROM embeddings)
+      |SELECT doc.*, dup.*, emb.*,
+      |  CAST(n_dup_docs * 1000 // n_docs AS BIGINT) AS dup_permille
+      |FROM doc, dup, emb""".stripMargin
+
+  // q190 — quality-SIGNAL agreement: do two cheap per-doc quality
+  // signals rank documents the same way? Spearman's rho per source
+  // between lexical diversity (distinct words ‰) and mean word length
+  // (chars-per-word ‰), from exact integer ranks: rho = 1 −
+  // 6Σd²/(n(n²−1)), published as the exact permille (den − 6Σd²)·1000
+  // div den. Ties broken by doc_id on BOTH rankings (the documented
+  // deterministic proxy — both engines walk identical sequences).
+  // Low agreement means the signals measure different things (keep
+  // both in the q75 gate); high means one is redundant.
+  // Shape at 100 TB: ranks are windows WITHIN source strata (bounded,
+  // never a global sort), and both windows plus the final aggregate
+  // share the one source-keyed exchange.
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir).select(col("source"), col("doc_id"),
+      expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000" +
+        " div NULLIF(CAST(size(split(text, ' ')) AS BIGINT), 0)").as("s1"),
+      expr("CAST(n_chars AS BIGINT) * 1000" +
+        " div NULLIF(CAST(size(split(text, ' ')) AS BIGINT), 0)").as("s2"))
+      .filter(col("s1").isNotNull && col("s2").isNotNull)
+    val grp = Window.partitionBy(col("source"))
+    val ranked = scored
+      .withColumn("r1", row_number()
+        .over(grp.orderBy(col("s1"), col("doc_id"))).cast("long"))
+      .withColumn("r2", row_number()
+        .over(grp.orderBy(col("s2"), col("doc_id"))).cast("long"))
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("(r1 - r2) * (r1 - r2)")).as("sum_d2"))
+      .withColumn("den", expr("n_docs * (n_docs * n_docs - 1)"))
+      .withColumn("rho_permille",
+        expr("(den - 6 * sum_d2) * 1000 div NULLIF(den, 0)"))
+      .select(col("source"), col("n_docs"), col("sum_d2"),
+        col("rho_permille"))
+      .orderBy(col("source"))
+  }
+  private val q190Sql =
+    """WITH scored AS (
+      |  SELECT source, doc_id,
+      |    LEN(LIST_DISTINCT(STR_SPLIT(text, ' '))) * 1000
+      |      // NULLIF(LEN(STR_SPLIT(text, ' ')), 0) AS s1,
+      |    n_chars * 1000 // NULLIF(LEN(STR_SPLIT(text, ' ')), 0) AS s2
+      |  FROM documents),
+      |nn AS (SELECT * FROM scored WHERE s1 IS NOT NULL AND s2 IS NOT NULL),
+      |ranked AS (
+      |  SELECT source,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY s1, doc_id)
+      |      AS BIGINT) AS r1,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY s2, doc_id)
+      |      AS BIGINT) AS r2
+      |  FROM nn),
+      |agg AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2
+      |  FROM ranked GROUP BY source)
+      |SELECT source, n_docs, sum_d2,
+      |  CAST((n_docs * (n_docs * n_docs - 1) - 6 * sum_d2) * 1000
+      |    // NULLIF(n_docs * (n_docs * n_docs - 1), 0) AS BIGINT)
+      |    AS rho_permille
+      |FROM agg ORDER BY source""".stripMargin
 
   // q181 — token-BUDGET planner (the data-mixing ledger): given a total
   // training budget and q81's deterministic per-source mixture weights,

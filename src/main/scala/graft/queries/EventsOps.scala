@@ -545,10 +545,71 @@ object EventsOps {
       |    - CAST(gsx AS DOUBLE) / gn) AS mean_adj_cents
       |FROM j ORDER BY variant""".stripMargin
 
+  // q189 — GINI concentration of per-user spend, per event type: the
+  // inequality readout that answers "is this workload dominated by a
+  // few hot users" (the demand-side twin of q158's join-key skew
+  // report — a high Gini HERE predicts a hot key THERE). Exact via the
+  // rank formulation G = (2Σi·wᵢ − (n+1)Σw) / (n·Σw) on ascending-
+  // sorted user totals; Σi·wᵢ is tie-invariant (equal w across a tied
+  // run contribute a fixed Σi regardless of order), and the residual
+  // row_number tie-break on user_id makes both engines' sequences
+  // identical anyway. Published as exact integer numerator/denominator
+  // plus the floored permille.
+  // Shape at 100 TB: user totals partial-aggregate on (type, user);
+  // the rank window and the final aggregate share the one type-keyed
+  // exchange. Per-type strata are user counts — if one type's stratum
+  // outgrew a task, the two-level flavor (bucket by spend range, rank
+  // within, offset by bucket prefix-counts) drops in without changing
+  // the output.
+  private def q189(s: SparkSession, dir: String): DataFrame = {
+    val ut = events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(expr("CAST(ROUND(value * 100) AS BIGINT)")).as("w"))
+    val win = Window.partitionBy(col("event_type"))
+      .orderBy(col("w"), col("user_id"))
+    ut.withColumn("i", row_number().over(win).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("w")).as("sum_w_cents"),
+        sum(expr("i * w")).as("sum_iw"))
+      .withColumn("gini_num",
+        expr("2 * sum_iw - (n_users + 1) * sum_w_cents"))
+      .withColumn("gini_den", expr("n_users * sum_w_cents"))
+      .withColumn("gini_permille",
+        expr("gini_num * 1000 div NULLIF(gini_den, 0)"))
+      .select(col("event_type"), col("n_users"), col("sum_w_cents"),
+        col("sum_iw"), col("gini_num"), col("gini_den"),
+        col("gini_permille"))
+      .orderBy(col("event_type"))
+  }
+  private val q189Sql =
+    """WITH ut AS (
+      |  SELECT event_type, user_id,
+      |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS w
+      |  FROM events GROUP BY event_type, user_id),
+      |ranked AS (
+      |  SELECT event_type, w,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY w, user_id) AS BIGINT) AS i
+      |  FROM ut),
+      |agg AS (
+      |  SELECT event_type, COUNT(*) AS n_users,
+      |    CAST(SUM(w) AS BIGINT) AS sum_w_cents,
+      |    CAST(SUM(i * w) AS BIGINT) AS sum_iw
+      |  FROM ranked GROUP BY event_type)
+      |SELECT event_type, n_users, sum_w_cents, sum_iw,
+      |  CAST(2 * sum_iw - (n_users + 1) * sum_w_cents AS BIGINT)
+      |    AS gini_num,
+      |  CAST(n_users * sum_w_cents AS BIGINT) AS gini_den,
+      |  CAST((2 * sum_iw - (n_users + 1) * sum_w_cents) * 1000
+      |    // NULLIF(n_users * sum_w_cents, 0) AS BIGINT) AS gini_permille
+      |FROM agg ORDER BY event_type""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q183_trend_slope", q183, Some(q183Sql)),
     QueryDef("q184_watermark_audit", q184, Some(q184Sql)),
     QueryDef("q185_cuped_readout", q185, Some(q185Sql)),
+    QueryDef("q189_gini_concentration", q189, Some(q189Sql)),
     QueryDef("q10_events_hourly", q10, Some(q10Sql)),
     QueryDef("q106_rate_spikes", q106, Some(q106Sql)),
     QueryDef("q83_event_funnel", q83, Some(q83Sql)),

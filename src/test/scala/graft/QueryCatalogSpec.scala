@@ -1152,6 +1152,41 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q188 dataset card: one row, panels reconcile with the base tables") {
+    val rows = SparkEntry.queries("q188_dataset_card")(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(r.getAs[Long]("n_docs") == docs.count())
+    assert(r.getAs[Long]("n_unique_texts") + r.getAs[Long]("n_dup_docs") ==
+      r.getAs[Long]("n_docs"))
+    assert(r.getAs[Long]("dims") == 64L)
+    assert(r.getAs[Long]("total_chars") > r.getAs[Long]("est_tokens"))
+  }
+
+  test("q189 Gini: permille in [0,1000), rank formula reconciles") {
+    val rows = SparkEntry.queries("q189_gini_concentration")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val g = r.getAs[Long]("gini_permille")
+      assert(g >= 0 && g < 1000, s"gini out of range: $g")
+      assert(r.getAs[Long]("gini_num") ==
+        2 * r.getAs[Long]("sum_iw") -
+          (r.getAs[Long]("n_users") + 1) * r.getAs[Long]("sum_w_cents"))
+    }
+  }
+
+  test("q190 signal agreement: rho bounded by the Spearman extremes") {
+    val rows = SparkEntry.queries("q190_signal_agreement")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val rho = r.getAs[Long]("rho_permille")
+      // rho in [-1, 1] → permille in [-1000, 1000]
+      assert(rho >= -1000 && rho <= 1000, s"rho out of range: $rho")
+      assert(r.getAs[Long]("sum_d2") >= 0)
+    }
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
