@@ -25,10 +25,15 @@ object Bench {
     val spark = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // 57 queries × several codegen'd stages each overflow the default
+      // 190 queries × several codegen'd stages each overflow the default
       // 100-entry generated-class cache, forcing recompilation in the
-      // timed pass right after the warm-up compiled everything
-      .config("spark.sql.codegen.cache.maxEntries", "2000"))
+      // timed pass right after the warm-up compiled everything. Round 5
+      // measured 30-80% inflation on unchanged plans when the suite
+      // doubled past the old 2000-entry cap (r04 87-query times vs r05
+      // 190-query times, same plans — see ARCHITECTURE §6d); 10000
+      // entries gives the 190-query suite the same headroom the
+      // 87-query suite had at 2000.
+      .config("spark.sql.codegen.cache.maxEntries", "10000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up pass at the smallest scale factor: whole-stage codegen
@@ -62,22 +67,37 @@ object Bench {
     // reported alongside as the interference-free steady-state floor.
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector())
+    // A query that errors yields a near-zero fail-fast sample that would
+    // silently flatter the suite total (round-5 lesson: 5 analysis-dead
+    // queries hid inside an rc:0 n:190 artifact). Record the first error
+    // per query, drop errored queries from the totals, and publish the
+    // list so the artifact self-describes partial runs.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     for (_ <- 1 to reps; (name, fn) <- entries) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        errors.getOrElseUpdate(name,
+          (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
+            .replaceAll("""[^ -!#-\[\]-~]""", " ").take(160))
+      }
       // queries cache intermediate frames per invocation; drop them so
       // every rep pays the same (full) cost and memory stays bounded
       spark.catalog.clearCache()
       samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
     }
-    val med = entries.map { case (name, _) => name -> median(samples(name)) }
-    val mins = entries.map { case (name, _) => name -> samples(name).min }
+    val ok = entries.filterNot { case (name, _) => errors.contains(name) }
+    val med = ok.map { case (name, _) => name -> median(samples(name)) }
+    val mins = ok.map { case (name, _) => name -> samples(name).min }
+    val errJson = errors
+      .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     def renderMap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = med.map(_._2).sum
     val totalMin = mins.map(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+        s""""n_ok":${ok.size},"n_errored":${errors.size},"errors":$errJson,""" +
         s""""queries":${renderMap(med)},""" +
         s""""total_min":$totalMin,"queries_min":${renderMap(mins)},"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
@@ -94,6 +114,7 @@ object Bench {
     val top10 = med.sortBy(-_._2).take(10)
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","n":${entries.size},""" +
+        s""""n_ok":${ok.size},"n_errored":${errors.size},""" +
         s""""reps":$reps,"total_min":$totalMin,""" +
         s""""queries":${renderMap(top10)},"sf":"$sfDir"}"""
     println(compact)

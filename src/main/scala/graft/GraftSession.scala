@@ -22,8 +22,10 @@ object GraftSession {
     */
   val sharedConfs: Seq[(String, String)] = Seq(
     "spark.sql.session.timeZone" -> "UTC",
-    // events.parquet stores TIMESTAMP(NANOS); read as long, normalized
-    // to µs in graft.queries.EventsOps
+    // if an upstream writer ships TIMESTAMP(NANOS) parquet, read it as
+    // long rather than erroring; graft.Tables.normalizeEventTs rebuilds
+    // µs timestamps (part of the flavor-proof load boundary — NTZ and
+    // µs-UTC flavors are handled there too)
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     // ObjectHashAggregate (collect_list / typed Aggregators, e.g. q57's
     // BoundedCollectAggregator) falls back to SORT-based aggregation

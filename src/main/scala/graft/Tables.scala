@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.Column
 
 /** Parquet table loaders for the driver test data (TESTDATA.md).
@@ -11,24 +12,50 @@ import org.apache.spark.sql.Column
   * it actually uses (verify via `.explain` → ReadSchema / PushedFilters).
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` loader with the TIMESTAMP(NANOS) normalization: sessions
-    * read the ns column as long (`spark.sql.legacy.parquet.nanosAsLong`)
-    * and we rebuild µs timestamps so Spark and the DuckDB oracle see
-    * identical instants (the driver data is µs-aligned; `div 1000` is
-    * lossless).
+  /** Flavor-proof timestamp boundary: upstream writers (pandas, arrow,
+    * another engine) freely switch parquet timestamps between µs-UTC
+    * (`isAdjustedToUTC=true` → Spark `TimestampType`), µs naive
+    * (`timestamp[us]` no-tz → Spark `TimestampNTZType`), and
+    * `TIMESTAMP(NANOS)` (→ `LongType` under
+    * `spark.sql.legacy.parquet.nanosAsLong`). The engine must not care:
+    * every load normalizes to `TimestampType`. Graft sessions pin
+    * `spark.sql.session.timeZone=UTC` ([[GraftSession.sharedConfs]]), so
+    * the NTZ→TZ cast is an exact relabeling of the same wall-clock
+    * micros — no instant shifts.
+    *
+    * The cast is a no-op projection over the scan (column pruning and
+    * predicate pushdown still reach the parquet reader), so this costs
+    * nothing at 100 TB.
     */
-  def loadEvents(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    val raw = load(spark, dir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
+  def normalizeTemporal(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
     }
+    ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
   }
+
+  /** `ts`-column normalizer covering the nanos-as-long flavor on top of
+    * [[normalizeTemporal]]'s NTZ handling. LongType can only be detected
+    * per-column (a long column is not inherently temporal), so callers
+    * that know `ts` is a timestamp route through here; the driver data
+    * is µs-aligned, making `div 1000` lossless.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    normalizeTemporal(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** `events` loader: [[load]] plus the nanos-as-long `ts` case. */
+  def loadEvents(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(load(spark, dir, "events"))
 
   /** Exact-arithmetic bridge for cross-engine (Spark vs DuckDB oracle)
     * double aggregation: floating sums are order-dependent, so both

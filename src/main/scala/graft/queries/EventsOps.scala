@@ -22,22 +22,15 @@ import graft.QueryDef
   */
 object EventsOps {
 
-  /** The driver's events parquet stores `ts` as TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects. With
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench/test
-    * sessions) the column arrives as nanos-since-epoch LongType; normalize
-    * to a µs TimestampType here. The data carries no sub-µs components
-    * (verified), and DuckDB reads the same column as µs TIMESTAMP, so both
-    * engines see identical instants.
+  /** Flavor-proof events loader ([[graft.Tables.loadEvents]]): the
+    * driver's events parquet has shipped `ts` as TIMESTAMP(NANOS)
+    * (rounds ≤4; arrives as LongType under nanosAsLong) and as naive
+    * `timestamp[us]` (round 5+; arrives as TIMESTAMP_NTZ). Both — plus
+    * the plain µs-UTC flavor — normalize to `TimestampType` at the load
+    * boundary, so every query below can assume one temporal type.
     */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    val raw = load(s, dir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
-  }
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.loadEvents(s, dir)
 
   // q10 — tumbling-window (1h) aggregation; exact sums via DECIMAL bridge.
   private def q10(s: SparkSession, dir: String): DataFrame =
@@ -466,9 +459,16 @@ object EventsOps {
   // own min day — sf-proof) becomes the covariate; the pooled
   // regression coefficient θ = cov(x,y)/var(x) is carried as exact
   // integer normal-equation numerators in DECIMAL(38,0) (n·Σxy brushes
-  // 10²⁰ at sf0.1 — BIGINT would overflow), and the adjusted mean
-  // ȳ − θ·(x̄ − x̄_pooled) is the IEEE ratio of exact integers, so even
-  // the float column hash-matches cross-engine.
+  // 10²⁰ at sf0.1 — BIGINT would overflow) and PUBLISHED as digit
+  // strings, and the adjusted mean ȳ − θ·(x̄ − x̄_pooled) is published
+  // in integer micro-cents via truncating integer division — both
+  // Spark `div` and DuckDB `//` truncate toward zero, so the staged
+  // θ-in-nano-units → adjustment-in-micro-cents computation is
+  // bit-identical cross-engine with every intermediate inside
+  // DECIMAL(38,0)/HUGEINT range. (Round-5 lesson: raw DECIMAL(38,0)
+  // and IEEE-double output columns were the catalog's only two
+  // hash-misses — wide/float renderings are not portable through the
+  // gate's type bridge; digits and BIGINTs are.)
   // Shape at 100 TB: one groupBy(user) with map-side combine, one
   // 5-moment global aggregate broadcast back, one 2-row variant
   // aggregate. The covariate join never shuffles the event log twice.
@@ -490,20 +490,31 @@ object EventsOps {
       .agg(count(lit(1)).as("n_users"),
         sum(col("x")).as("sum_x_cents"), sum(col("y")).as("sum_y_cents"))
       .crossJoin(broadcast(mom))
-      .withColumn("theta_num", expr(
+      .withColumn("theta_num_d", expr(
         "CAST(CAST(gn AS DECIMAL(38,0)) * gsxy" +
           " - CAST(gsx AS DECIMAL(38,0)) * gsy AS DECIMAL(38,0))"))
-      .withColumn("theta_den", expr(
+      .withColumn("theta_den_d", expr(
         "CAST(CAST(gn AS DECIMAL(38,0)) * gsxx" +
           " - CAST(gsx AS DECIMAL(38,0)) * gsx AS DECIMAL(38,0))"))
-      .withColumn("mean_adj_cents", expr(
-        "CAST(sum_y_cents AS DOUBLE) / n_users" +
-          " - (CAST(theta_num AS DOUBLE) / CAST(theta_den AS DOUBLE))" +
-          " * (CAST(sum_x_cents AS DOUBLE) / n_users" +
-          " - CAST(gsx AS DOUBLE) / gn)"))
+      // per-variant covariate imbalance numerator: n·gn·(x̄ − x̄_pooled)
+      .withColumn("dxn", expr(
+        "CAST(sum_x_cents AS DECIMAL(38,0)) * gn" +
+          " - CAST(gsx AS DECIMAL(38,0)) * n_users"))
+      // θ in nano-units (≈1e9·θ fits BIGINT; numerator ≤1e29 fits
+      // DECIMAL(38,0)); then θ·(x̄ − x̄_pooled) in micro-cents
+      .withColumn("theta_nano", expr(
+        "(CAST(1000000000 AS DECIMAL(38,0)) * theta_num_d) div theta_den_d"))
+      .withColumn("adj_micro", expr(
+        "(CAST(theta_nano AS DECIMAL(38,0)) * dxn)" +
+          " div (CAST(1000 AS DECIMAL(38,0)) * n_users * gn)"))
+      .withColumn("mean_adj_microcents", expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * sum_y_cents) div n_users" +
+          " - adj_micro"))
       .select(col("variant"), col("n_users"), col("sum_x_cents"),
-        col("sum_y_cents"), col("theta_num"), col("theta_den"),
-        col("mean_adj_cents"))
+        col("sum_y_cents"),
+        expr("CAST(theta_num_d AS STRING)").as("theta_num"),
+        expr("CAST(theta_den_d AS STRING)").as("theta_den"),
+        col("mean_adj_microcents"))
       .orderBy(col("variant"))
   }
   private val q185Sql =
@@ -532,18 +543,24 @@ object EventsOps {
       |  FROM pu GROUP BY variant),
       |j AS (
       |  SELECT va.*, mom.gn, mom.gsx,
-      |    CAST(mom.gn * mom.gsxy - CAST(mom.gsx AS HUGEINT) * mom.gsy
-      |      AS DECIMAL(38,0)) AS theta_num,
-      |    CAST(mom.gn * mom.gsxx - CAST(mom.gsx AS HUGEINT) * mom.gsx
-      |      AS DECIMAL(38,0)) AS theta_den
-      |  FROM va, mom)
+      |    mom.gn * mom.gsxy - CAST(mom.gsx AS HUGEINT) * mom.gsy
+      |      AS theta_num_h,
+      |    mom.gn * mom.gsxx - CAST(mom.gsx AS HUGEINT) * mom.gsx
+      |      AS theta_den_h,
+      |    CAST(va.sum_x_cents AS HUGEINT) * mom.gn
+      |      - CAST(mom.gsx AS HUGEINT) * va.n_users AS dxn
+      |  FROM va, mom),
+      |k AS (
+      |  SELECT *, (CAST(1000000000 AS HUGEINT) * theta_num_h)
+      |    // theta_den_h AS theta_nano
+      |  FROM j)
       |SELECT variant, n_users, sum_x_cents, sum_y_cents,
-      |  theta_num, theta_den,
-      |  CAST(sum_y_cents AS DOUBLE) / n_users
-      |    - (CAST(theta_num AS DOUBLE) / CAST(theta_den AS DOUBLE))
-      |    * (CAST(sum_x_cents AS DOUBLE) / n_users
-      |    - CAST(gsx AS DOUBLE) / gn) AS mean_adj_cents
-      |FROM j ORDER BY variant""".stripMargin
+      |  CAST(theta_num_h AS VARCHAR) AS theta_num,
+      |  CAST(theta_den_h AS VARCHAR) AS theta_den,
+      |  CAST((CAST(1000000 AS HUGEINT) * sum_y_cents) // n_users
+      |    - (theta_nano * dxn) // (CAST(1000 AS HUGEINT) * n_users * gn)
+      |    AS BIGINT) AS mean_adj_microcents
+      |FROM k ORDER BY variant""".stripMargin
 
   // q189 — GINI concentration of per-user spend, per event type: the
   // inequality readout that answers "is this workload dominated by a
@@ -605,7 +622,65 @@ object EventsOps {
       |    // NULLIF(n_users * sum_w_cents, 0) AS BIGINT) AS gini_permille
       |FROM agg ORDER BY event_type""".stripMargin
 
+  // q191 — SRM (sample-ratio mismatch) audit: the gate an experimenter
+  // runs BEFORE trusting q164/q185 — a biased assignment invalidates
+  // every downstream readout (Fabijan et al., "Diagnosing Sample Ratio
+  // Mismatch"). Per first-seen-day cohort (catches time-localized
+  // assignment bugs: a bad deploy skews only the days it was live) plus
+  // an ALL row: arm counts under the 50/50 user_id%2 split and the
+  // one-degree chi-square statistic (n₀−n₁)²/n in exact integer
+  // micro-units — expected counts are n/2, so the two-arm χ² collapses
+  // to this single ratio. srm flags χ² > 3.841459 (95th pct of χ²₁).
+  // Shape at 100 TB: one user-keyed partial-agg (first-seen day), one
+  // low-cardinality day rollup — no joins, no skew exposure; the ALL
+  // row reuses the day rollup (grouping-sets shape) rather than
+  // re-scanning users.
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    val perDay = events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("d0"))
+      .withColumn("v0", when(col("user_id") % 2 === 0, 1L).otherwise(0L))
+      .groupBy(col("d0"))
+      .agg(count(lit(1)).as("n_users"), sum(col("v0")).as("n_v0"))
+      .select(col("d0").cast("string").as("cohort"),
+        col("n_users"), col("n_v0"))
+    val withAll = perDay.unionByName(
+      perDay.agg(sum(col("n_users")).as("n_users"), sum(col("n_v0")).as("n_v0"))
+        .select(lit("ALL").as("cohort"), col("n_users"), col("n_v0")))
+    withAll
+      .withColumn("n_v1", col("n_users") - col("n_v0"))
+      .withColumn("chi2_micro", expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * (n_v0 - n_v1) * (n_v0 - n_v1))" +
+          " div n_users"))
+      .withColumn("srm", col("chi2_micro") > 3841459L)
+      .select(col("cohort"), col("n_users"), col("n_v0"), col("n_v1"),
+        col("chi2_micro"), col("srm"))
+      .orderBy(col("cohort"))
+  }
+  private val q191Sql =
+    """WITH fs AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events
+      |  GROUP BY user_id),
+      |pd AS (
+      |  SELECT CAST(d0 AS VARCHAR) AS cohort,
+      |    CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_v0
+      |  FROM fs GROUP BY d0),
+      |wa AS (
+      |  SELECT * FROM pd
+      |  UNION ALL
+      |  SELECT 'ALL', CAST(SUM(n_users) AS BIGINT),
+      |    CAST(SUM(n_v0) AS BIGINT) FROM pd)
+      |SELECT cohort, n_users, n_v0, n_users - n_v0 AS n_v1,
+      |  CAST((CAST(1000000 AS HUGEINT) * (2 * n_v0 - n_users)
+      |      * (2 * n_v0 - n_users)) // n_users AS BIGINT) AS chi2_micro,
+      |  (CAST(1000000 AS HUGEINT) * (2 * n_v0 - n_users)
+      |      * (2 * n_v0 - n_users)) // n_users > 3841459 AS srm
+      |FROM wa ORDER BY cohort""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
+    QueryDef("q191_srm_audit", q191, Some(q191Sql)),
     QueryDef("q183_trend_slope", q183, Some(q183Sql)),
     QueryDef("q184_watermark_audit", q184, Some(q184Sql)),
     QueryDef("q185_cuped_readout", q185, Some(q185Sql)),

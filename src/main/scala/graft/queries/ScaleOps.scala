@@ -584,6 +584,7 @@ object ScaleOps {
     QueryDef("q158_skew_report", q158, Some(q158Sql)),
     QueryDef("q163_zonemap_audit", q163, Some(q163Sql)),
     QueryDef("q165_encoding_advisor", q165, Some(q165Sql)),
+    QueryDef("q192_hilbert_layout", q192, Some(q192Sql)),
   )
 
   // q165 — column ENCODING ADVISOR: the storage-layout sibling of
@@ -730,6 +731,123 @@ object ScaleOps {
       |${audit("natural", "lineitem", "l_orderkey, l_linenumber")}
       |UNION ALL
       |${audit("zorder", "zk", "z, l_orderkey, l_linenumber")}
+      |ORDER BY layout""".stripMargin
+  }
+
+  // q192 — HILBERT vs Z-ORDER layout audit: q163 proved the z-layout
+  // pays against natural order; this query settles the next question —
+  // does the Hilbert curve's adjacency-only walk buy tighter file
+  // bounding boxes than Morton's diagonal jumps? Same measured ntile-32
+  // chunk model as q163 (chunk = file, min/max = footer zone map), all
+  // three layouts side by side, with the new EXP_CHUNKS_2D_MICRO
+  // metric: expected chunks read by a uniform-random POINT predicate on
+  // BOTH columns, Σ(w_pk·w_sk)/(dom_pk·dom_sk) — the 2-D box-query
+  // number where curve locality actually differs (per-dimension widths
+  // are near-identical between the curves by construction). The
+  // [[graft.ops.Hilbert]] key is a broadcast 64Ki-cell lookup on the
+  // Spark side and an 8-stage unrolled xy2d CTE chain in the oracle —
+  // the gate proves them bit-identical. Global ntile window = audit
+  // shape (q163's note); production layout writes use
+  // Hilbert.write's range exchange, never a single-partition window.
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+    val zed = graft.ops.ZOrder.withZ(li, "l_partkey", "l_suppkey")
+    val hil = graft.ops.Hilbert.withH(li, "l_partkey", "l_suppkey")
+    def audit(df: DataFrame, layout: String, order: Seq[Column]) = {
+      val chunked = df.withColumn("chunk",
+        ntile(32).over(Window.orderBy(order: _*)))
+      chunked.groupBy(col("chunk"))
+        .agg(min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+          min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("max_pk") - col("min_pk") + 1).cast("long").as("sum_width_part"),
+          sum(col("max_sk") - col("min_sk") + 1).cast("long").as("sum_width_supp"),
+          sum((col("max_pk") - col("min_pk") + 1).cast("long")
+            * (col("max_sk") - col("min_sk") + 1)).cast("long").as("sum_area"))
+        .crossJoin(broadcast(li.agg(
+          (max(col("l_partkey")) - min(col("l_partkey")) + 1).cast("long").as("dom_pk"),
+          (max(col("l_suppkey")) - min(col("l_suppkey")) + 1).cast("long").as("dom_sk"))))
+        .select(lit(layout).as("layout"), col("n_chunks"),
+          expr("sum_width_part * 1000 div dom_pk").as("exp_chunks_part_milli"),
+          expr("sum_width_supp * 1000 div dom_sk").as("exp_chunks_supp_milli"),
+          expr("sum_area * 1000000 div (dom_pk * dom_sk)").as("exp_chunks_2d_micro"))
+    }
+    audit(li, "natural", Seq(col("l_orderkey"), col("l_linenumber")))
+      .unionByName(audit(zed, "zorder",
+        Seq(col("z"), col("l_orderkey"), col("l_linenumber"))))
+      .unionByName(audit(hil, "hilbert",
+        Seq(col("h"), col("l_orderkey"), col("l_linenumber"))))
+      .orderBy(col("layout"))
+  }
+  /** Oracle mirror of [[graft.ops.Hilbert.xy2d]]: 8-bit bucketing then
+    * the MSB-first reflect+swap walk, one CTE per bit, as
+    * `hk(l_orderkey, l_linenumber, l_partkey, l_suppkey, h)`.
+    */
+  private lazy val hkCteSql = {
+    def bucket(c: String, mn: String, mx: String) =
+      s"(CAST($c - $mn AS BIGINT) * 256) // (CAST($mx - $mn AS BIGINT) + 1)"
+    val stages = (0 until 8).map { i =>
+      val s = 1 << (7 - i)
+      val s2 = s * s
+      val (px, py, pd) = (s"hx$i", s"hy$i", s"hd$i")
+      val rx = s"(CASE WHEN ($px & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN ($py & $s) > 0 THEN 1 ELSE 0 END)"
+      s"""h${i + 1} AS (
+         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |    CASE WHEN $ry = 0
+         |      THEN (CASE WHEN $rx = 1 THEN 255 - $py ELSE $py END)
+         |      ELSE $px END AS hx${i + 1},
+         |    CASE WHEN $ry = 0
+         |      THEN (CASE WHEN $rx = 1 THEN 255 - $px ELSE $px END)
+         |      ELSE $py END AS hy${i + 1},
+         |    $pd + $s2 * xor(3 * $rx, $ry) AS hd${i + 1}
+         |  FROM h$i)""".stripMargin
+    }.mkString(",\n")
+    s"""hbnd AS (
+      |  SELECT MIN(l_partkey) AS hminx, MAX(l_partkey) AS hmaxx,
+      |         MIN(l_suppkey) AS hminy, MAX(l_suppkey) AS hmaxy
+      |  FROM lineitem),
+      |h0 AS (
+      |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |    ${bucket("l_partkey", "hminx", "hmaxx")} AS hx0,
+      |    ${bucket("l_suppkey", "hminy", "hmaxy")} AS hy0,
+      |    0 AS hd0
+      |  FROM lineitem CROSS JOIN hbnd),
+      |$stages,
+      |hk AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |       hd8 AS h FROM h8)""".stripMargin
+  }
+  private lazy val q192Sql = {
+    def audit(layout: String, src: String, order: String) =
+      s"""SELECT '$layout' AS layout, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(SUM(max_pk - min_pk + 1) AS BIGINT) * 1000
+         |    // (SELECT CAST(MAX(l_partkey) - MIN(l_partkey) + 1 AS BIGINT) FROM lineitem)
+         |    AS exp_chunks_part_milli,
+         |  CAST(SUM(max_sk - min_sk + 1) AS BIGINT) * 1000
+         |    // (SELECT CAST(MAX(l_suppkey) - MIN(l_suppkey) + 1 AS BIGINT) FROM lineitem)
+         |    AS exp_chunks_supp_milli,
+         |  CAST(SUM(CAST(max_pk - min_pk + 1 AS BIGINT) * (max_sk - min_sk + 1)) AS BIGINT)
+         |    * 1000000
+         |    // ((SELECT CAST(MAX(l_partkey) - MIN(l_partkey) + 1 AS BIGINT) FROM lineitem)
+         |        * (SELECT CAST(MAX(l_suppkey) - MIN(l_suppkey) + 1 AS BIGINT) FROM lineitem))
+         |    AS exp_chunks_2d_micro
+         |FROM (
+         |  SELECT chunk, MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+         |    MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk
+         |  FROM (SELECT l_partkey, l_suppkey,
+         |          NTILE(32) OVER (ORDER BY $order) AS chunk
+         |        FROM $src) t
+         |  GROUP BY chunk) c""".stripMargin
+    s"""WITH $zkCteSql,
+      |$hkCteSql
+      |${audit("natural", "lineitem", "l_orderkey, l_linenumber")}
+      |UNION ALL
+      |${audit("zorder", "zk", "z, l_orderkey, l_linenumber")}
+      |UNION ALL
+      |${audit("hilbert", "hk", "h, l_orderkey, l_linenumber")}
       |ORDER BY layout""".stripMargin
   }
 

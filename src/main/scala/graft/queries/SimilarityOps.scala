@@ -892,8 +892,13 @@ object SimilarityOps {
   // pair (i ≤ j) gets n, Σxᵢ, Σxⱼ, Σxᵢxⱼ and the covariance numerator
   // n·Σxᵢxⱼ − Σxᵢ·Σxⱼ — all on the integer micro-grid (floor(x·1e6),
   // the q21 rule), so the matrix is bit-identical cross-engine.
-  // DECIMAL(38,0) carries the final product: n·Σxᵢxⱼ brushes 7·10¹⁸ at
-  // sf0.1 and would overflow BIGINT at the next scale step.
+  // DECIMAL(38,0) carries the final product internally (n·Σxᵢxⱼ brushes
+  // 7·10¹⁸ at sf0.1 and would overflow BIGINT at the next scale step)
+  // but is PUBLISHED as its digit string: wide decimals render
+  // differently across engines'/drivers' type bridges, and the gate
+  // hashes the rendering — the digits are the portable encoding
+  // (round-5 lesson: q180/q185 were the only hash-misses in the
+  // catalog, both on DECIMAL(38,0) output columns).
   // Shape at 100 TB: the per-row d(d+1)/2 pair expansion is narrow (36
   // structs from one cached 8-slice — no self-join, no shuffle of
   // vectors); the only exchange is a partial-aggregatable groupBy onto
@@ -915,8 +920,8 @@ object SimilarityOps {
         sum(col("xi")).as("sum_xi"), sum(col("xj")).as("sum_xj"),
         sum(col("xi") * col("xj")).as("sum_xixj"))
       .withColumn("comoment", expr(
-        "CAST(CAST(n AS DECIMAL(38,0)) * sum_xixj" +
-          " - CAST(sum_xi AS DECIMAL(38,0)) * sum_xj AS DECIMAL(38,0))"))
+        "CAST(CAST(CAST(n AS DECIMAL(38,0)) * sum_xixj" +
+          " - CAST(sum_xi AS DECIMAL(38,0)) * sum_xj AS DECIMAL(38,0)) AS STRING)"))
       .orderBy(col("i"), col("j"))
   private val q180Sql =
     """WITH xm AS (
@@ -933,7 +938,7 @@ object SimilarityOps {
       |  CAST(SUM(xi * xj) AS BIGINT) AS sum_xixj,
       |  CAST(COUNT(*) * CAST(SUM(xi * xj) AS HUGEINT)
       |    - CAST(SUM(xi) AS HUGEINT) * CAST(SUM(xj) AS HUGEINT)
-      |    AS DECIMAL(38,0)) AS comoment
+      |    AS VARCHAR) AS comoment
       |FROM tri GROUP BY i, j ORDER BY i, j""".stripMargin
 
   // q177 — RAG context ASSEMBLY: the serving-side step after retrieval —

@@ -1396,14 +1396,20 @@ object TextOps {
   // recall and candidate volume are monotone in r — pinned in the spec.
   // Shape at 100 TB: signatures are one partial-agg min pass (fixed
   // 8-value state/doc); per config, candidates come from band equi-joins
-  // — never all-pairs; ONLY the truth set is quadratic, which is why
-  // this audit runs on a bounded sample (the q73/q87 audit pattern).
+  // — never all-pairs; ONLY the truth set is quadratic, so the audit is
+  // probe-sampled (the q87 pattern): the smaller endpoint of every
+  // audited pair is a deterministic 1-in-5 of the docs (doc_id%5=0),
+  // turning the exact-Jaccard side into (n/5)·n and shrinking the
+  // candidate measurement the same way. Truth, hits, candidates,
+  // recall, and precision are all over the SAME probe subset, so the
+  // columns stay internally consistent; the sweep's shape (nested
+  // candidate sets, monotone recall) is sampling-invariant.
   private val LshConfigs = Seq((8, 1), (4, 2), (2, 4), (1, 8))
   private def q146(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(s, dir).cache()
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val nsh = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
-    val truth = ex.as("a").join(ex.as("b"),
+    val truth = ex.filter(col("doc_id") % 5 === 0).as("a").join(ex.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
@@ -1425,7 +1431,8 @@ object TextOps {
         sigs.select(col("doc_id"), lit(j).as("band"),
           concat_ws("|", (0 until r).map(i => col(s"sig${j * r + i}")): _*).as("key"))
       }.reduce(_ unionByName _)
-      val cand = stacked.as("x").join(stacked.as("y"),
+      val cand = stacked.filter(col("doc_id") % 5 === 0).as("x")
+        .join(stacked.as("y"),
           col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -1459,6 +1466,7 @@ object TextOps {
       |ns AS (SELECT doc_id, CAST(LEN(shingles) AS BIGINT) AS n_sh FROM sh),
       |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common
       |       FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |       WHERE a.doc_id % 5 = 0
       |       GROUP BY 1, 2),
       |truth AS (SELECT doc_a, doc_b
       |          FROM pr JOIN ns na ON pr.doc_a = na.doc_id
@@ -1471,7 +1479,8 @@ object TextOps {
       |  $stacked),
       |cand AS (SELECT DISTINCT x.config, x.doc_id AS doc_a, y.doc_id AS doc_b
       |         FROM st x JOIN st y ON x.config = y.config AND x.band = y.band
-      |           AND x.key = y.key AND x.doc_id < y.doc_id),
+      |           AND x.key = y.key AND x.doc_id < y.doc_id
+      |         WHERE x.doc_id % 5 = 0),
       |ag AS (SELECT config, CAST(COUNT(*) AS BIGINT) AS n_candidates,
       |         CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM truth t
       |             WHERE t.doc_a = c.doc_a AND t.doc_b = c.doc_b)

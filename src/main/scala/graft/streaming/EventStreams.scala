@@ -24,23 +24,22 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Schema for streaming reads of the events parquet (ts arrives as
-    * TIMESTAMP(NANOS) → LongType under nanosAsLong; normalized here).
+  /** readStream entry for a directory of events parquet.
+    *
+    * FileStreamSource needs an explicit schema, but the `ts` flavor is
+    * the upstream writer's choice — TIMESTAMP(NANOS) arrives as LongType
+    * (under nanosAsLong), naive `timestamp[us]` as TIMESTAMP_NTZ, µs-UTC
+    * as TimestampType. Peek the on-disk schema with a one-time
+    * driver-side batch footer read (no data scan), then normalize `ts`
+    * to TimestampType via the same flavor-proof boundary the batch path
+    * uses ([[graft.Tables.normalizeEventTs]]) so every downstream
+    * watermark/window operator sees one temporal type.
     */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** readStream entry for a directory of events parquet. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val onDisk = spark.read.parquet(dir).schema
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(onDisk).parquet(dir))
+  }
 
   /** Tumbling 1-hour windows with a 10-minute watermark — the streaming
     * form of q10_events_hourly.

@@ -646,8 +646,7 @@ class QueryCatalogSpec extends AnyFunSuite {
     val totalCredit = rows.agg(sum("credit_permille")).collect()(0).getLong(0)
     // count purchases that have ≥1 click in their preceding hour —
     // integer-remainder assignment makes conservation EXACT
-    val e = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val e = graft.Tables.loadEvents(spark, dir)
     val p = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").as("pt"), col("event_id").as("pid"))
     val c = e.filter(col("event_type") === "click")
@@ -1035,8 +1034,10 @@ class QueryCatalogSpec extends AnyFunSuite {
       val i = r.getAs[Long]("i"); val j = r.getAs[Long]("j")
       assert(i >= 0 && i <= j && j <= 7)
       // diagonal cells carry the variance numerator: n·Σx² − (Σx)² ≥ 0
+      // (published as a digit string — wide decimals don't survive the
+      // gate's type bridge)
       if (i == j)
-        assert(r.getAs[java.math.BigDecimal]("comoment").signum >= 0)
+        assert(new java.math.BigDecimal(r.getAs[String]("comoment")).signum >= 0)
     }
     // Σxᵢ reported in cell (i,i) must agree with the Σxᵢ of every (i,j)
     val sumByDim = rows.filter(r => r.getAs[Long]("i") == r.getAs[Long]("j"))
@@ -1108,13 +1109,19 @@ class QueryCatalogSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("q185_cuped_readout")(spark, dir).collect()
     assert(rows.length == 2)
     assert(rows.map(_.getAs[Boolean]("variant")).toSet == Set(true, false))
-    val thetas = rows.map(r => (r.getAs[java.math.BigDecimal]("theta_num"),
-      r.getAs[java.math.BigDecimal]("theta_den"))).distinct
+    val thetas = rows.map(r => (r.getAs[String]("theta_num"),
+      r.getAs[String]("theta_den"))).distinct
     assert(thetas.length == 1)              // pooled across variants
-    assert(thetas.head._2.signum > 0)       // variance numerator positive
+    assert(new java.math.BigDecimal(thetas.head._2).signum > 0) // var > 0
     for (r <- rows) {
-      assert(!r.getAs[Double]("mean_adj_cents").isNaN)
-      assert(r.getAs[Long]("n_users") > 0)
+      val n = r.getAs[Long]("n_users")
+      assert(n > 0)
+      // adjusted mean stays in the same regime as the raw post-period
+      // mean: the CUPED correction shifts, it does not replace
+      val rawMeanMicro = r.getAs[Long]("sum_y_cents") * 1000000L / n
+      val adj = r.getAs[Long]("mean_adj_microcents")
+      assert(math.abs(adj - rawMeanMicro) <= rawMeanMicro,
+        s"adjusted mean $adj implausibly far from raw $rawMeanMicro")
     }
   }
 
@@ -1185,6 +1192,44 @@ class QueryCatalogSpec extends AnyFunSuite {
       assert(rho >= -1000 && rho <= 1000, s"rho out of range: $rho")
       assert(r.getAs[Long]("sum_d2") >= 0)
     }
+  }
+
+  test("q191 SRM audit: cohorts partition the users, chi-square identity holds") {
+    val rows = SparkEntry.queries("q191_srm_audit")(spark, dir).collect()
+    val (all, days) = rows.partition(_.getAs[String]("cohort") == "ALL")
+    assert(all.length == 1 && days.nonEmpty)
+    // cohorts partition the user base: per-day arms sum to the ALL row
+    assert(days.map(_.getAs[Long]("n_users")).sum == all.head.getAs[Long]("n_users"))
+    assert(days.map(_.getAs[Long]("n_v0")).sum == all.head.getAs[Long]("n_v0"))
+    val users = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id").distinct().count()
+    assert(all.head.getAs[Long]("n_users") == users)
+    for (r <- rows) {
+      val (n, v0, v1) = (r.getAs[Long]("n_users"), r.getAs[Long]("n_v0"),
+        r.getAs[Long]("n_v1"))
+      assert(v0 + v1 == n)
+      val d = v0 - v1
+      assert(r.getAs[Long]("chi2_micro") == 1000000L * d * d / n)
+      assert(r.getAs[Boolean]("srm") == (r.getAs[Long]("chi2_micro") > 3841459L))
+    }
+  }
+
+  test("q192 layout audit: curves crush natural order, hilbert beats zorder in 2-D") {
+    val rows = SparkEntry.queries("q192_hilbert_layout")(spark, dir).collect()
+      .map(r => r.getAs[String]("layout") -> r).toMap
+    assert(rows.keySet == Set("natural", "zorder", "hilbert"))
+    def d2(l: String) = rows(l).getAs[Long]("exp_chunks_2d_micro")
+    for (r <- rows.values) assert(r.getAs[Long]("n_chunks") == 32L)
+    // both curves cut 2-D point-predicate reads ≥5× vs ingest order
+    assert(d2("zorder") * 5 < d2("natural"), s"${d2("zorder")} vs ${d2("natural")}")
+    assert(d2("hilbert") * 5 < d2("natural"), s"${d2("hilbert")} vs ${d2("natural")}")
+    // the adjacency-only walk gives tighter chunk bounding boxes than
+    // Morton's diagonal jumps — the reason this operator exists
+    assert(d2("hilbert") < d2("zorder"), s"${d2("hilbert")} vs ${d2("zorder")}")
+    // per-dimension widths: every chunk spans ≥ 1/32 of each domain, so
+    // milli values are ≥ 1000; sanity-floor the audit arithmetic
+    for (r <- rows.values; c <- Seq("exp_chunks_part_milli", "exp_chunks_supp_milli"))
+      assert(r.getAs[Long](c) >= 1000L, s"${r.getAs[String]("layout")} $c")
   }
 
   test("q133 per-source rollup reconciles with the q126 verdict totals") {

@@ -31,9 +31,7 @@ class EventStreamsSpec extends AnyFunSuite {
     q.stop()
   }
 
-  private def batchEvents() =
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  private def batchEvents() = graft.Tables.loadEvents(spark, dir)
 
   test("hourly counts match the batch aggregation") {
     val stream = EventStreams.readEvents(spark, streamDir)

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Per-query bench regression diff (VERDICT r05 item 7).
+
+Usage: python3 tools/bench_diff.py OLD.json NEW.json [--threshold 0.15]
+
+Reads two BENCH_LOCAL.json-format files (the full-map artifact graft.Bench
+writes), joins their per-query medians, and flags queries whose time moved
+more than the threshold in either direction. Prints a summary + the flagged
+table; exits 1 if any query regressed past the threshold (so the round
+workflow can notice), 0 otherwise.
+
+Round-5 motivation: shared queries inflated 30-80% between the 87-query
+r04 run and the 190-query r05 run with unchanged plans, and nothing in the
+repo caught it. This closes that blind spot.
+"""
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        d = json.loads(f.read().strip())
+    return d
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    thr = 0.15
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold"):
+            thr = float(a.split("=", 1)[1]) if "=" in a else float(
+                sys.argv[sys.argv.index(a) + 1])
+    if len(args) < 2:
+        sys.exit(__doc__)
+    old, new = load(args[0]), load(args[1])
+    oq, nq = old.get("queries", {}), new.get("queries", {})
+    shared = sorted(set(oq) & set(nq))
+    only_old = sorted(set(oq) - set(nq))
+    only_new = sorted(set(nq) - set(oq))
+    errored = sorted(set(old.get("errors", {})) | set(new.get("errors", {})))
+
+    regressed, improved = [], []
+    for q in shared:
+        a, b = oq[q], nq[q]
+        if a <= 0:
+            continue
+        delta = (b - a) / a
+        if delta > thr:
+            regressed.append((q, a, b, delta))
+        elif delta < -thr:
+            improved.append((q, a, b, delta))
+
+    tot_old = sum(oq[q] for q in shared)
+    tot_new = sum(nq[q] for q in shared)
+    print(f"shared queries: {len(shared)}  "
+          f"(old-only {len(only_old)}, new-only {len(only_new)})")
+    print(f"shared-subset total: {tot_old:.1f}s -> {tot_new:.1f}s  "
+          f"({(tot_new - tot_old) / tot_old * 100:+.1f}%)")
+    if errored:
+        print(f"errored in either run (excluded by Bench): {', '.join(errored)}")
+
+    def table(title, rows):
+        if not rows:
+            return
+        print(f"\n{title} (>{thr:.0%}):")
+        for q, a, b, d in sorted(rows, key=lambda r: -abs(r[3])):
+            print(f"  {q:40s} {a:7.2f}s -> {b:7.2f}s  {d * 100:+6.1f}%")
+
+    table("REGRESSED", regressed)
+    table("improved", improved)
+    if not regressed and not improved:
+        print(f"no per-query move beyond {thr:.0%}")
+    sys.exit(1 if regressed else 0)
+
+
+if __name__ == "__main__":
+    main()
