@@ -679,7 +679,76 @@ object EventsOps {
       |      * (2 * n_v0 - n_users)) // n_users > 3841459 AS srm
       |FROM wa ORDER BY cohort""".stripMargin
 
+  // q193 — POINT-IN-TIME feature join: the leakage-safe feature
+  // assembly step of a training pipeline. Labels are purchase events;
+  // features are per-(user, day) activity aggregates that become
+  // AVAILABLE at the next midnight (a day's rollup can't be served
+  // mid-day); each label gets the latest feature row whose
+  // availability timestamp ≤ the label timestamp — never a later one,
+  // which would be target leakage. Spark has no ASOF join, so this is
+  // the one-shuffle production form: features and labels union into a
+  // single user-keyed stream ordered by (time, kind) and a
+  // last_value(ignoreNulls) running window carries the newest feature
+  // forward onto each label row. The DuckDB oracle replays it with a
+  // NATIVE `ASOF JOIN` — the gate literally proves the rewrite
+  // implements as-of semantics.
+  // Shape at 100 TB: ONE hash exchange on user_id shared by the
+  // feature aggregation and the window; no range join, no per-label
+  // probe. Skewed users would get the q88 salting treatment upstream.
+  private def q193(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+    val feats = ev
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("f_events"), sum(col("cents")).as("f_cents"))
+      .select(col("user_id"),
+        unix_micros(date_add(col("d"), 1).cast("timestamp")).as("t_us"),
+        lit(0L).as("kind"), col("d").cast("string").as("feat_day"),
+        col("f_events"), col("f_cents"),
+        lit(null).cast("long").as("event_id"))
+    val labels = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        lit(1L).as("kind"), lit(null).cast("string").as("feat_day"),
+        lit(null).cast("long").as("f_events"),
+        lit(null).cast("long").as("f_cents"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    feats.unionByName(labels)
+      .withColumn("pit_day", last(col("feat_day"), ignoreNulls = true).over(w))
+      .withColumn("pit_events", last(col("f_events"), ignoreNulls = true).over(w))
+      .withColumn("pit_cents", last(col("f_cents"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1L && col("pit_day").isNotNull)
+      .select(col("event_id"), col("user_id"), col("t_us").as("label_us"),
+        col("pit_day").as("feat_day"),
+        col("pit_events").as("feat_n_events"),
+        col("pit_cents").as("feat_sum_cents"))
+      .orderBy(col("event_id"))
+  }
+  private val q193Sql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |feats AS (
+      |  SELECT user_id,
+      |    EPOCH_US(CAST(CAST(ts AS DATE) + 1 AS TIMESTAMP)) AS avail_us,
+      |    CAST(CAST(ts AS DATE) AS VARCHAR) AS feat_day,
+      |    CAST(COUNT(*) AS BIGINT) AS feat_n_events,
+      |    CAST(SUM(cents) AS BIGINT) AS feat_sum_cents
+      |  FROM ev GROUP BY user_id, CAST(ts AS DATE)),
+      |labels AS (
+      |  SELECT event_id, user_id, EPOCH_US(ts) AS label_us
+      |  FROM ev WHERE event_type = 'purchase')
+      |SELECT l.event_id, l.user_id, l.label_us,
+      |  f.feat_day, f.feat_n_events, f.feat_sum_cents
+      |FROM labels l ASOF JOIN feats f
+      |  ON l.user_id = f.user_id AND l.label_us >= f.avail_us
+      |ORDER BY l.event_id""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
+    QueryDef("q193_pit_features", q193, Some(q193Sql)),
     QueryDef("q191_srm_audit", q191, Some(q191Sql)),
     QueryDef("q183_trend_slope", q183, Some(q183Sql)),
     QueryDef("q184_watermark_audit", q184, Some(q184Sql)),

@@ -3572,7 +3572,174 @@ object TextOps {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM base) p""".stripMargin
 
+  // q194 — retrieval-quality EVAL (MRR / hits@k): the measurement layer
+  // over the retrieval stack — does BM25 surface the corpus's best
+  // verbatim-overlap doc? Queries are a deterministic 1-in-20 doc
+  // sample (the q87/q146 audit pattern); ground truth is each query's
+  // exact n-gram-Jaccard top-1, found through the shingle join
+  // (sub-quadratic — only docs sharing a shingle can be the top-1).
+  // The retrieval UNIT is the 8-gram shingle, not the word token —
+  // measured, not assumed: this corpus's token vocabulary is so small
+  // that its rarest df≥2 token appears in 376 of 500 docs (and an
+  // embedding-cosine gold was measured too: max top-1 cos 0.49 —
+  // mutually near-orthogonal noise). Tokens and vectors are both
+  // non-discriminative here; shingles are what retrieval can grip.
+  // Each query searches with its 5 rarest MATCHABLE shingles (df ≥ 2
+  // ascending — a df=1 shingle exists only in the query doc), scored
+  // with q129's exact-integer BM25 rationals over shingle tf/df/dl.
+  // The truth doc's rank is computed by COUNTING strictly-better docs
+  // (score desc, doc_id asc) — rank-by-count needs no top-k
+  // materialization and no global sort. Output: one summary row —
+  // queries, queries with a gold neighbor, truth-scored count,
+  // hits@1, hits@10, and MRR@10 in exact milli units (MRR over
+  // queries that HAVE a gold neighbor).
+  // Shape at 100 TB: tf/df/dl are partial-agg shuffles on the exploded
+  // shingle stream; the per-query fan-out only carries the 5-term
+  // posting lists; the truth side explodes only the 1-in-20 probe
+  // sample against the shingle index; ranks come from one
+  // (q, doc)-grouped count — no window over the corpus.
+  private def q194(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingled(s, dir).cache()
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle")).cache()
+    val nsh = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
+    val tf = ex.groupBy(col("doc_id"), col("shingle"))
+      .agg(count(lit(1)).as("tf")).cache()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      expr("sum(dl) div count(1)").as("avgdl"))
+    val dfreq = tf.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val qids = sh.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("q"))
+    val truth = ex.filter(col("doc_id") % 20 === 0).as("a")
+      .join(ex.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("q"), col("b.doc_id").as("d"))
+      .agg(count(lit(1)).as("common"))
+      .join(nsh.select(col("doc_id").as("q"), col("n_sh").as("n_q")), "q")
+      .join(nsh.select(col("doc_id").as("d"), col("n_sh").as("n_d")), "d")
+      .withColumn("jac", col("common").cast("double") /
+        (col("n_q") + col("n_d") - col("common")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q")).orderBy(col("jac").desc, col("d"))))
+      .filter(col("rn") === 1)
+      .select(col("q"), col("d").as("truth_id"))
+    // query terms: the 5 rarest MATCHABLE shingles (df ≥ 2 — a df=1
+    // shingle lives only in the query doc and can never retrieve)
+    val qterms = tf.join(qids.select(col("q")), col("doc_id") === col("q"))
+      .join(dfreq, Seq("shingle"))
+      .filter(col("df") >= 2)
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("q")).orderBy(col("df").asc, col("shingle").asc)))
+      .filter(col("r") <= 5)
+      .select(col("q"), col("shingle"))
+    val scored = tf.join(qterms, Seq("shingle"))
+      .filter(col("doc_id") =!= col("q"))
+      .join(dfreq, Seq("shingle")).join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("q"), col("doc_id"),
+        expr("(((2 * (n_docs - df) + 1) * 1000) div (2 * df + 1)) " +
+          "* 22 * tf * avgdl div (10 * tf * avgdl + 3 * avgdl + 9 * dl)")
+          .as("contrib"))
+      .groupBy(col("q"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score")).cache()
+    val tscore = scored.join(truth,
+        scored("q") === truth("q") && col("doc_id") === col("truth_id"))
+      .select(scored("q"), col("truth_id"), col("score").as("ts"))
+    val better = scored.join(tscore, Seq("q"))
+      .filter(col("score") > col("ts") ||
+        (col("score") === col("ts") && col("doc_id") < col("truth_id")))
+      .groupBy(col("q")).agg(count(lit(1)).as("nb"))
+    val ranks = tscore.join(better, Seq("q"), "left")
+      .select(col("q"), (coalesce(col("nb"), lit(0L)) + 1L).as("rank"))
+    qids.select(col("q"))
+      .join(truth, Seq("q"), "left")
+      .join(ranks, Seq("q"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        count(col("truth_id")).as("n_with_truth"),
+        count(col("rank")).as("n_truth_ranked"),
+        sum(when(col("rank") === 1L, 1L).otherwise(0L)).as("hits_at_1"),
+        sum(when(col("rank") <= 10L, 1L).otherwise(0L)).as("hits_at_10"),
+        sum(when(col("rank") <= 10L, expr("1000 div rank")).otherwise(0L))
+          .as("sum_rr_milli"))
+      .withColumn("mrr10_milli",
+        expr("sum_rr_milli div nullif(n_with_truth, 0)"))
+  }
+  private lazy val q194Sql =
+    s"""WITH shq AS ($shingledSql),
+      |exq AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM shq),
+      |nshq AS (SELECT doc_id, CAST(LEN(shingles) AS BIGINT) AS n_sh FROM shq),
+      |tf AS (SELECT doc_id, shingle, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM exq GROUP BY doc_id, shingle),
+      |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+      |       FROM tf GROUP BY doc_id),
+      |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |                 CAST(SUM(dl) AS BIGINT) // COUNT(*) AS avgdl FROM dl),
+      |dfreq AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+      |          FROM tf GROUP BY shingle),
+      |qids AS (SELECT doc_id AS q FROM shq WHERE doc_id % 20 = 0),
+      |truth AS (
+      |  SELECT q, d AS truth_id FROM (
+      |    SELECT pr.q, pr.d,
+      |      ROW_NUMBER() OVER (PARTITION BY pr.q ORDER BY
+      |        CAST(pr.common AS DOUBLE) / (nq.n_sh + nd.n_sh - pr.common)
+      |          DESC, pr.d) AS rn
+      |    FROM (
+      |      SELECT a.doc_id AS q, b.doc_id AS d,
+      |        CAST(COUNT(*) AS BIGINT) AS common
+      |      FROM exq a JOIN exq b ON a.shingle = b.shingle
+      |        AND a.doc_id <> b.doc_id
+      |      WHERE a.doc_id % 20 = 0
+      |      GROUP BY 1, 2) pr
+      |    JOIN nshq nq ON nq.doc_id = pr.q
+      |    JOIN nshq nd ON nd.doc_id = pr.d) t
+      |  WHERE rn = 1),
+      |qterms AS (
+      |  SELECT q, shingle FROM (
+      |    SELECT qi.q, tf.shingle, ROW_NUMBER() OVER (PARTITION BY qi.q
+      |      ORDER BY f.df ASC, tf.shingle ASC) AS r
+      |    FROM tf JOIN qids qi ON tf.doc_id = qi.q
+      |    JOIN dfreq f USING (shingle)
+      |    WHERE f.df >= 2) t
+      |  WHERE r <= 5),
+      |sc2 AS (
+      |  SELECT qt.q, t.doc_id,
+      |    CAST(SUM((((2 * (s.n_docs - f.df) + 1) * 1000) // (2 * f.df + 1))
+      |      * 22 * t.tf * s.avgdl
+      |      // (10 * t.tf * s.avgdl + 3 * s.avgdl + 9 * d.dl)) AS BIGINT)
+      |      AS score
+      |  FROM tf t JOIN qterms qt USING (shingle)
+      |  JOIN dfreq f USING (shingle)
+      |  JOIN dl d ON d.doc_id = t.doc_id
+      |  CROSS JOIN stats s
+      |  WHERE t.doc_id <> qt.q
+      |  GROUP BY qt.q, t.doc_id),
+      |ts2 AS (
+      |  SELECT sc.q, tr.truth_id, sc.score AS ts
+      |  FROM sc2 sc JOIN truth tr ON sc.q = tr.q AND sc.doc_id = tr.truth_id),
+      |bc AS (
+      |  SELECT ts2.q, CAST(COUNT(b.doc_id) AS BIGINT) AS nb
+      |  FROM ts2 LEFT JOIN sc2 b ON b.q = ts2.q
+      |    AND (b.score > ts2.ts
+      |         OR (b.score = ts2.ts AND b.doc_id < ts2.truth_id))
+      |  GROUP BY ts2.q),
+      |ranks AS (SELECT q, nb + 1 AS rank FROM bc)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+      |  CAST(COUNT(tr.truth_id) AS BIGINT) AS n_with_truth,
+      |  CAST(COUNT(r.rank) AS BIGINT) AS n_truth_ranked,
+      |  CAST(SUM(CASE WHEN r.rank = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS hits_at_1,
+      |  CAST(SUM(CASE WHEN r.rank <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS hits_at_10,
+      |  CAST(SUM(CASE WHEN r.rank <= 10 THEN 1000 // r.rank ELSE 0 END)
+      |    AS BIGINT) AS sum_rr_milli,
+      |  CAST(SUM(CASE WHEN r.rank <= 10 THEN 1000 // r.rank ELSE 0 END)
+      |    // NULLIF(COUNT(tr.truth_id), 0) AS BIGINT) AS mrr10_milli
+      |FROM qids LEFT JOIN truth tr USING (q)
+      |LEFT JOIN ranks r USING (q)""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
+    QueryDef("q194_mrr_eval", q194, Some(q194Sql)),
     QueryDef("q13_exact_dedup", q13, Some(q13Sql)),
     QueryDef("q14_text_stats", q14, Some(q14Sql)),
     QueryDef("q15_token_topk", q15, Some(q15Sql)),

@@ -1232,6 +1232,49 @@ class QueryCatalogSpec extends AnyFunSuite {
       assert(r.getAs[Long](c) >= 1000L, s"${r.getAs[String]("layout")} $c")
   }
 
+  test("q193 PIT features: no leakage, and the freshest available day is used") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q193_pit_features")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // recompute each user's event days from the raw table
+    val ev = graft.Tables.loadEvents(spark, dir)
+    val userDays = ev.select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct().collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getDate(1).toLocalDate).toSet).toMap
+    val labelDay = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), to_date(col("ts")).as("d")).collect()
+      .map(r => r.getLong(0) -> r.getDate(1).toLocalDate).toMap
+    for (r <- rows) {
+      val feat = java.time.LocalDate.parse(r.getAs[String]("feat_day"))
+      val label = labelDay(r.getAs[Long]("event_id"))
+      // leakage-freedom: a day's rollup is available only after it ends
+      assert(feat.isBefore(label), s"leak: feat $feat not before label $label")
+      // freshness: no usable event day exists between feat_day and the label
+      val days = userDays(r.getAs[Long]("user_id"))
+      val fresher = days.exists(d => d.isAfter(feat) && d.isBefore(label))
+      assert(!fresher, s"stale: picked $feat with a fresher day before $label")
+    }
+  }
+
+  test("q194 MRR eval: counters nest, reciprocal-rank bounds hold, mrr is the exact ratio") {
+    val r = SparkEntry.queries("q194_mrr_eval")(spark, dir).collect().head
+    def g(c: String) = r.getAs[Long](c)
+    // the funnel nests: sampled ⊇ has-gold ⊇ gold-scored ⊇ top10 ⊇ top1
+    assert(g("n_queries") >= g("n_with_truth"))
+    assert(g("n_with_truth") >= g("n_truth_ranked"))
+    assert(g("n_truth_ranked") >= g("hits_at_10"))
+    assert(g("hits_at_10") >= g("hits_at_1"))
+    assert(g("n_queries") > 0 && g("n_with_truth") > 0)
+    // every top-10 hit contributes 1000/rank ∈ [100, 1000] milli
+    assert(g("sum_rr_milli") <= 1000L * g("hits_at_10"))
+    assert(g("sum_rr_milli") >= 100L * g("hits_at_10"))
+    assert(g("mrr10_milli") == g("sum_rr_milli") / g("n_with_truth"))
+    // the corpus HAS findable near-dups (q16 proves it) — retrieval
+    // must find at least one gold at rank 1
+    assert(g("hits_at_1") >= 1, "retrieval found no gold at rank 1")
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
