@@ -747,7 +747,54 @@ object EventsOps {
       |  ON l.user_id = f.user_id AND l.label_us >= f.avail_us
       |ORDER BY l.event_id""".stripMargin
 
+  // q195 — rolling 7-DAY user activity (RANGE window): per (user,
+  // active day), the trailing-week spend and event totals over VALUE
+  // range (RANGE BETWEEN 6 PRECEDING AND CURRENT ROW on the day
+  // number), not row count — a user active on 3 of the last 7 days
+  // must aggregate exactly those 3 daily rows. This is the
+  // feature-engineering sibling of q193 (its per-day features, widened
+  // to trailing windows) and the one window shape the catalog lacked:
+  // rows/range are different operators (rowsBetween counts physical
+  // rows; rangeBetween resolves the frame by ORDER-BY value). Exact
+  // integer cents throughout.
+  // Shape at 100 TB: one user-keyed exchange shared by the daily
+  // rollup and the window; per-user state is the ≤7-day frame. Skewed
+  // users (bots) would be pre-capped by q158's skew report upstream.
+  private def q195(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day_no"))
+      .agg(sum(expr("CAST(ROUND(value * 100) AS BIGINT)")).as("day_cents"),
+        count(lit(1)).as("day_events"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day_no"))
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("roll7_cents", sum(col("day_cents")).over(w))
+      .withColumn("roll7_events", sum(col("day_events")).over(w))
+      .withColumn("active_days_7", count(lit(1)).over(w))
+      .select(col("user_id"), col("day_no"), col("day_cents"),
+        col("day_events"), col("roll7_cents"), col("roll7_events"),
+        col("active_days_7"))
+      .orderBy(col("user_id"), col("day_no"))
+  }
+  private val q195Sql =
+    """WITH daily AS (
+      |  SELECT user_id, EPOCH_US(ts) // 86400000000 AS day_no,
+      |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+      |      AS day_cents,
+      |    CAST(COUNT(*) AS BIGINT) AS day_events
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, day_no, day_cents, day_events,
+      |  CAST(SUM(day_cents) OVER w AS BIGINT) AS roll7_cents,
+      |  CAST(SUM(day_events) OVER w AS BIGINT) AS roll7_events,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS active_days_7
+      |FROM daily
+      |WINDOW w AS (PARTITION BY user_id ORDER BY day_no
+      |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, day_no""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
+    QueryDef("q195_rolling_window", q195, Some(q195Sql)),
     QueryDef("q193_pit_features", q193, Some(q193Sql)),
     QueryDef("q191_srm_audit", q191, Some(q191Sql)),
     QueryDef("q183_trend_slope", q183, Some(q183Sql)),

@@ -3738,7 +3738,182 @@ object TextOps {
       |FROM qids LEFT JOIN truth tr USING (q)
       |LEFT JOIN ranks r USING (q)""".stripMargin
 
+  // q197 — CHARSET-CLASS audit: per source, the character-class
+  // composition (alpha / digit / space / other, in permille of chars)
+  // and its L1 deviation from the corpus-wide composition, in milli —
+  // the cheap first-pass detector for mojibake, binary spill, or a
+  // mis-decoded upstream feed (an ingest source whose class mix drifts
+  // from the corpus norm gets quarantined before any tokenizer sees
+  // it). Pure integer arithmetic; the class counters are
+  // length-difference under regexp_replace (codegen'd, no UDF — and
+  // note DuckDB needs the 'g' flag to match Spark's replace-all
+  // default, a real cross-engine trap this oracle pins).
+  // Shape at 100 TB: one narrow projection computing four counters per
+  // doc, one partial-agg groupBy(source), a broadcast scalar corpus
+  // row — no shuffle carries text.
+  private def q197(s: SparkSession, dir: String): DataFrame = {
+    def cnt(cls: String) =
+      sum(length(col("text")) - length(regexp_replace(col("text"), cls, "")))
+    val per = docs(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("n_chars"),
+        cnt("[A-Za-z]").cast("long").as("n_alpha"),
+        cnt("[0-9]").cast("long").as("n_digit"),
+        cnt("[ ]").cast("long").as("n_space"))
+      .withColumn("n_other",
+        col("n_chars") - col("n_alpha") - col("n_digit") - col("n_space"))
+    val tot = per.agg(sum(col("n_chars")).as("t_chars"),
+      sum(col("n_alpha")).as("t_alpha"), sum(col("n_digit")).as("t_digit"),
+      sum(col("n_space")).as("t_space"), sum(col("n_other")).as("t_other"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        expr("n_alpha * 1000 div n_chars").as("alpha_pm"),
+        expr("n_digit * 1000 div n_chars").as("digit_pm"),
+        expr("n_space * 1000 div n_chars").as("space_pm"),
+        expr("n_other * 1000 div n_chars").as("other_pm"),
+        expr("abs(n_alpha * 1000 div n_chars - t_alpha * 1000 div t_chars)" +
+          " + abs(n_digit * 1000 div n_chars - t_digit * 1000 div t_chars)" +
+          " + abs(n_space * 1000 div n_chars - t_space * 1000 div t_chars)" +
+          " + abs(n_other * 1000 div n_chars - t_other * 1000 div t_chars)")
+          .as("l1_dev_milli"))
+      .orderBy(col("source"))
+  }
+  private val q197Sql =
+    """WITH per AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+      |    CAST(SUM(LENGTH(text)
+      |      - LENGTH(REGEXP_REPLACE(text, '[A-Za-z]', '', 'g'))) AS BIGINT)
+      |      AS n_alpha,
+      |    CAST(SUM(LENGTH(text)
+      |      - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g'))) AS BIGINT)
+      |      AS n_digit,
+      |    CAST(SUM(LENGTH(text)
+      |      - LENGTH(REGEXP_REPLACE(text, '[ ]', '', 'g'))) AS BIGINT)
+      |      AS n_space
+      |  FROM documents GROUP BY source),
+      |p2 AS (
+      |  SELECT *, n_chars - n_alpha - n_digit - n_space AS n_other FROM per),
+      |tot AS (
+      |  SELECT CAST(SUM(n_chars) AS BIGINT) AS t_chars,
+      |    CAST(SUM(n_alpha) AS BIGINT) AS t_alpha,
+      |    CAST(SUM(n_digit) AS BIGINT) AS t_digit,
+      |    CAST(SUM(n_space) AS BIGINT) AS t_space,
+      |    CAST(SUM(n_other) AS BIGINT) AS t_other
+      |  FROM p2)
+      |SELECT source, n_docs, n_chars,
+      |  n_alpha * 1000 // n_chars AS alpha_pm,
+      |  n_digit * 1000 // n_chars AS digit_pm,
+      |  n_space * 1000 // n_chars AS space_pm,
+      |  n_other * 1000 // n_chars AS other_pm,
+      |  ABS(n_alpha * 1000 // n_chars - t_alpha * 1000 // t_chars)
+      |    + ABS(n_digit * 1000 // n_chars - t_digit * 1000 // t_chars)
+      |    + ABS(n_space * 1000 // n_chars - t_space * 1000 // t_chars)
+      |    + ABS(n_other * 1000 // n_chars - t_other * 1000 // t_chars)
+      |    AS l1_dev_milli
+      |FROM p2 CROSS JOIN tot ORDER BY source""".stripMargin
+
+  // q196 — cluster SEPARATION audit: q67 proves three clustering
+  // formulations agree with each other; this query measures whether
+  // the clusters mean anything — over the shingle-sharing candidate
+  // pairs (probe-sampled 1-in-5 on the smaller endpoint, the
+  // q146/q87 audit bound), exact Jaccard in permille, split into
+  // INTRA-cluster vs INTER-cluster by q67's own labels. The decisive
+  // column is n_strong (pairs with J ≥ 0.5): a correct clustering has
+  // ZERO strong inter-cluster pairs — a true near-dup split across
+  // clusters is a dedup recall bug — and every strong pair intra (the
+  // spec pins both). The AVERAGES tell the precision story instead:
+  // band transitive closure chains weakly-similar docs into large
+  // clusters, so intra-avg sits near inter-avg (measured 12‰ vs 11‰
+  // at sf0.01) while intra-max hits 989‰ — exactly the
+  // closure-precision cost q133/q126's keeper policies exist to
+  // absorb. A drifting SimHash banding would show up as strong pairs
+  // leaking into inter long before dedup quality visibly rots.
+  // Shape at 100 TB: the clustering is q67's membership propagation
+  // (no pair graph); the audit pairs are (n/5)·n shingle-bounded; the
+  // label join is two broadcast-size hash joins; output is a 2-row
+  // partial agg.
+  private def q196(s: SparkSession, dir: String): DataFrame = {
+    val memberships = simhashed(s, dir)
+      .select(col("doc_id"), posexplode(array((0 to 3).map(i =>
+        shiftright(col("simhash"), i * 15).bitwiseAND(lit(32767L))): _*))
+        .as(Seq("band_idx", "band_val")))
+      .select(col("doc_id").as("id"),
+        (col("band_idx").cast("long") * 32768L + col("band_val")).as("bucket"))
+    val labeled = graft.ops.ConnectedComponents.labelViaBuckets(memberships)
+    val sh = shingled(s, dir).cache()
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val nsh = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
+    ex.filter(col("doc_id") % 5 === 0).as("a")
+      .join(ex.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(nsh.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(nsh.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jac_pm",
+        expr("common * 1000 div (n_a + n_b - common)"))
+      .join(labeled.select(col("id").as("doc_a"), col("label").as("la")), "doc_a")
+      .join(labeled.select(col("id").as("doc_b"), col("label").as("lb")), "doc_b")
+      .withColumn("pair_class",
+        when(col("la") === col("lb"), "intra").otherwise("inter"))
+      .groupBy(col("pair_class"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("jac_pm")).as("sum_jac"),
+        max(col("jac_pm")).as("max_jac_permille"),
+        sum(when(col("jac_pm") >= 500, 1L).otherwise(0L)).as("n_strong"))
+      .select(col("pair_class"), col("n_pairs"),
+        expr("sum_jac div n_pairs").as("avg_jac_permille"),
+        col("max_jac_permille"), col("n_strong"))
+      .orderBy(col("pair_class"))
+  }
+  private lazy val q196Sql =
+    s"""WITH RECURSIVE $simhashSql,
+      |banded AS (
+      |  SELECT doc_id, i AS band_idx,
+      |    (simhash >> CAST(i * 15 AS INT)) & 32767 AS band_val
+      |  FROM sigs CROSS JOIN GENERATE_SERIES(0, 3) g(i)),
+      |edges AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM banded a JOIN banded b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |    AND a.doc_id < b.doc_id),
+      |und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+      |lbl(id, label) AS (
+      |  SELECT doc_id, doc_id FROM sigs
+      |  UNION
+      |  SELECT u.dst, l.label FROM lbl l JOIN und u ON u.src = l.id),
+      |comp AS (SELECT id, MIN(label) AS cluster_id FROM lbl GROUP BY id),
+      |shq AS ($shingledSql),
+      |exq AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM shq),
+      |nshq AS (SELECT doc_id, CAST(LEN(shingles) AS BIGINT) AS n_sh FROM shq),
+      |pr AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(COUNT(*) AS BIGINT) AS common
+      |  FROM exq a JOIN exq b ON a.shingle = b.shingle
+      |    AND a.doc_id < b.doc_id
+      |  WHERE a.doc_id % 5 = 0
+      |  GROUP BY 1, 2),
+      |cls AS (
+      |  SELECT CASE WHEN ca.cluster_id = cb.cluster_id
+      |           THEN 'intra' ELSE 'inter' END AS pair_class,
+      |    pr.common * 1000 // (na.n_sh + nb.n_sh - pr.common) AS jac_pm
+      |  FROM pr
+      |  JOIN comp ca ON ca.id = pr.doc_a
+      |  JOIN comp cb ON cb.id = pr.doc_b
+      |  JOIN nshq na ON na.doc_id = pr.doc_a
+      |  JOIN nshq nb ON nb.doc_id = pr.doc_b)
+      |SELECT pair_class, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(jac_pm) // COUNT(*) AS BIGINT) AS avg_jac_permille,
+      |  CAST(MAX(jac_pm) AS BIGINT) AS max_jac_permille,
+      |  CAST(SUM(CASE WHEN jac_pm >= 500 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_strong
+      |FROM cls GROUP BY pair_class ORDER BY pair_class""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
+    QueryDef("q196_cluster_separation", q196, Some(q196Sql)),
+    QueryDef("q197_charset_audit", q197, Some(q197Sql)),
     QueryDef("q194_mrr_eval", q194, Some(q194Sql)),
     QueryDef("q13_exact_dedup", q13, Some(q13Sql)),
     QueryDef("q14_text_stats", q14, Some(q14Sql)),

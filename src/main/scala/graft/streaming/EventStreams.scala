@@ -73,6 +73,30 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming SRM monitor — the streaming twin of q191_srm_audit:
+    * per 1-hour tumbling window, experiment-arm EVENT counts
+    * (user_id % 2) and the two-arm chi-square statistic in exact
+    * integer micro-units ((n₀−n₁)²·10⁶ div n, χ²₁ 95% cut at
+    * 3.841459). A deploy that skews assignment mid-stream flips
+    * `srm` within one window + watermark delay of the break — vs the
+    * batch audit that finds it at the next pipeline run. Counts are
+    * per-event (not per-user): streaming first-touch user dedup would
+    * need unbounded state; the batch q191 owns the per-user form, and
+    * an assignment break skews both the same way.
+    */
+  def srmMonitor(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_v0"))
+      .select(col("window.start").as("hour"), col("n_events"), col("n_v0"),
+        (col("n_events") - col("n_v0")).as("n_v1"))
+      .withColumn("chi2_micro", expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * (n_v0 - n_v1) * (n_v0 - n_v1))" +
+          " div n_events"))
+      .withColumn("srm", col("chi2_micro") > lit(3841459L))
+
   final case class SessionEvent(user_id: Long, ts_us: Long, value: Double)
   final case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
   final case class SessionOut(

@@ -1275,6 +1275,59 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(g("hits_at_1") >= 1, "retrieval found no gold at rank 1")
   }
 
+  test("q195 rolling window: value-range frames recompute exactly from daily rows") {
+    val rows = SparkEntry.queries("q195_rolling_window")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val daily = rows.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day_no")) ->
+      (r.getAs[Long]("day_cents"), r.getAs[Long]("day_events"))).toMap
+    for (r <- rows) {
+      val (u, d) = (r.getAs[Long]("user_id"), r.getAs[Long]("day_no"))
+      // the RANGE frame is by day VALUE: exactly the user's rows in
+      // [d-6, d], regardless of how many rows that is
+      val frame = (d - 6 to d).flatMap(dd => daily.get((u, dd)))
+      assert(r.getAs[Long]("roll7_cents") == frame.map(_._1).sum)
+      assert(r.getAs[Long]("roll7_events") == frame.map(_._2).sum)
+      assert(r.getAs[Long]("active_days_7") == frame.length)
+      assert(frame.length <= 7)
+    }
+    // conservation: daily cents sum to the exact per-event cents total
+    import org.apache.spark.sql.functions._
+    val total = graft.Tables.loadEvents(spark, dir)
+      .agg(sum(expr("CAST(ROUND(value * 100) AS BIGINT)"))).head.getLong(0)
+    assert(rows.map(_.getAs[Long]("day_cents")).sum == total)
+  }
+
+  test("q197 charset audit: class permilles partition each source within floor slack") {
+    val rows = SparkEntry.queries("q197_charset_audit")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val pms = Seq("alpha_pm", "digit_pm", "space_pm", "other_pm")
+        .map(r.getAs[Long](_))
+      assert(pms.forall(p => p >= 0 && p <= 1000))
+      // four floored permilles of a partition sum to 1000 minus <4 slack
+      assert(pms.sum <= 1000 && pms.sum >= 997, s"sum ${pms.sum}")
+      assert(r.getAs[Long]("l1_dev_milli") >= 0)
+      assert(r.getAs[Long]("n_chars") > 0)
+    }
+  }
+
+  test("q196 cluster separation: no strong pair straddles clusters") {
+    val rows = SparkEntry.queries("q196_cluster_separation")(spark, dir).collect()
+      .map(r => r.getAs[String]("pair_class") -> r).toMap
+    assert(rows.keySet == Set("intra", "inter"))
+    // recall contract: a J ≥ 0.5 pair split across clusters is a dedup
+    // recall bug — there must be none, and the strong pairs must exist
+    // somewhere (q16 proves the corpus has them)
+    assert(rows("inter").getAs[Long]("n_strong") == 0L)
+    assert(rows("intra").getAs[Long]("n_strong") >= 1L)
+    assert(rows("inter").getAs[Long]("max_jac_permille") < 500L)
+    assert(rows("intra").getAs[Long]("max_jac_permille") >= 500L)
+    for (r <- rows.values) {
+      assert(r.getAs[Long]("n_pairs") > 0)
+      assert(r.getAs[Long]("avg_jac_permille") <= r.getAs[Long]("max_jac_permille"))
+    }
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()

@@ -70,6 +70,32 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got == expected && got > 0)
   }
 
+  test("streaming SRM monitor matches the batch per-hour arm counts bit-for-bit") {
+    val stream = EventStreams.readEvents(spark, streamDir)
+    runToMemory(EventStreams.srmMonitor(stream), "srm", mode = "complete")
+    val got = spark.sql(
+      "select unix_micros(hour) as h, n_events, n_v0, n_v1, chi2_micro, srm from srm")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    val expected = batchEvents()
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("v0"))
+      .collect()
+      .map { r =>
+        val (n, v0) = (r.getLong(1), r.getLong(2))
+        val v1 = n - v0
+        val chi2 = BigInt(1000000) * BigInt(v0 - v1) * BigInt(v0 - v1) / n
+        r.getTimestamp(0).getTime * 1000L ->
+          (n, v0, v1, chi2.toLong, chi2 > 3841459L)
+      }.toMap
+    assert(got.nonEmpty && got == expected)
+    // every event is in exactly one window
+    assert(got.values.map(_._1).sum == batchEvents().count())
+  }
+
   test("transformWithState running totals match the batch aggregation") {
     val stream = EventStreams.readEvents(spark, streamDir)
     runToMemory(EventStreams.runningTotals(spark, stream), "tws_totals", mode = "update")
