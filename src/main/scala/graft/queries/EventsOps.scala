@@ -692,9 +692,14 @@ object EventsOps {
   // forward onto each label row. The DuckDB oracle replays it with a
   // NATIVE `ASOF JOIN` — the gate literally proves the rewrite
   // implements as-of semantics.
-  // Shape at 100 TB: ONE hash exchange on user_id shared by the
-  // feature aggregation and the window; no range join, no per-label
-  // probe. Skewed users would get the q88 salting treatment upstream.
+  // Shape at 100 TB (plan-audited): the feature rollup exchanges
+  // MAP-SIDE-COMBINED (user, day) partials, so the follow-up
+  // user-keyed window exchange carries only daily rows + labels —
+  // orders of magnitude below the raw event log. (Forcing one shared
+  // user exchange is possible via repartition-before-aggregate, but
+  // that shuffles raw events and loses the partial agg — strictly
+  // worse.) No range join, no per-label probe; skewed users would get
+  // the q88 salting treatment upstream.
   private def q193(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
@@ -757,9 +762,11 @@ object EventsOps {
   // rows/range are different operators (rowsBetween counts physical
   // rows; rangeBetween resolves the frame by ORDER-BY value). Exact
   // integer cents throughout.
-  // Shape at 100 TB: one user-keyed exchange shared by the daily
-  // rollup and the window; per-user state is the ≤7-day frame. Skewed
-  // users (bots) would be pre-capped by q158's skew report upstream.
+  // Shape at 100 TB (plan-audited): the daily rollup exchanges
+  // map-side-combined (user, day) partials; the user-keyed window
+  // exchange then carries only ~users·days daily rows, not the event
+  // log; per-user window state is the ≤7-day frame. Skewed users
+  // (bots) would be pre-capped by q158's skew report upstream.
   private def q195(s: SparkSession, dir: String): DataFrame = {
     val daily = events(s, dir)
       .groupBy(col("user_id"),
