@@ -713,7 +713,120 @@ object CurationOps {
       |  ON t.source = b.source AND t.lang = b.lang AND t.r_top = b.r_bot
       |WHERE t.r_top <= t.n // 2 AND t.score - b.score >= 50""".stripMargin
 
+  // q198 — scorer CALIBRATION curve: the deployment audit for q143's
+  // distilled quality scorer. Every doc is re-scored with the round-2
+  // perceptron weights, rank-bucketed into score deciles (ntile —
+  // global window, audit shape; the production form buckets against
+  // broadcast GK quantile boundaries from q138's machinery), and each
+  // decile reports its rule-label positive rate in permille — the
+  // reliability diagram a curation owner reads before replacing the
+  // rule with the scorer. A well-ordered scorer shows the rate rising
+  // across deciles (the spec pins top ≫ bottom); a flat curve means
+  // the linear model failed to compress the rule and must not ship.
+  // All integer: weights, scores, counts, permilles.
+  // Shape at 100 TB: one cached narrow feature pass, two 6-number
+  // broadcast aggregates (q143's rounds), one broadcast re-score
+  // projection; only the decile ntile is presentation-scale.
+  private def q198(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s) // count_in
+    val ft = docs(s, dir)
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+        length(col("text")).cast("long").as("n_chars"),
+        expr("count_in(w, 'the', 'a', 'of', 'and', 'to')").as("n_stop"))
+      .withColumn("y",
+        when(col("n_words").between(40, 200) &&
+          col("n_distinct") * 10 >= col("n_words") * 3, 1L).otherwise(-1L))
+      .cache()
+    val w1 = ft.agg(
+      sum(col("y")).as("b1"),
+      sum(col("y") * col("n_words")).as("ww1"),
+      sum(col("y") * col("n_distinct")).as("wd1"),
+      sum(col("y") * col("n_chars")).as("wc1"),
+      sum(col("y") * col("n_stop")).as("ws1"))
+    val s2 = ft.crossJoin(broadcast(w1))
+      .withColumn("score",
+        col("b1") + col("ww1") * col("n_words") + col("wd1") * col("n_distinct") +
+          col("wc1") * col("n_chars") + col("ws1") * col("n_stop"))
+    val mist = col("y") * col("score") <= 0
+    val w2 = s2.agg(
+      first(col("b1")).as("b1"), first(col("ww1")).as("ww1"),
+      first(col("wd1")).as("wd1"), first(col("wc1")).as("wc1"),
+      first(col("ws1")).as("ws1"),
+      sum(when(mist, col("y")).otherwise(0L)).as("gb"),
+      sum(when(mist, col("y") * col("n_words")).otherwise(0L)).as("gw"),
+      sum(when(mist, col("y") * col("n_distinct")).otherwise(0L)).as("gd"),
+      sum(when(mist, col("y") * col("n_chars")).otherwise(0L)).as("gc"),
+      sum(when(mist, col("y") * col("n_stop")).otherwise(0L)).as("gs"))
+      .select(
+        (col("b1") + col("gb")).as("b2"), (col("ww1") + col("gw")).as("ww2"),
+        (col("wd1") + col("gd")).as("wd2"), (col("wc1") + col("gc")).as("wc2"),
+        (col("ws1") + col("gs")).as("ws2"))
+    ft.crossJoin(broadcast(w2))
+      .withColumn("score2",
+        col("b2") + col("ww2") * col("n_words") + col("wd2") * col("n_distinct") +
+          col("wc2") * col("n_chars") + col("ws2") * col("n_stop"))
+      .withColumn("decile", ntile(10).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score2"), col("doc_id"))).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"),
+        min(col("score2")).as("min_score"), max(col("score2")).as("max_score"))
+      .select(col("decile"), col("n_docs"), col("n_pos"),
+        expr("n_pos * 1000 div n_docs").as("pos_rate_permille"),
+        col("min_score"), col("max_score"))
+      .orderBy(col("decile"))
+  }
+  private val q198Sql =
+    """WITH ft AS (
+      |  SELECT doc_id, CAST(LEN(w) AS BIGINT) AS n_words,
+      |    CAST(LEN(LIST_DISTINCT(w)) AS BIGINT) AS n_distinct,
+      |    CAST(LENGTH(text) AS BIGINT) AS n_chars,
+      |    CAST(LEN(LIST_FILTER(w, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS n_stop,
+      |    CASE WHEN LEN(w) BETWEEN 40 AND 200
+      |           AND LEN(LIST_DISTINCT(w)) * 10 >= LEN(w) * 3
+      |         THEN 1 ELSE -1 END AS y
+      |  FROM (SELECT doc_id, text, STRING_SPLIT(text, ' ') AS w FROM documents) t),
+      |w1 AS (
+      |  SELECT CAST(SUM(y) AS BIGINT) AS b1,
+      |    CAST(SUM(y * n_words) AS BIGINT) AS ww1,
+      |    CAST(SUM(y * n_distinct) AS BIGINT) AS wd1,
+      |    CAST(SUM(y * n_chars) AS BIGINT) AS wc1,
+      |    CAST(SUM(y * n_stop) AS BIGINT) AS ws1
+      |  FROM ft),
+      |s2 AS (
+      |  SELECT ft.*, w1.*,
+      |    b1 + ww1 * n_words + wd1 * n_distinct + wc1 * n_chars + ws1 * n_stop AS score
+      |  FROM ft, w1),
+      |w2 AS (
+      |  SELECT
+      |    ANY_VALUE(b1) + CAST(COALESCE(SUM(CASE WHEN y * score <= 0 THEN y END), 0) AS BIGINT) AS b2,
+      |    ANY_VALUE(ww1) + CAST(COALESCE(SUM(CASE WHEN y * score <= 0 THEN y * n_words END), 0) AS BIGINT) AS ww2,
+      |    ANY_VALUE(wd1) + CAST(COALESCE(SUM(CASE WHEN y * score <= 0 THEN y * n_distinct END), 0) AS BIGINT) AS wd2,
+      |    ANY_VALUE(wc1) + CAST(COALESCE(SUM(CASE WHEN y * score <= 0 THEN y * n_chars END), 0) AS BIGINT) AS wc2,
+      |    ANY_VALUE(ws1) + CAST(COALESCE(SUM(CASE WHEN y * score <= 0 THEN y * n_stop END), 0) AS BIGINT) AS ws2
+      |  FROM s2),
+      |sc AS (
+      |  SELECT ft.doc_id, ft.y,
+      |    b2 + ww2 * n_words + wd2 * n_distinct + wc2 * n_chars + ws2 * n_stop AS score2
+      |  FROM ft, w2),
+      |dec AS (
+      |  SELECT y, score2,
+      |    CAST(NTILE(10) OVER (ORDER BY score2, doc_id) AS BIGINT) AS decile
+      |  FROM sc)
+      |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |  CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT)
+      |    AS pos_rate_permille,
+      |  CAST(MIN(score2) AS BIGINT) AS min_score,
+      |  CAST(MAX(score2) AS BIGINT) AS max_score
+      |FROM dec GROUP BY decile ORDER BY decile""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q198_score_calibration", q198, Some(q198Sql)),
     QueryDef("q113_pii_redaction", q113, Some(q113Sql)),
     QueryDef("q114_fuzzy_match", q114, Some(q114Sql)),
     QueryDef("q115_inverted_index", q115, Some(q115Sql)),

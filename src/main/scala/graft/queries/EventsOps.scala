@@ -800,7 +800,37 @@ object EventsOps {
       |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, day_no""".stripMargin
 
+  // q199 — sessionization via Spark's NATIVE session_window operator —
+  // the same 30-minute-gap contract as q11, third formulation under
+  // one oracle (the q67/q91 pattern): q11's integer-gap cumsum, the
+  // DuckDB closure (q11Sql), and the built-in session_window must all
+  // agree. Boundary semantics differ in principle: session_window
+  // starts a NEW session at gap == 30:00 exactly, q11's `diff > gap`
+  // keeps it — equivalence holds iff no event pair sits exactly on the
+  // boundary, which the spec VERIFIES against the data (µs jitter
+  // makes an exact 1800000000µs gap measure-zero; the assertion turns
+  // luck into a checked precondition).
+  // Shape at 100 TB: session_window plans as one user-keyed exchange +
+  // sort (same as q11's window); the built-in wins operationally in
+  // streaming (state eviction by watermark) — batch keeps both forms
+  // honest against each other.
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("session_start"))
+    events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          / lit(1000000.0)).as("duration_s"))
+      .withColumn("session_id", row_number().over(byUser).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("session_start"), col("session_end"), col("duration_s"))
+  }
+
   lazy val defs: Seq[QueryDef] = Seq(
+    QueryDef("q199_session_window_native", q199, Some(q11Sql)),
     QueryDef("q195_rolling_window", q195, Some(q195Sql)),
     QueryDef("q193_pit_features", q193, Some(q193Sql)),
     QueryDef("q191_srm_audit", q191, Some(q191Sql)),

@@ -1328,6 +1328,45 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("q198 calibration: deciles partition the corpus, score-ordered, top beats bottom") {
+    val rows = SparkEntry.queries("q198_score_calibration")(spark, dir).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs)
+    // deciles are rank buckets: score ranges must not interleave
+    for (Array(a, b) <- rows.sliding(2).map(_.toArray))
+      assert(a.getAs[Long]("max_score") <= b.getAs[Long]("min_score"))
+    for (r <- rows) {
+      assert(r.getAs[Long]("pos_rate_permille") ==
+        r.getAs[Long]("n_pos") * 1000 / r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("min_score") <= r.getAs[Long]("max_score"))
+    }
+    // the scorer must order quality: top decile ≫ bottom decile
+    val (bot, top) = (rows.head.getAs[Long]("pos_rate_permille"),
+      rows.last.getAs[Long]("pos_rate_permille"))
+    assert(top >= bot + 500, s"flat calibration curve: bottom $bot, top $top")
+  }
+
+  test("q199 native session_window equals q11's gap formulation; boundary precondition holds") {
+    import org.apache.spark.sql.functions._
+    // precondition that grounds the equivalence: no event pair of any
+    // user sits EXACTLY on the 30-minute boundary (where the two
+    // formulations would legitimately disagree)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val exact = graft.Tables.loadEvents(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap") === 1800000000L).count()
+    assert(exact == 0L, s"$exact exact-boundary gaps: formulations may diverge")
+    val a = SparkEntry.queries("q199_session_window_native")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val b = SparkEntry.queries("q11_sessionize")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a.nonEmpty && a == b, "native session_window diverged from q11")
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
