@@ -829,7 +829,82 @@ object EventsOps {
         col("session_start"), col("session_end"), col("duration_s"))
   }
 
+  // q200 — GROWTH ACCOUNTING: the exact daily decomposition of active
+  // users — every active user is exactly one of NEW (first-ever day),
+  // RETAINED (also active yesterday), or RESURRECTED (active before,
+  // but not yesterday), and CHURNED(d) counts yesterday's actives who
+  // didn't return — so n_active = n_new + n_retained + n_resurrected
+  // holds as an identity (spec-pinned, not approximated), and
+  // n_churned(d) = n_active(d−1) − n_retained(d) for consecutive days.
+  // This extends q145 (new/returning/cumulative) with the
+  // yesterday-membership split a growth readout actually needs.
+  // Shape at 100 TB: one (user, day) distinct-ify, ONE self-join on
+  // (user, day) against the day-shifted copy (hash equi-join — both
+  // sides partial-agged first), one anti-join for churn, then day-keyed
+  // rollups; nothing wider than (user, day) ever shuffles.
+  private def q200(s: SparkSession, dir: String): DataFrame = {
+    val ud = events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct().cache()
+    val firstDay = ud.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+    val ydayActive = ud.select(col("user_id"),
+      date_add(col("day"), 1).as("day"), lit(1L).as("y_flag"))
+    val classed = ud.join(firstDay, Seq("user_id"))
+      .join(ydayActive, Seq("user_id", "day"), "left")
+      .withColumn("cls",
+        when(col("day") === col("d0"), "new")
+          .when(col("y_flag").isNotNull, "retained")
+          .otherwise("resurrected"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("cls") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val churned = ydayActive.select(col("user_id"), col("day"))
+      .join(ud, Seq("user_id", "day"), "left_anti")
+      .groupBy(col("day")).agg(count(lit(1)).as("n_churned"))
+    classed.join(churned, Seq("day"), "left")
+      .na.fill(0L, Seq("n_churned"))
+      .select(col("day").cast("string").as("day"), col("n_active"),
+        col("n_new"), col("n_retained"), col("n_resurrected"),
+        col("n_churned"))
+      .orderBy(col("day"))
+  }
+  private val q200Sql =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |fd AS (SELECT user_id, MIN(day) AS d0 FROM ud GROUP BY user_id),
+      |ya AS (SELECT user_id, day + 1 AS day FROM ud),
+      |cl AS (
+      |  SELECT ud.day,
+      |    CASE WHEN ud.day = fd.d0 THEN 'new'
+      |         WHEN ya.user_id IS NOT NULL THEN 'retained'
+      |         ELSE 'resurrected' END AS cls
+      |  FROM ud
+      |  JOIN fd ON fd.user_id = ud.user_id
+      |  LEFT JOIN ya ON ya.user_id = ud.user_id AND ya.day = ud.day),
+      |per AS (
+      |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active,
+      |    CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_new,
+      |    CAST(SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_retained,
+      |    CAST(SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_resurrected
+      |  FROM cl GROUP BY day),
+      |ch AS (
+      |  SELECT ya.day, CAST(COUNT(*) AS BIGINT) AS n_churned
+      |  FROM ya LEFT JOIN ud ON ud.user_id = ya.user_id AND ud.day = ya.day
+      |  WHERE ud.user_id IS NULL
+      |  GROUP BY ya.day)
+      |SELECT CAST(per.day AS VARCHAR) AS day, n_active, n_new, n_retained,
+      |  n_resurrected, COALESCE(ch.n_churned, 0) AS n_churned
+      |FROM per LEFT JOIN ch ON ch.day = per.day
+      |ORDER BY day""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
+    QueryDef("q200_growth_accounting", q200, Some(q200Sql)),
     QueryDef("q199_session_window_native", q199, Some(q11Sql)),
     QueryDef("q195_rolling_window", q195, Some(q195Sql)),
     QueryDef("q193_pit_features", q193, Some(q193Sql)),

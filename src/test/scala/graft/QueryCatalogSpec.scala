@@ -1367,6 +1367,33 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(a.nonEmpty && a == b, "native session_window diverged from q11")
   }
 
+  test("q200 growth accounting: the decomposition identity holds exactly") {
+    val rows = SparkEntry.queries("q200_growth_accounting")(spark, dir).collect()
+      .sortBy(_.getAs[String]("day"))
+    assert(rows.nonEmpty)
+    def g(r: org.apache.spark.sql.Row, c: String) = r.getAs[Long](c)
+    for (r <- rows) {
+      // every active user is exactly one of new/retained/resurrected
+      assert(g(r, "n_active") ==
+        g(r, "n_new") + g(r, "n_retained") + g(r, "n_resurrected"))
+      Seq("n_active", "n_new", "n_retained", "n_resurrected", "n_churned")
+        .foreach(c => assert(g(r, c) >= 0))
+    }
+    // for consecutive days: churned(d) = active(d-1) - retained(d)
+    for (Array(a, b) <- rows.sliding(2).map(_.toArray)) {
+      val consecutive = java.time.LocalDate.parse(a.getAs[String]("day"))
+        .plusDays(1) == java.time.LocalDate.parse(b.getAs[String]("day"))
+      if (consecutive)
+        assert(g(b, "n_churned") == g(a, "n_active") - g(b, "n_retained"))
+    }
+    // first day: everyone is new
+    assert(g(rows.head, "n_new") == g(rows.head, "n_active"))
+    // total new across days = total distinct users
+    val users = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id").distinct().count()
+    assert(rows.map(g(_, "n_new")).sum == users)
+  }
+
   test("q133 per-source rollup reconciles with the q126 verdict totals") {
     val rows = SparkEntry.queries("q133_dedup_by_source")(spark, dir).collect()
     val verdicts = SparkEntry.queries("q126_corpus_clean")(spark, dir).collect()
