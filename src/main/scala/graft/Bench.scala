@@ -1,5 +1,7 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, row_number}
 
 /** Driver-facing benchmark: runs every catalog query at
   * `SPARK_GRAFT_SF_DIR`, `SPARK_GRAFT_REPS` reps each (default 3), and
@@ -15,6 +17,21 @@ import org.apache.spark.sql.SparkSession
   * StdoutOutput` so the line reaches stdout unprefixed.
   */
 object Bench {
+
+  /** Bench-session confs beyond [[GraftSession.sharedConfs]] — a `val`
+    * so BenchConfSpec can pin the codegen-cache fix against regression
+    * (VERDICT r06 item 5). 200 queries × several codegen'd stages each
+    * overflow the default 100-entry generated-class cache, forcing
+    * recompilation in the timed pass right after the warm-up compiled
+    * everything. Round 5 measured 30-80% inflation on unchanged plans
+    * when the suite doubled past the old 2000-entry cap (r04 87-query
+    * times vs r05 190-query times, same plans — see ARCHITECTURE §6d);
+    * 10000 entries gives the 200-query suite the same headroom the
+    * 87-query suite had at 2000.
+    */
+  val benchConfs: Seq[(String, String)] = Seq(
+    "spark.sql.codegen.cache.maxEntries" -> "10000")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,18 +39,12 @@ object Bench {
     // query (observed stall windows span minutes and hit several
     // consecutive samples; see the round-robin note below)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
-    val spark = GraftSession.tune(SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // 190 queries × several codegen'd stages each overflow the default
-      // 100-entry generated-class cache, forcing recompilation in the
-      // timed pass right after the warm-up compiled everything. Round 5
-      // measured 30-80% inflation on unchanged plans when the suite
-      // doubled past the old 2000-entry cap (r04 87-query times vs r05
-      // 190-query times, same plans — see ARCHITECTURE §6d); 10000
-      // entries gives the 190-query suite the same headroom the
-      // 87-query suite had at 2000.
-      .config("spark.sql.codegen.cache.maxEntries", "10000"))
+    val spark = benchConfs.foldLeft(
+        GraftSession.tune(SparkSession.builder()
+          .master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus))) {
+        case (b, (k, v)) => b.config(k, v)
+      }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up pass at the smallest scale factor: whole-stage codegen
@@ -45,7 +56,24 @@ object Bench {
     // to a comma-separated subset for perf iteration (full run otherwise)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val entries = SparkEntry.queries.toSeq
+    // VERDICT r06 item 7: time BOTH dense-id assignment forms (SURVEY §2
+    // P5) at bench scale so runScalable's 100 TB claim carries a
+    // measured number, not just GoldenParitySpec's byte-equality. Bench-
+    // only entries (x_ prefix — no oracle surface): same sort contract
+    // as etl.Clean on the biggest bench table (lineitem, 600k @ sf0.1).
+    val idCols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    def idBase(s: SparkSession, d: String): DataFrame =
+      Tables.load(s, d, "lineitem").select(idCols.head, idCols.tail: _*)
+    val extraEntries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "x_dense_id_window" -> ((s: SparkSession, d: String) =>
+        idBase(s, d).withColumn("id", row_number().over(
+          // window-scale: twinned — the bench baseline being measured
+          // AGAINST x_dense_id_scalable (ops/GlobalIndex)
+          Window.orderBy(col("l_orderkey"), col("l_linenumber"))).cast("long"))),
+      "x_dense_id_scalable" -> ((s: SparkSession, d: String) =>
+        graft.ops.GlobalIndex.withDenseIndex(idBase(s, d), "id",
+          Seq(col("l_orderkey"), col("l_linenumber")))))
+    val entries = (SparkEntry.queries.toSeq ++ extraEntries)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.Column
 
 /** Parquet table loaders for the driver test data (TESTDATA.md).
@@ -50,8 +50,35 @@ object Tables {
       case _ => df
     }
 
+  /** Numeric-flavor boundary — the NTZ lesson's sibling (VERDICT r06
+    * item 3): upstream writers freely narrow integers (int64 ↔
+    * int32/16/8) and floats (float64 ↔ float32) between fixture
+    * regenerations; every load widens narrow ints → long and float →
+    * double so queries downstream see ONE numeric flavor regardless of
+    * what the writer chose. Top-level columns only: nested/array
+    * element types (the embeddings `list<float>`) keep their declared
+    * shape — similarity queries consume them through expressions that
+    * already promote to double.
+    *
+    * Like [[normalizeTemporal]], this is a no-op projection over the
+    * scan (pruning and pushdown still reach the parquet reader).
+    * Oracle contract: DuckDB reads the SAME narrow files un-widened,
+    * so any query that passes a widenable column through to its output
+    * must pin the type on BOTH sides (`.cast("long")` + `CAST(... AS
+    * BIGINT)`) — [[graft.sources.NumericFlavorSpec]] holds the engine
+    * side of that contract.
+    */
+  def widenNumerics(df: DataFrame): DataFrame = {
+    val widened = df.schema.fields.collect {
+      case f if f.dataType == IntegerType || f.dataType == ShortType ||
+        f.dataType == ByteType => f.name -> LongType
+      case f if f.dataType == FloatType => f.name -> DoubleType
+    }
+    widened.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, col(c).cast(t)) }
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    normalizeTemporal(spark.read.parquet(s"$dir/$name.parquet"))
+    widenNumerics(normalizeTemporal(spark.read.parquet(s"$dir/$name.parquet")))
 
   /** `events` loader: [[load]] plus the nanos-as-long `ts` case. */
   def loadEvents(spark: SparkSession, dir: String): DataFrame =

@@ -73,11 +73,58 @@ object Main {
       println(s"[dedup] wrote $path (${verdicts.count()} docs, $kept kept)")
       spark.stop()
 
+    // flagship (VERDICT r06 item 8): the whole reference pipeline as ONE
+    // demonstrable command — clean → enrich (offline-deterministic LLM
+    // stub) → dedup verdicts → partitioned publish + SQL surface — with
+    // the clean stage's observe() metrics printed (the selectivity
+    // accounting the reference logs by re-counting frames).
+    case "flagship" :: in :: work :: Nil =>
+      val spark = session()
+      val observed = scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.Row]()
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (k, v) => observed.put(k, v) }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+      })
+      val cleanPath = Clean.write(Clean.run(spark, in), s"$work/clean")
+      // the observe() metrics arrive on the async listener bus; bounded wait
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!observed.contains("clean_metrics") && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      observed.get("clean_metrics").foreach { m =>
+        println(s"[flagship] clean: rows_kept=${m.getAs[Long]("rows_kept")} " +
+          s"categories=${m.getAs[Long]("categories_kept")} " +
+          s"dates=[${m.getAs[java.sql.Timestamp]("earliest")} .. " +
+          s"${m.getAs[java.sql.Timestamp]("latest")}] -> $cleanPath")
+      }
+      val clean = spark.read.parquet(cleanPath)
+      val cfg = Enrich.Config(client = DisabledLlmClient, perCallDelayMs = 0L)
+      val enrichedPath = Enrich.write(Enrich.run(spark, clean, cfg), s"$work/enriched")
+      val enriched = spark.read.parquet(enrichedPath)
+      println(s"[flagship] enrich: ${enriched.count()} rows -> $enrichedPath")
+      val verdicts = graft.queries.TextOps.corpusClean(
+        enriched.select(enriched("id_news").as("doc_id"),
+          enriched("content").as("text"))).cache()
+      println(s"[flagship] dedup: ${verdicts.count()} docs, " +
+        s"${verdicts.filter(verdicts("kept")).count()} kept")
+      Catalog.writePartitioned(enriched, s"$work/published")
+      Catalog.registerView(spark.read.parquet(s"$work/published"))
+      val byCat = spark.sql(
+        """SELECT category, COUNT(*) AS n FROM enriched_news
+          |GROUP BY category ORDER BY n DESC""".stripMargin).collect()
+      println("[flagship] published by category: " +
+        byCat.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
+      println(s"[flagship] SQL surface ready: enriched_news over $work/published")
+      spark.stop()
+
     case other =>
       System.err.println(
         s"unknown or malformed stage: ${other.mkString(" ")}\n" +
           "usage: clean <jsonl> <outdir> | enrich <parquet> <outdir> " +
-          "[--sample N] [--rate S] | load <table> | dedup <parquet> <outdir>")
+          "[--sample N] [--rate S] | load <table> | dedup <parquet> <outdir> " +
+          "| flagship <jsonl> <workdir>")
       sys.exit(1)
   }
 

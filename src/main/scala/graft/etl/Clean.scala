@@ -61,6 +61,8 @@ object Clean {
     * an `org.apache.spark.sql.Observation` or a QueryExecutionListener.
     */
   def run(spark: SparkSession, jsonlPath: String): DataFrame = {
+    // window-scale: twinned — runScalable is the byte-equal distributed
+    // form (ops/GlobalIndex); this window form is the reference-parity path
     val w = Window.orderBy(col("publish_date").asc, col("link").asc)
     prepared(spark, jsonlPath)
       .observe("clean_metrics",

@@ -108,7 +108,11 @@ object Hilbert {
             col("miny").cast("string"), lit(", "), col("maxy").cast("string"),
             lit("]) — bucket8 would overflow; pre-bucket wide/hash keys first")))))
       .drop("minx", "maxx", "miny", "maxy")
-      .join(broadcast(lookup(df.sparkSession)), "h_cell")
+      // LEFT join: a NULL in either coordinate makes h_cell NULL, and an
+      // inner join would silently drop the row ([[ZOrder.withZ]] keeps
+      // null-key rows with a null z — same contract here; write() then
+      // preserves row count, null-keyed rows sorting together)
+      .join(broadcast(lookup(df.sparkSession)), Seq("h_cell"), "left")
       .withColumn(as, col("h_pos"))
       .drop("h_cell", "h_pos")
   }

@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions.col
   * key), handles brand-new keys for free, and generalizes to N states —
   * a full-outer-join formulation does none of those. Non-mergeable
   * metrics (exact distinct, medians) need sketch states instead
-  * (HLL/KLL — see q72's accuracy contract for why those stay outside
-  * the oracle gate).
+  * (HLL/KLL — see q72 for how sketch estimates are gated: exact twins
+  * plus within-tolerance booleans, since raw estimates aren't
+  * cross-engine comparable).
   *
   * The state table itself should live bucketed by the key
   * ([[Bucketing]]): then the merge shuffle moves ONLY the delta state.

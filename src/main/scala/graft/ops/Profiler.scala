@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
   * query. At petabyte scale you'd swap `count_distinct` for
   * `approx_count_distinct` (HLL++, fully partial-aggregatable, single
   * shared scan) — estimates aren't cross-engine comparable, so the
-  * oracle-gated form keeps exact counts (same trade documented at q72).
+  * oracle-gated form keeps exact counts (q72 gates its sketches the
+  * other way: exact twins + within-tolerance booleans).
   *
   * Min/max canonicalization: values are rendered through a caller-chosen
   * canonical column (e.g. double→DECIMAL(18,6), timestamp→DATE) BEFORE

@@ -166,10 +166,12 @@ object Relational {
   }
   private val q8Sql =
     """SELECT nationkey, 'both' AS tag FROM
-      |  (SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier) t1
+      |  (SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+      |   INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier) t1
       |UNION ALL
       |SELECT nationkey, 'customers_only' AS tag FROM
-      |  (SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier) t2""".stripMargin
+      |  (SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+      |   EXCEPT SELECT CAST(s_nationkey AS BIGINT) FROM supplier) t2""".stripMargin
 
   // q9 — scalar function families (string/date/math/conditional), all
   // codegen'd built-ins; stays inside one WholeStageCodegen span.
@@ -336,8 +338,8 @@ object Relational {
     ia.unionByName(ea).select(col("op"), col("nationkey"), col("multiplicity"))
   }
   private val q160Sql =
-    """WITH cn AS (SELECT c_nationkey AS nationkey FROM customer),
-      |sn AS (SELECT s_nationkey AS nationkey FROM supplier),
+    """WITH cn AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer),
+      |sn AS (SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier),
       |ia AS (SELECT nationkey FROM cn INTERSECT ALL SELECT nationkey FROM sn),
       |ea AS (SELECT nationkey FROM cn EXCEPT ALL SELECT nationkey FROM sn)
       |SELECT 'intersect_all' AS op, nationkey, COUNT(*) AS multiplicity
@@ -492,13 +494,13 @@ object Relational {
       |  SELECT o_custkey, COUNT(*) AS n_urgent
       |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey),
       |per_cust AS (
-      |  SELECT c_nationkey AS nationkey,
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
       |    CAST(SUM(COALESCE(n_urgent, 0)) AS BIGINT) AS cust_urgent_orders,
       |    COUNT(*) AS n_customers
       |  FROM customer LEFT OUTER JOIN urgent ON c_custkey = o_custkey
       |  GROUP BY c_nationkey),
       |per_supp AS (
-      |  SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+      |  SELECT CAST(s_nationkey AS BIGINT) AS nationkey, COUNT(*) AS n_suppliers
       |  FROM supplier GROUP BY s_nationkey)
       |SELECT COALESCE(per_cust.nationkey, per_supp.nationkey) AS nationkey,
       |  COALESCE(n_customers, 0) AS n_customers,

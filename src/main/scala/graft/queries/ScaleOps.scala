@@ -57,7 +57,7 @@ object ScaleOps {
         sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
   }
   private val q88Sql =
-    """SELECT s_nationkey,
+    """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
       |  COUNT(*) AS n_lines,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
@@ -145,7 +145,7 @@ object ScaleOps {
       |    (CAST(l_partkey - minx AS BIGINT) * 65536) // (CAST(maxx - minx AS BIGINT) + 1) AS bx,
       |    (CAST(l_suppkey - miny AS BIGINT) * 65536) // (CAST(maxy - miny AS BIGINT) + 1) AS by
       |  FROM lineitem CROSS JOIN b)
-      |SELECT l_orderkey, l_linenumber,
+      |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
       |  (${spreadSql("bx")} | (${spreadSql("by")} << 1)) AS z
       |FROM bk""".stripMargin
   }
@@ -403,7 +403,7 @@ object ScaleOps {
       |  GROUP BY 1, 2),
       |nodes AS (SELECT n_nationkey AS node FROM nation),
       |${graft.ops.PageRank.ranksSql(iterations = 3)}
-      |SELECT n.n_nationkey AS nationkey, n.n_name AS nation,
+      |SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey, n.n_name AS nation,
       |  r3.r AS rank_scaled, CAST(r3.r AS DOUBLE) / 1e12 AS rank
       |FROM r3 JOIN nation n ON r3.node = n.n_nationkey""".stripMargin
 
@@ -567,7 +567,62 @@ object ScaleOps {
       |  COUNT(*) AS n_rows
       |FROM bk GROUP BY bucket, mn, mx""".stripMargin
 
+  // q201 — DYNAMIC PARTITION PRUNING audit (VERDICT r06 item 2): the
+  // one Catalyst scan-saver the engine claimed (SURVEY §4) but never
+  // exercised. The fact side is `orders` written partitionBy(o_year)
+  // (the Catalog.writePartitioned pattern, materialized once per JVM
+  // per sfDir); the dim side is `region` with a selective predicate,
+  // mapped onto the partition key (1995 + r_regionkey — the fixture's
+  // order years start at 1995, so AMERICA→1996, ASIA→1997). Catalyst
+  // plans the broadcast join with a DPP subquery on the fact scan:
+  // only the 2 matching year partitions of 7 are read. PlanSpec pins
+  // both claims (dynamicpruningexpression in the executed plan, pruned
+  // partition count in the scan metrics) — the aggregate itself is
+  // DPP-invariant, which is exactly what makes it oracle-checkable.
+  // Shape at 100 TB: DPP is THE mechanism that turns a dim filter into
+  // a fact-side scan skip without a manual predicate — on a
+  // year-partitioned 100 TB fact table this join reads 2/7ths of the
+  // files before a single row is shuffled.
+  // The dim expr is cast to int to match the inferred partition-column
+  // type: a cast on the FACT side join key would sit between the
+  // partition attribute and the join, and DPP only fires on the bare
+  // partition column.
+  private val dppDirs = scala.collection.mutable.Map[String, String]()
+  private def dppOrdersDir(s: SparkSession, dir: String): String =
+    dppDirs.synchronized {
+      dppDirs.getOrElseUpdate(dir, {
+        val out = java.nio.file.Files
+          .createTempDirectory("q201_orders_by_year").toString + "/orders"
+        load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            year(col("o_orderdate")).as("o_year"))
+          .write.partitionBy("o_year").parquet(out)
+        out
+      })
+    }
+  private def q201(s: SparkSession, dir: String): DataFrame = {
+    val dim = load(s, dir, "region")
+      .where(col("r_name").isin("AMERICA", "ASIA"))
+      .select((lit(1995L) + col("r_regionkey")).cast("int").as("o_year"))
+    s.read.parquet(dppOrdersDir(s, dir))
+      .join(broadcast(dim), "o_year")
+      .groupBy(col("o_year").cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((dec(col("o_totalprice")) * 100).cast("long")).as("revenue_cents"))
+      .orderBy(col("o_year"))
+  }
+  private val q201Sql =
+    """SELECT CAST(1995 + r_regionkey AS BIGINT) AS o_year,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+      |    AS BIGINT) AS revenue_cents
+      |FROM orders JOIN region
+      |  ON CAST(YEAR(o_orderdate) AS BIGINT) = 1995 + r_regionkey
+      |WHERE r_name IN ('AMERICA', 'ASIA')
+      |GROUP BY 1""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
+    QueryDef("q201_dpp_audit", q201, Some(q201Sql)),
     QueryDef("q63_salted_agg", q63, Some(q63Sql)),
     QueryDef("q88_salted_join", q88, Some(q88Sql)),
     QueryDef("q64_bucketed_join", q64, Some(q64Sql)),
@@ -689,6 +744,8 @@ object ScaleOps {
     val zed = graft.ops.ZOrder.withZ(li, "l_partkey", "l_suppkey")
     def audit(df: DataFrame, layout: String, order: Seq[Column]) = {
       val chunked = df.withColumn("chunk",
+        // window-scale: audit-sample — layout audit; at 100 TB run on a
+        // sample (see the scale note above), files carry real footers
         ntile(32).over(Window.orderBy(order: _*)))
       chunked.groupBy(col("chunk"))
         .agg(min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
@@ -758,6 +815,8 @@ object ScaleOps {
     val hil = graft.ops.Hilbert.withH(li, "l_partkey", "l_suppkey")
     def audit(df: DataFrame, layout: String, order: Seq[Column]) = {
       val chunked = df.withColumn("chunk",
+        // window-scale: audit-sample — layout audit; at 100 TB run on a
+        // sample (see the scale note above), files carry real footers
         ntile(32).over(Window.orderBy(order: _*)))
       chunked.groupBy(col("chunk"))
         .agg(min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),

@@ -85,7 +85,7 @@ object SimilarityOps {
         sum(col("x_micro")).as("sum_micro"),
         (sum(col("x_micro")).cast("double") / count(lit(1))).as("centroid_micro"))
   private val q21Sql =
-    """SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+    """SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
       |  COUNT(*) AS n,
       |  CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro,
       |  CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) AS centroid_micro
@@ -203,7 +203,7 @@ object SimilarityOps {
   /** Shared CTE chain: centroid cells + nearest-cell assignment. */
   private val ivfSqlCtes =
     """ex AS (
-      |  SELECT label AS cell_id, i,
+      |  SELECT CAST(label AS BIGINT) AS cell_id, i,
       |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xm
       |  FROM embeddings CROSS JOIN GENERATE_SERIES(1, 64) g(i)),
       |cent AS (
@@ -821,6 +821,9 @@ object SimilarityOps {
         pairs, Seq("vec_id"), Seq(col("cos"), col("cand")), k = 1)
       .select(col("vec_id"), col("cand").as("hard_neg"), col("cos").as("hard_cos"))
     val ranks = e.select(col("vec_id"))
+      // window-scale: audit-sample — global rank ring at audit scale on a
+      // single id column; production assigns ranks via ops/GlobalIndex
+      // (range exchange, no single-partition window — scale note above)
       .withColumn("r", row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1)
     val n = ranks.agg(count(lit(1)).as("n"))
     val easy = ranks.crossJoin(broadcast(n))

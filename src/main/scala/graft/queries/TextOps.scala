@@ -849,6 +849,7 @@ object TextOps {
     val lex50 = bm25Scores(s, dir)
       .orderBy(col("bm25_scaled").desc, col("doc_id")).limit(50)
       .withColumn("rank_lex", row_number().over(
+        // window-scale: bounded-frame — 50 rows post-limit (TakeOrdered-then-rank)
         Window.orderBy(col("bm25_scaled").desc, col("doc_id"))).cast("long"))
       .select(col("doc_id"), col("rank_lex"))
     val e = load(s, dir, "embeddings")
@@ -862,6 +863,7 @@ object TextOps {
       .withColumn("cos", expr("dot_product(v, qv)") / (col("norm") * col("qn")))
       .orderBy(col("cos").desc, col("vec_id")).limit(50)
       .withColumn("rank_vec", row_number().over(
+        // window-scale: bounded-frame — 50 rows post-limit (TakeOrdered-then-rank)
         Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
       .select(col("vec_id"), col("rank_vec"))
     lex50.join(vec50, col("doc_id") === col("vec_id"), "full_outer")
@@ -994,8 +996,9 @@ object TextOps {
   // q137 — KMV distinct-count sketch, audited per source: the k
   // smallest distinct hash values of a set determine the estimate
   // (k−1)·H div h_k (or the exact count when fewer than k values
-  // exist). Unlike HLL (q72 — implementation-specific, rows-only by
-  // necessity), KMV on the portable h60 hash is FULLY DETERMINISTIC:
+  // exist). Unlike HLL (q72 — implementation-specific estimates, gated
+  // via exact twins + tolerance booleans), KMV on the portable h60
+  // hash is FULLY DETERMINISTIC:
   // both engines compute the identical sketch and the identical
   // estimate, so the sketch family gets an oracle-checked member and
   // the estimator's error is measured in the output (err_permille vs
@@ -1266,6 +1269,7 @@ object TextOps {
     perBatch.join(newPer, Seq("batch"), "left")
       .na.fill(0L, Seq("n_new"))
       .withColumn("cum_vocab", sum(col("n_new")).over(
+        // window-scale: tiny-frame — one row per ingest batch (post-agg)
         Window.orderBy(col("batch"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
@@ -1290,7 +1294,7 @@ object TextOps {
 
   // q142 — deterministic HyperLogLog, closing the sketch family's last
   // gap: q72's HLL is Spark's approx_count_distinct (implementation-
-  // specific, rows-only by necessity); this one is HLL from first
+  // specific, so q72 gates claims, not estimates); this one is HLL from first
   // principles on the portable h60 hash, so BOTH engines compute the
   // identical 64 registers and the identical estimate — the same move
   // that made KMV (q137) and count-min (q140) oracle-checkable. p=6
@@ -1799,6 +1803,7 @@ object TextOps {
           .orderBy(col("ttr_permille").desc, col("doc_id").asc)).cast("long"))
     val srcIdx = base.select(col("source")).distinct()
       .withColumn("src_idx",
+        // window-scale: tiny-frame — one row per distinct source
         (row_number().over(Window.orderBy(col("source"))) - 1).cast("long"))
     val n = srcIdx.agg(count(lit(1)).as("n_sources"))
     base.join(broadcast(srcIdx), "source")
@@ -1924,6 +1929,7 @@ object TextOps {
     val pooled = base.groupBy(col("ttr_permille").as("pv"))
       .agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(
+        // window-scale: bounded-frame — one row per ttr_permille bucket (≤1001)
         Window.orderBy(col("pv"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("pv"), col("cum"))
@@ -2142,6 +2148,7 @@ object TextOps {
     val deficit = withFloor.agg((lit(100) - sum(col("alloc_floor"))).as("deficit"))
     withFloor.crossJoin(broadcast(deficit))
       .withColumn("rk", row_number().over(
+        // window-scale: tiny-frame — one row per distinct source
         Window.orderBy(col("rem").desc, col("source").asc)).cast("long"))
       .select(col("source"), col("n_docs"), col("var_num"), col("w"),
         col("alloc_floor"),

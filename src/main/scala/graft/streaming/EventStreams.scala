@@ -36,10 +36,29 @@ object EventStreams {
     * watermark/window operator sees one temporal type.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val onDisk = spark.read.parquet(dir).schema
+    // An EMPTY source directory is a normal FileStreamSource start
+    // condition (files arrive later), but the batch footer peek throws
+    // "Unable to infer schema" on it — fall back to the canonical events
+    // schema (the µs-UTC flavor; late-arriving files in another flavor
+    // are still normalized below once the peek would have seen them,
+    // and a restart after the first file lands re-peeks the real one).
+    val onDisk =
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => defaultSchema }
     graft.Tables.normalizeEventTs(
       spark.readStream.schema(onDisk).parquet(dir))
   }
+
+  /** Canonical events schema (TESTDATA.md), used only when the source
+    * directory has no files yet at stream start.
+    */
+  private[streaming] val defaultSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
 
   /** Tumbling 1-hour windows with a 10-minute watermark — the streaming
     * form of q10_events_hourly.

@@ -1,0 +1,20 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench session's codegen-cache fix (VERDICT r06 item 5): the
+  * round-5 suite-size inflation (30-80% on unchanged plans) was the
+  * generated-class cache thrashing between the warm-up and timed
+  * passes. [[Bench.benchConfs]] is applied verbatim by `Bench.main`; if
+  * the entry disappears or shrinks below the 200-query working set,
+  * this fails in-round instead of as a bench-diff mystery next round.
+  */
+class BenchConfSpec extends AnyFunSuite {
+
+  test("bench session pins a codegen cache sized for the full suite") {
+    val v = Bench.benchConfs.toMap.get("spark.sql.codegen.cache.maxEntries")
+    assert(v.isDefined, "codegen cache conf dropped from Bench.benchConfs")
+    assert(v.get.toInt >= 10000,
+      s"codegen cache ${v.get} entries — below the 200-query working set")
+  }
+}

@@ -21,13 +21,11 @@ class QueryCatalogSpec extends AnyFunSuite {
       s"duplicates: ${names.diff(names.distinct)}")
   }
 
-  test("every query has an oracle or a documented omission") {
-    // q72: sketch estimates (HLL++/Greenwald-Khanna) are implementation-specific
-    // by design — cross-engine hash equality is impossible; its accuracy
-    // contract is pinned by the spec below instead.
-    val documentedOmissions = Set("q72_sketch_distinct")
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
-      documentedOmissions
+  test("every query has an oracle") {
+    // Round 7: the set of documented omissions is EMPTY — q72 (the last
+    // holdout) now gates its sketch claims via exact twins + tolerance
+    // booleans; keep it empty.
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
 
@@ -1609,7 +1607,8 @@ class QueryCatalogSpec extends AnyFunSuite {
   }
 
   test("q72 sketch estimates stay within tolerance of their exact twins") {
-    val rows = SparkEntry.queries("q72_sketch_distinct")(spark, dir).collect()
+    // raw estimates (the gated q72 reduces them to tolerance booleans)
+    val rows = graft.queries.EventsOps.q72raw(spark, dir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val exact = r.getAs[Long]("users_exact").toDouble

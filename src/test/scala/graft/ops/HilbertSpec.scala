@@ -50,6 +50,22 @@ class HilbertSpec extends AnyFunSuite {
         s"($x,$y)")
   }
 
+  test("withH keeps null-coordinate rows with a null key (ZOrder.withZ contract)") {
+    import spark.implicits._
+    val df = Seq((1L, Option(10L), Option(20L)), (2L, Option.empty[Long], Option(5L)),
+      (3L, Option(7L), Option.empty[Long])).toDF("id", "x", "y")
+    val byId = Hilbert.withH(df, "x", "y").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(byId.size == 3, "withH must preserve row count under null coords")
+    assert(!byId(1L).isNullAt(byId(1L).fieldIndex("h")))
+    assert(byId(2L).isNullAt(byId(2L).fieldIndex("h")))
+    assert(byId(3L).isNullAt(byId(3L).fieldIndex("h")))
+    // and the write path preserves count too (the ADVICE data-loss hazard)
+    val out = java.nio.file.Files.createTempDirectory("hilbert_null").toString
+    Hilbert.write(df, "x", "y", s"$out/h", nFiles = 2)
+    assert(spark.read.parquet(s"$out/h").count() == 3)
+  }
+
   test("withH fails loudly when a column range exceeds the exact bound") {
     import spark.implicits._
     val df = Seq((0L, 1L), (1L << 50, 2L)).toDF("x", "y")

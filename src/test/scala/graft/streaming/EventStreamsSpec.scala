@@ -33,6 +33,17 @@ class EventStreamsSpec extends AnyFunSuite {
 
   private def batchEvents() = graft.Tables.loadEvents(spark, dir)
 
+  test("readEvents starts on an EMPTY source directory (schema fallback)") {
+    // normal FileStreamSource condition: the directory exists but files
+    // arrive later — the batch schema peek must not kill the stream
+    val empty = java.nio.file.Files.createTempDirectory("events_empty").toString
+    val s = EventStreams.readEvents(spark, empty)
+    assert(s.isStreaming)
+    assert(s.schema == EventStreams.defaultSchema)
+    runToMemory(EventStreams.hourlyCounts(s), "empty_start")
+    assert(spark.table("empty_start").count() == 0)
+  }
+
   test("hourly counts match the batch aggregation") {
     val stream = EventStreams.readEvents(spark, streamDir)
     runToMemory(EventStreams.hourlyCounts(stream), "hourly", mode = "complete")

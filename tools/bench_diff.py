@@ -2,6 +2,8 @@
 """Per-query bench regression diff (VERDICT r05 item 7).
 
 Usage: python3 tools/bench_diff.py OLD.json NEW.json [--threshold 0.15]
+(argparse: options may appear anywhere; both --threshold 0.15 and
+--threshold=0.15 forms work)
 
 Reads two BENCH_LOCAL.json-format files (the full-map artifact graft.Bench
 writes), joins their per-query medians, and flags queries whose time moved
@@ -13,6 +15,7 @@ Round-5 motivation: shared queries inflated 30-80% between the 87-query
 r04 run and the 190-query r05 run with unchanged plans, and nothing in the
 repo caught it. This closes that blind spot.
 """
+import argparse
 import json
 import sys
 
@@ -24,15 +27,15 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    thr = 0.15
-    for a in sys.argv[1:]:
-        if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1]) if "=" in a else float(
-                sys.argv[sys.argv.index(a) + 1])
-    if len(args) < 2:
-        sys.exit(__doc__)
-    old, new = load(args[0]), load(args[1])
+    p = argparse.ArgumentParser(
+        description="Per-query bench regression diff")
+    p.add_argument("old", help="previous BENCH_LOCAL.json")
+    p.add_argument("new", help="current BENCH_LOCAL.json")
+    p.add_argument("--threshold", type=float, default=0.15,
+                   help="relative move to flag (default 0.15)")
+    ns = p.parse_args()
+    thr = ns.threshold
+    old, new = load(ns.old), load(ns.new)
     oq, nq = old.get("queries", {}), new.get("queries", {})
     shared = sorted(set(oq) & set(nq))
     only_old = sorted(set(oq) - set(nq))
@@ -54,6 +57,9 @@ def main():
     tot_new = sum(nq[q] for q in shared)
     print(f"shared queries: {len(shared)}  "
           f"(old-only {len(only_old)}, new-only {len(only_new)})")
+    if not shared:
+        sys.exit("no shared queries — are these full-map BENCH_LOCAL.json "
+                 "files (the driver's BENCH_rNN.json keeps only a tail)?")
     print(f"shared-subset total: {tot_old:.1f}s -> {tot_new:.1f}s  "
           f"({(tot_new - tot_old) / tot_old * 100:+.1f}%)")
     if errored:
