@@ -62,6 +62,17 @@ class ZOrderSpec extends AnyFunSuite {
     assert(covY < baseY, "z-order must beat single-column sort on the second column")
   }
 
+  test("withZ keeps null-coordinate rows with a null key (the contract Hilbert.withH mirrors)") {
+    import spark.implicits._
+    val df = Seq((1L, Option(10L), Option(20L)), (2L, Option.empty[Long], Option(5L)),
+      (3L, Option(7L), Option.empty[Long])).toDF("id", "x", "y")
+    val byId = ZOrder.withZ(df, "x", "y").collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId.size == 3, "withZ must preserve row count under null coords")
+    assert(!byId(1L).isNullAt(byId(1L).fieldIndex("z")))
+    assert(byId(2L).isNullAt(byId(2L).fieldIndex("z")))
+    assert(byId(3L).isNullAt(byId(3L).fieldIndex("z")))
+  }
+
   test("withZ fails loudly when a column range exceeds the exact bound") {
     import spark.implicits._
     // a hash-valued key: range >> 2^37 — bucket16 would silently wrap
