@@ -387,6 +387,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in quantile lookup:\n$p")
   }
 
+  test("widened-column predicates still push to the narrow parquet scan") {
+    // Tables.widenNumerics casts int32 columns to long at load; Catalyst's
+    // UnwrapCastInBinaryComparison must keep unwrapping the upcast so the
+    // filter reaches the int32 scan — otherwise the flavor boundary would
+    // cost a full-scan at 100 TB (q34 filters the widened l_linenumber)
+    val p = plan("q34_math_funcs")
+    assert(p.contains("PushedFilters: [IsNotNull(l_linenumber), EqualTo(l_linenumber,1)"),
+      s"l_linenumber predicate not pushed through the widening cast in:\n$p")
+  }
+
   test("q201: dynamic partition pruning fires and the fact scan reads only matching partitions") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
