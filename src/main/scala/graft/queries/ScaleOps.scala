@@ -621,8 +621,59 @@ object ScaleOps {
       |WHERE r_name IN ('AMERICA', 'ASIA')
       |GROUP BY 1""".stripMargin
 
+  // q202 — SCHEMA-DRIFT tolerant lake read: the column-PRESENCE sibling
+  // of the load boundary's type-flavor normalizers (Tables.widenNumerics
+  // / normalizeTemporal cover WIDTH drift; this covers an upstream
+  // writer ADDING a column mid-stream). Two ingest batches are written
+  // with different schemas — batch v1 (src0..src9) is the old writer
+  // (doc_id, text, lang, source); batch v2 (src10..src19) is the new
+  // writer that added a `quality` score — then read back as ONE frame
+  // via mergeSchema, under which v1 rows surface quality as NULL. The
+  // audit reports, per source, how far the new column has propagated
+  // (n_quality / quality_sum), i.e. exactly the question a lake owner
+  // asks the week after a producer deploys a schema change.
+  // Shape at 100 TB: mergeSchema costs one footer read per file at
+  // planning time — fine for a batch audit, wrong as the steady state;
+  // the steady state is a catalog-declared schema (Catalog.scala) with
+  // missing columns resolving to NULL, which is byte-equivalent to what
+  // this query pins. Aggregation is a partial-agged 20-group rollup;
+  // nothing wider than (source, longs) shuffles.
+  private val driftDirs = scala.collection.mutable.Map[String, (String, String)]()
+  private def driftBatchDirs(s: SparkSession, dir: String): (String, String) =
+    driftDirs.synchronized {
+      driftDirs.getOrElseUpdate(dir, {
+        val root = java.nio.file.Files
+          .createTempDirectory("q202_drift_batches").toString
+        val docs = load(s, dir, "documents")
+        docs.where(length(col("source")) === 4)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"))
+          .write.parquet(s"$root/batch_v1")
+        docs.where(length(col("source")) === 5)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            (col("n_chars") % 97).as("quality"))
+          .write.parquet(s"$root/batch_v2")
+        (s"$root/batch_v1", s"$root/batch_v2")
+      })
+    }
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    val (v1, v2) = driftBatchDirs(s, dir)
+    s.read.option("mergeSchema", "true").parquet(v1, v2)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("quality")).as("n_quality"),
+        coalesce(sum(col("quality")), lit(0L)).as("quality_sum"))
+  }
+  private val q202Sql =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN LENGTH(source) = 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_quality,
+      |  CAST(SUM(CASE WHEN LENGTH(source) = 5 THEN n_chars % 97 ELSE 0 END)
+      |    AS BIGINT) AS quality_sum
+      |FROM documents GROUP BY source""".stripMargin
+
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q201_dpp_audit", q201, Some(q201Sql)),
+    QueryDef("q202_schema_drift", q202, Some(q202Sql)),
     QueryDef("q63_salted_agg", q63, Some(q63Sql)),
     QueryDef("q88_salted_join", q88, Some(q88Sql)),
     QueryDef("q64_bucketed_join", q64, Some(q64Sql)),

@@ -1643,6 +1643,26 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(rows(2L).getAs[Double]("top_2gram_ratio") == 2.0 / 3.0)
   }
 
+  test("q202 drift audit: v1 sources surface NULL quality, v2 sources are fully scored") {
+    val rows = SparkEntry.queries("q202_schema_drift")(spark, dir).collect()
+    val srcTotals = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    assert(rows.map(_.getAs[String]("source")).toSet == srcTotals.keySet)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_docs") == srcTotals(src))
+      if (src.length == 4) {
+        // old-writer batch: mergeSchema must surface the column as NULL
+        assert(r.getAs[Long]("n_quality") == 0L)
+        assert(r.getAs[Long]("quality_sum") == 0L)
+      } else {
+        // new-writer batch: every row carries the added column
+        assert(r.getAs[Long]("n_quality") == r.getAs[Long]("n_docs"))
+      }
+    }
+  }
+
   test("q71 reports only train-side docs with genuinely shared shingles") {
     import org.apache.spark.sql.functions.{col, conv, md5, substring}
     val contaminated = SparkEntry.queries("q71_decontaminate")(spark, dir).collect()

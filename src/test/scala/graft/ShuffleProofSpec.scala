@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Measured shuffle economics — the "measure, don't assert" pattern
+  * (q163 zone maps, q201 DPP) applied to the repo's central 100 TB
+  * claim: fingerprint-FIRST exact dedup (q58) moves a fraction of the
+  * bytes that raw-text dedup (q13) moves, because the map side reduces
+  * each document to its 32-byte md5 BEFORE the exchange.
+  *
+  * Until now that claim lived in scaladoc (`TextOps.scala` q58 comment)
+  * and in ARCHITECTURE.md; here it becomes a number read off the
+  * executed plan's own `ShuffleExchangeExec` metrics. At sf0.01 the
+  * documents table averages ~300 chars/doc vs a 32-char hex digest, so
+  * the exchange payload ratio should be severalfold even after shuffle
+  * compression.
+  */
+class ShuffleProofSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  /** All plan nodes, recursing through AQE wrappers (same traversal as
+    * PlanSpec's q201 DPP pin: QueryStageExec children are Nil; the
+    * materialized subtree hangs off `.plan`).
+    */
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+    case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+    case q: QueryStageExec        => nodes(q.plan)
+    case other                    => other.children.flatMap(nodes)
+  })
+
+  /** Runs the frame and returns (bytesWritten, dataSize) summed over
+    * every shuffle exchange in the executed plan. `shuffleBytesWritten`
+    * is post-compression wire bytes; `dataSize` is the uncompressed
+    * exchange payload.
+    */
+  private def shuffleBytes(df: DataFrame): (Long, Long) = {
+    df.collect()
+    val exchanges = nodes(df.queryExecution.executedPlan).collect {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(exchanges.nonEmpty, "expected at least one shuffle exchange")
+    val wire = exchanges.map(_.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L)).sum
+    val data = exchanges.map(_.metrics.get("dataSize").map(_.value).getOrElse(0L)).sum
+    (wire, data)
+  }
+
+  // The two dedup shapes, built directly on the loaded table (no input
+  // spread, so the ONLY exchange in each plan is the dedup groupBy's).
+  private def naiveTextDedup: DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+
+  private def fingerprintFirstDedup: DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+
+  test("q58 shape: fingerprint-first dedup exchanges a fraction of q13's raw-text bytes") {
+    val (naiveWire, naiveData) = shuffleBytes(naiveTextDedup)
+    val (fpWire, fpData)       = shuffleBytes(fingerprintFirstDedup)
+    info(s"raw-text dedup exchange: $naiveData B uncompressed, $naiveWire B on the wire")
+    info(s"fingerprint-first dedup: $fpData B uncompressed, $fpWire B on the wire")
+    // Uncompressed payload: ~300-char texts vs 32-char digests → ≥3×.
+    assert(fpData * 3 <= naiveData,
+      s"fingerprint exchange ($fpData B) not ≥3× smaller than text exchange ($naiveData B)")
+    // And it must still win after shuffle compression (lz4 favors the
+    // repetitive synthetic text, so the wire margin is thinner).
+    assert(fpWire < naiveWire,
+      s"fingerprint exchange ($fpWire B wire) not smaller than text exchange ($naiveWire B wire)")
+  }
+
+  test("both dedup shapes combine map-side before their exchange (partial aggregation)") {
+    // The byte win composes with partial aggregation: on duplicate-heavy
+    // data the map side also collapses copies before the wire. Pin that
+    // both plans aggregate partially (no raw-row exchange at all).
+    for (df <- Seq(naiveTextDedup, fingerprintFirstDedup)) {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("partial_min") || p.contains("partial_count"),
+        s"no map-side partial aggregation in:\n$p")
+    }
+  }
+}
