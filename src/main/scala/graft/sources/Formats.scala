@@ -71,6 +71,26 @@ object Formats {
       .schema(schema.add("_corrupt_record", "string"))
       .csv(path)
 
+  /** Salvage-mode parquet read for a damaged lake directory: skips
+    * files whose footer or pages fail to parse (`ignoreCorruptFiles` —
+    * truncated uploads, partial writes) and files that vanish between
+    * planning and execution (`ignoreMissingFiles` — a compactor or
+    * retention job racing the reader; at 100 TB that race is a
+    * certainty, not an edge case). Schema is REQUIRED, same rule as
+    * [[readCsv]]: salvage must not depend on footer-based inference,
+    * because the surviving-file subset (or an empty one) would silently
+    * redefine the schema — the catalog's declared schema is the
+    * contract. Default reads stay strict: data loss must be a stated
+    * decision at the call site, never ambient configuration, which is
+    * why this lives here as a separate verb instead of a session conf.
+    */
+  def readParquetSalvage(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read
+      .option("ignoreCorruptFiles", "true")
+      .option("ignoreMissingFiles", "true")
+      .schema(schema)
+      .parquet(path)
+
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("errorifexists").orc(path)
 

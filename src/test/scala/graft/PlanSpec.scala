@@ -397,6 +397,30 @@ class PlanSpec extends AnyFunSuite {
       s"l_linenumber predicate not pushed through the widening cast in:\n$p")
   }
 
+  test("q86: the CDC delta broadcasts; corpus fingerprints never enter an exchange") {
+    // the incremental-dedup scale claim: only the delta moves — the
+    // corpus side is a scan + narrow md5 probed by a broadcast of the
+    // tiny delta, so at 100 TB the big side never reshuffles
+    val df = SparkEntry.queries("q86_incremental_dedup")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"delta not broadcast in:\n$p")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("fp#")),
+      s"corpus fingerprints shuffled in:\n$p")
+  }
+
+  test("q125: incremental near-dup probes the band index by equi-join, ranks natively") {
+    val df = SparkEntry.queries("q125_incremental_neardup")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // candidate generation must key (band_idx, band_val) — an equi-join
+    // shape; a nested loop here would be the |delta|·|corpus| disaster
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"band probe degenerated to all-pairs:\n$p")
+    assert(p.contains("TopKPerGroup"), s"best-match should use the native op:\n$p")
+  }
+
   test("q201: dynamic partition pruning fires and the fact scan reads only matching partitions") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
