@@ -39,14 +39,7 @@ object Bench {
     // query (observed stall windows span minutes and hit several
     // consecutive samples; see the round-robin note below)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
-    val spark = benchConfs.foldLeft(
-        GraftSession.tune(SparkSession.builder()
-          .master(s"local[$cpus]")
-          .config("spark.sql.shuffle.partitions", cpus))) {
-        case (b, (k, v)) => b.config(k, v)
-      }
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.localSession(cpus, benchConfs)
     // Warm-up pass at the smallest scale factor: whole-stage codegen
     // compilation (Janino) is single-threaded and dominated the first
     // execution of each query (observed 10-100x wall-clock inflation at
@@ -75,12 +68,29 @@ object Bench {
           Seq(col("l_orderkey"), col("l_linenumber")))))
     val entries = (SparkEntry.queries.toSeq ++ extraEntries)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // The timed action. NOT count(): Aggregate(count(1)) lets Catalyst
+    // prune every computed column, so a narrow query (q14's text stats,
+    // the dense-id window twin) collapses to a bare scan-count and the
+    // bench under-measures it — verified on the optimized plan (the
+    // Project under the count is EMPTY). The noop sink materializes
+    // every output column on the executors without collecting or
+    // writing — the standard full-computation benchmark action.
+    def exhaust(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       entries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try exhaust(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
       spark.catalog.clearCache()
+    }
+    // Build every frame once at sfDir BEFORE timing: queries that
+    // materialize a fixture on first use (q201's partitioned orders,
+    // q202's drift batches — memoized per sfDir) must pay that one-time
+    // write here, not inside rep 1's timed sample (with REPS<=2 the
+    // median cannot reject it).
+    entries.foreach { case (_, fn) =>
+      try fn(spark, sfDir) catch { case _: Throwable => () }
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -103,7 +113,7 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     for (_ <- 1 to reps; (name, fn) <- entries) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+      try { exhaust(fn(spark, sfDir)) } catch { case e: Throwable =>
         errors.getOrElseUpdate(name,
           (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
             .replaceAll("""[^ -!#-\[\]-~]""", " ").take(160))

@@ -12,17 +12,20 @@ object BenchOne {
     val reps = if (args.length > 1) args(1).toInt else 3
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.tune(SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // includes Bench.benchConfs: "same session config as Bench" was
+    // previously asserted by this comment but not by the code (the
+    // codegen-cache sizing was missing here)
+    val spark = GraftSession.localSession(cpus, Bench.benchConfs)
     val fn = SparkEntry.queries(name)
+    fn(spark, sfDir) // untimed: memoized fixture writes (q201/q202) land here
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      // noop sink, not count(): count lets Catalyst prune computed
+      // columns and under-measures narrow queries (see Bench.exhaust)
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       System.err.println(
-        f"[bench-one] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        f"[bench-one] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -40,6 +40,25 @@ object GraftSession {
   def tune(b: SparkSession.Builder): SparkSession.Builder =
     sharedConfs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
 
+  /** Driver-entry local session (Bench/BenchOne/Verify): local[cpus]
+    * master, cpus shuffle partitions, [[sharedConfs]], plus `extra` —
+    * ONE definition so a conf added for one entry point cannot silently
+    * miss another (the round-5 codegen-cache lesson: Bench and Verify
+    * sized the cache differently until the split was found by
+    * measurement).
+    */
+  def localSession(cpus: String, extra: Seq[(String, String)] = Nil): SparkSession = {
+    val spark = extra.foldLeft(
+        tune(SparkSession.builder()
+          .master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus))) {
+        case (b, (k, v)) => b.config(k, v)
+      }
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
   def builder(
       master: String = sys.env.getOrElse("SPARK_MASTER", "local[*]"),
       appName: String = "graft"): SparkSession.Builder =

@@ -32,7 +32,11 @@ object Tables {
     val ntz = df.schema.fields.collect {
       case f if f.dataType == TimestampNTZType => f.name
     }
-    ntz.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+    // ONE projection for all casts (withColumns), not a withColumn per
+    // column: chained withColumn stacks a Project node per call, which
+    // the analyzer re-resolves on every load of every query
+    if (ntz.isEmpty) df
+    else df.withColumns(ntz.map(c => c -> col(c).cast(TimestampType)).toMap)
   }
 
   /** `ts`-column normalizer covering the nanos-as-long flavor on top of
@@ -74,7 +78,9 @@ object Tables {
         f.dataType == ByteType => f.name -> LongType
       case f if f.dataType == FloatType => f.name -> DoubleType
     }
-    widened.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, col(c).cast(t)) }
+    // single projection, same reason as [[normalizeTemporal]]
+    if (widened.isEmpty) df
+    else df.withColumns(widened.map { case (c, t) => c -> col(c).cast(t) }.toMap)
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =

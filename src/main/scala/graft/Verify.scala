@@ -10,16 +10,9 @@ object Verify {
     // iteration; the driver always runs the full two-arg form)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // share the bench session's codegen-cache sizing: 201 queries × ~10
+    // share the bench session's codegen-cache sizing: 200+ queries × ~10
     // generated classes each sit right at the old 2000-entry cap
-    val spark = Bench.benchConfs.foldLeft(
-        GraftSession.tune(SparkSession.builder()
-          .master(s"local[$cpus]")
-          .config("spark.sql.shuffle.partitions", cpus))) {
-        case (b, (k, v)) => b.config(k, v)
-      }
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.localSession(cpus, Bench.benchConfs)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }

@@ -62,15 +62,14 @@ object Main {
     case "dedup" :: in :: out :: Nil =>
       val spark = session()
       val docsDf = spark.read.parquet(in)
-      val verdicts = graft.queries.TextOps.corpusClean(
-        docsDf.select(docsDf("doc_id"), docsDf("text"))).cache()
+      val verdicts = dedupVerdicts(
+        docsDf.select(docsDf("doc_id"), docsDf("text")), tag = "dedup")
       val stamp = java.time.format.DateTimeFormatter
         .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
         .format(java.time.Instant.now())
       val path = s"$out/corpus_clean_$stamp"
       verdicts.write.mode("errorifexists").parquet(path)
-      val kept = verdicts.filter(verdicts("kept")).count()
-      println(s"[dedup] wrote $path (${verdicts.count()} docs, $kept kept)")
+      println(s"[dedup] wrote $path")
       spark.stop()
 
     // flagship (VERDICT r06 item 8): the whole reference pipeline as ONE
@@ -104,11 +103,9 @@ object Main {
       val enrichedPath = Enrich.write(Enrich.run(spark, clean, cfg), s"$work/enriched")
       val enriched = spark.read.parquet(enrichedPath)
       println(s"[flagship] enrich: ${enriched.count()} rows -> $enrichedPath")
-      val verdicts = graft.queries.TextOps.corpusClean(
+      dedupVerdicts(
         enriched.select(enriched("id_news").as("doc_id"),
-          enriched("content").as("text"))).cache()
-      println(s"[flagship] dedup: ${verdicts.count()} docs, " +
-        s"${verdicts.filter(verdicts("kept")).count()} kept")
+          enriched("content").as("text")), tag = "flagship")
       Catalog.writePartitioned(enriched, s"$work/published")
       Catalog.registerView(spark.read.parquet(s"$work/published"))
       val byCat = spark.sql(
@@ -130,4 +127,16 @@ object Main {
 
   private def flagValue(args: List[String], flag: String): Option[String] =
     args.sliding(2).collectFirst { case `flag` :: v :: Nil => v }
+
+  /** Shared by the dedup and flagship verbs: corpus-clean verdicts
+    * (exact + near-dup, [[graft.queries.TextOps.corpusClean]]) for a
+    * (doc_id, text) frame, cached, with doc/kept counts printed.
+    */
+  private def dedupVerdicts(
+      docs: org.apache.spark.sql.DataFrame, tag: String): org.apache.spark.sql.DataFrame = {
+    val verdicts = graft.queries.TextOps.corpusClean(docs).cache()
+    val kept = verdicts.filter(verdicts("kept")).count()
+    println(s"[$tag] dedup verdicts: ${verdicts.count()} docs, $kept kept")
+    verdicts
+  }
 }

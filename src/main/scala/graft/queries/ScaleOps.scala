@@ -645,12 +645,17 @@ object ScaleOps {
         val root = java.nio.file.Files
           .createTempDirectory("q202_drift_batches").toString
         val docs = load(s, dir, "documents")
-        docs.where(length(col("source")) === 4)
+        // the batch split must be TOTAL over any fixture (the round's
+        // own lesson): v2 is exactly length(source)=5 with NULL→false,
+        // v1 is its complement — no row can fall through, and quality
+        // is NULL-proofed so every v2 row carries the added column
+        val isV2 = coalesce(length(col("source")) === 5, lit(false))
+        docs.where(!isV2)
           .select(col("doc_id"), col("text"), col("lang"), col("source"))
           .write.parquet(s"$root/batch_v1")
-        docs.where(length(col("source")) === 5)
+        docs.where(isV2)
           .select(col("doc_id"), col("text"), col("lang"), col("source"),
-            (col("n_chars") % 97).as("quality"))
+            (coalesce(col("n_chars"), lit(0L)) % 97).as("quality"))
           .write.parquet(s"$root/batch_v2")
         (s"$root/batch_v1", s"$root/batch_v2")
       })
@@ -667,7 +672,8 @@ object ScaleOps {
     """SELECT source, COUNT(*) AS n_docs,
       |  CAST(SUM(CASE WHEN LENGTH(source) = 5 THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_quality,
-      |  CAST(SUM(CASE WHEN LENGTH(source) = 5 THEN n_chars % 97 ELSE 0 END)
+      |  CAST(SUM(CASE WHEN LENGTH(source) = 5
+      |             THEN COALESCE(n_chars, 0) % 97 ELSE 0 END)
       |    AS BIGINT) AS quality_sum
       |FROM documents GROUP BY source""".stripMargin
 

@@ -37,14 +37,22 @@ object EventStreams {
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     // An EMPTY source directory is a normal FileStreamSource start
-    // condition (files arrive later), but the batch footer peek throws
-    // "Unable to infer schema" on it — fall back to the canonical events
-    // schema (the µs-UTC flavor; late-arriving files in another flavor
-    // are still normalized below once the peek would have seen them,
-    // and a restart after the first file lands re-peeks the real one).
+    // condition (files arrive later) — fall back to the canonical
+    // events schema (the µs-UTC flavor). The emptiness check is an
+    // explicit file listing, NOT a catch of the peek's
+    // AnalysisException: that exception also covers a nonexistent /
+    // typo'd path, which must fail loudly here instead of starting a
+    // permanently-empty stream. Caveat, stated rather than hidden: the
+    // schema is fixed at stream definition, so if the FIRST files land
+    // in a non-default flavor the stream must be restarted to re-peek —
+    // normalizeEventTs below normalizes flavors seen at the peek, not
+    // flavors that appear later.
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(path), s"events stream source directory does not exist: $dir")
+    val hasFiles = graft.ops.Compaction.dirStats(spark, dir)._1 > 0
     val onDisk =
-      try spark.read.parquet(dir).schema
-      catch { case _: org.apache.spark.sql.AnalysisException => defaultSchema }
+      if (hasFiles) spark.read.parquet(dir).schema else defaultSchema
     graft.Tables.normalizeEventTs(
       spark.readStream.schema(onDisk).parquet(dir))
   }
