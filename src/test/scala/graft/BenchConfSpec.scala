@@ -17,4 +17,20 @@ class BenchConfSpec extends AnyFunSuite {
     assert(v.get.toInt >= 10000,
       s"codegen cache ${v.get} entries — below the 200-query working set")
   }
+
+  test("the bench action evaluates every output column; count() provably does not") {
+    // The r07 lesson made mechanical: count() lets Catalyst prune all
+    // computed columns (a narrow query times as a bare scan-count), so
+    // Bench times the noop sink instead. A raise_error column makes the
+    // difference BEHAVIORAL: pruned → no error; evaluated → error. If
+    // someone swaps the bench action back to count(), the second assert
+    // here is the spec that explains why that under-measures.
+    import org.apache.spark.sql.functions.expr
+    val spark = TestSpark.spark
+    val trap = spark.range(1).select(expr("raise_error('evaluated')").as("x"))
+    assert(trap.count() == 1L, "count() should prune x and succeed")
+    intercept[Throwable] {
+      trap.write.format("noop").mode("overwrite").save()
+    }
+  }
 }
