@@ -96,17 +96,24 @@ object Hilbert {
       min(col(colY)).as("miny"), max(col(colY)).as("maxy"))
     def inRange(mn: String, mx: String) =
       col(mx).cast("double") - col(mn).cast("double") <= lit(MaxRange.toDouble)
-    df.crossJoin(broadcast(bounds))
+    // guard on the 1-row bounds frame, wrapped around a scalar the key
+    // needs — evaluated once at broadcast build, keeping the per-row
+    // expression CASE-free so codegen subexpression elimination applies
+    // (ZOrder.withZ's r07 lesson; a per-row branch cost ~7× there)
+    val checked = bounds.select(
+      when(inRange("minx", "maxx") && inRange("miny", "maxy"), col("minx"))
+        .otherwise(raise_error(concat(
+          lit(s"Hilbert.withH: column range exceeds 2^45 ($colX: ["),
+          col("minx").cast("string"), lit(", "), col("maxx").cast("string"),
+          lit(s"], $colY: ["),
+          col("miny").cast("string"), lit(", "), col("maxy").cast("string"),
+          lit("]) — bucket8 would overflow; pre-bucket wide/hash keys first"))))
+        .as("minx"),
+      col("maxx"), col("miny"), col("maxy"))
+    df.crossJoin(broadcast(checked))
       .withColumn("h_cell",
-        when(inRange("minx", "maxx") && inRange("miny", "maxy"),
-          shiftleft(bucket8(col(colX), col("minx"), col("maxx")), Order)
-            .bitwiseOR(bucket8(col(colY), col("miny"), col("maxy"))))
-          .otherwise(raise_error(concat(
-            lit(s"Hilbert.withH: column range exceeds 2^45 ($colX: ["),
-            col("minx").cast("string"), lit(", "), col("maxx").cast("string"),
-            lit(s"], $colY: ["),
-            col("miny").cast("string"), lit(", "), col("maxy").cast("string"),
-            lit("]) — bucket8 would overflow; pre-bucket wide/hash keys first")))))
+        shiftleft(bucket8(col(colX), col("minx"), col("maxx")), Order)
+          .bitwiseOR(bucket8(col(colY), col("miny"), col("maxy"))))
       .drop("minx", "maxx", "miny", "maxy")
       // LEFT join: a NULL in either coordinate makes h_cell NULL, and an
       // inner join would silently drop the row ([[ZOrder.withZ]] keeps

@@ -72,11 +72,20 @@ object ZOrder {
 
   /** The full per-row z-key for two long/int columns of `df`, computed
     * against the frame's own min/max (one broadcast scalar row).
-    * Fails at runtime (raise_error inside the projection — no extra
-    * pass) if either column's range exceeds [[MaxRange]]: hash-valued
-    * or wide-range keys would otherwise overflow bucket16 silently and
-    * produce a useless layout. For such keys, pre-bucket (e.g.
-    * pmod(xxhash64(c), 2^16)) before z-ordering.
+    * Fails at runtime if either column's range exceeds [[MaxRange]]:
+    * hash-valued or wide-range keys would otherwise overflow bucket16
+    * silently and produce a useless layout. For such keys, pre-bucket
+    * (e.g. pmod(xxhash64(c), 2^16)) before z-ordering.
+    *
+    * The guard lives on the 1-ROW BOUNDS frame, wrapped around a
+    * scalar the key computation needs (so pruning can't drop it), and
+    * evaluates once when the broadcast is built — NOT as a CASE WHEN
+    * around the per-row z expression. The per-row form costs ~7×: a
+    * conditional branch disqualifies its subtree from codegen
+    * subexpression elimination, so every duplicated bucket16 subtree
+    * inside the spread folds (2^5 copies via the shift-mask stages)
+    * gets re-evaluated per row. Found when the r07 bench-action fix
+    * first made this query's real cost visible.
     */
   def withZ(df: DataFrame, colX: String, colY: String, as: String = "z"): DataFrame = {
     val bounds = df.agg(
@@ -89,17 +98,20 @@ object ZOrder {
     // near 2^63 is ~2^11, orders of magnitude below the 2^37 threshold.
     def inRange(mn: String, mx: String) =
       col(mx).cast("double") - col(mn).cast("double") <= lit(MaxRange.toDouble)
-    df.crossJoin(broadcast(bounds))
-      .withColumn(as,
-        when(inRange("minx", "maxx") && inRange("miny", "maxy"), zValue(
-          bucket16(col(colX), col("minx"), col("maxx")),
-          bucket16(col(colY), col("miny"), col("maxy"))))
+    val checked = bounds.select(
+      when(inRange("minx", "maxx") && inRange("miny", "maxy"), col("minx"))
         .otherwise(raise_error(concat(
           lit(s"ZOrder.withZ: column range exceeds 2^37 ($colX: ["),
           col("minx").cast("string"), lit(", "), col("maxx").cast("string"),
           lit(s"], $colY: ["),
           col("miny").cast("string"), lit(", "), col("maxy").cast("string"),
-          lit("]) — bucket16 would overflow; pre-bucket wide/hash keys first")))))
+          lit("]) — bucket16 would overflow; pre-bucket wide/hash keys first"))))
+        .as("minx"),
+      col("maxx"), col("miny"), col("maxy"))
+    df.crossJoin(broadcast(checked))
+      .withColumn(as, zValue(
+        bucket16(col(colX), col("minx"), col("maxx")),
+        bucket16(col(colY), col("miny"), col("maxy"))))
       .drop("minx", "maxx", "miny", "maxy")
   }
 

@@ -510,11 +510,18 @@ object Advanced {
     val cents = load(s, dir, "orders").select(
       col("o_orderpriority").as("priority"), col("o_orderkey"),
       (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+    // native H60Expr (top 60 md5-digest bits, bit-identical to the
+    // conv(substring(md5(…),1,15),16,10) chain — PropertySpec-pinned):
+    // the declarative chain materializes a 32-char hex string per
+    // (order × replicate) row — 9.6M at sf0.1 — and was the dominant
+    // cost once the bench action stopped pruning it (r07)
+    val h60u = org.apache.spark.sql.GraftPlanShim.columnOf(
+      graft.functions.H60Expr(org.apache.spark.sql.GraftPlanShim.expressionOf(
+        concat(col("o_orderkey").cast("string"), lit(":"),
+          col("b").cast("string")))))
     val reps = cents
       .withColumn("b", explode(expr("sequence(0, 63)")))
-      .withColumn("u", expr(
-        "CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), ':'," +
-          " CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000"))
+      .withColumn("u", h60u % 1000)
       .withColumn("w", when(col("u") < 368, 0L).when(col("u") < 736, 1L)
         .when(col("u") < 920, 2L).when(col("u") < 981, 3L).otherwise(4L))
       .groupBy(col("priority"), col("b"))
