@@ -19,6 +19,7 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)
+      // collect-scale: debug-tool — Explain is a plan-dump CLI, not a query path
       df.collect() // finalize AQE so the printed plan is the executed one
       println(s"===== $n =====")
       println(df.queryExecution.executedPlan.toString)

@@ -110,7 +110,9 @@ object Main {
       Catalog.registerView(spark.read.parquet(s"$work/published"))
       val byCat = spark.sql(
         """SELECT category, COUNT(*) AS n FROM enriched_news
-          |GROUP BY category ORDER BY n DESC""".stripMargin).collect()
+          |GROUP BY category ORDER BY n DESC""".stripMargin)
+        // collect-scale: metadata — per-category counts for a CLI print
+        .collect()
       println("[flagship] published by category: " +
         byCat.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
       println(s"[flagship] SQL surface ready: enriched_news over $work/published")

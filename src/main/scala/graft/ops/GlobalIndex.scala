@@ -31,6 +31,7 @@ object GlobalIndex {
       .sortWithinPartitions(sortCols: _*)
     val counts = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
       Iterator((i, it.size.toLong))
+      // collect-scale: metadata — numPartitions longs, never data rows
     }.collect().sortBy(_._1)
     val offsets = counts.map(_._2).scanLeft(1L)(_ + _)
     val offsetsBc = spark.sparkContext.broadcast(offsets)

@@ -55,6 +55,7 @@ object Profiler {
     // one pruned scan + two-phase hash agg per distinct (see scaladoc)
     val distincts = cols.map(c =>
       df.select(col(c)).agg(count_distinct(col(c)).as(s"${c}__d")))
+    // cross-scale: scalar-frames — every operand is a 1-row aggregate
     val one = distincts.foldLeft(stats)(_ crossJoin _)
     val stackArgs = cols
       .map(c => s"'$c', `${c}__n`, `${c}__d`, `${c}__min`, `${c}__max`")

@@ -489,6 +489,7 @@ object CurationOps {
     val nEdges = edges.agg(count(lit(1)).as("n_edges"))
     val nWedges = wedges.agg(count(lit(1)).as("n_wedges"))
     val nTri = tri.agg(count(lit(1)).as("n_triangles"))
+    // cross-scale: scalar-frames — all four operands are 1-row aggs
     nNodes.crossJoin(nEdges).crossJoin(nWedges).crossJoin(nTri)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
         expr("(n_triangles * 1000) div nullif(n_wedges, 0)").as("closure_permille"))

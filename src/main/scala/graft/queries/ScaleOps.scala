@@ -493,6 +493,7 @@ object ScaleOps {
       val orphans = child
         .join(parent.select(col(pkey).as(key)), Seq(key), "left_anti")
         .agg(count(lit(1)).as("n_orphans"))
+      // cross-scale: scalar-frames — 1-row agg × 1-row agg
       total.crossJoin(orphans)
         .select(lit(rel).as("relation"), col("n_child_rows"), col("n_orphans"),
           (col("n_orphans").cast("double") / col("n_child_rows"))

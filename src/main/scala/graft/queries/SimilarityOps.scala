@@ -700,6 +700,7 @@ object SimilarityOps {
       .join(cells.select(col("vec_id").as("dst"), col("cell_id").as("cb")), Seq("dst"))
       .filter(col("ca") === col("cb"))
     exact.agg(count(lit(1)).as("n_exact_pairs"))
+      // cross-scale: scalar-frames — 1-row agg × 1-row agg
       .crossJoin(kept.agg(count(lit(1)).as("n_kept_pairs")))
       .select(col("n_exact_pairs"), col("n_kept_pairs"),
         (col("n_kept_pairs").cast("double") /

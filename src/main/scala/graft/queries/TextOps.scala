@@ -1442,6 +1442,7 @@ object TextOps {
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct().cache()
       cand.agg(count(lit(1)).as("n_candidates"))
+        // cross-scale: scalar-frames — 1-row aggs on both sides
         .crossJoin(cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
           .agg(count(lit(1)).as("n_hits")))
         .crossJoin(broadcast(nTruth))
