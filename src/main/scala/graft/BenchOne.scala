@@ -20,9 +20,9 @@ object BenchOne {
     fn(spark, sfDir) // untimed: memoized fixture writes (q201/q202) land here
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()
-      // noop sink, not count(): count lets Catalyst prune computed
-      // columns and under-measures narrow queries (see Bench.exhaust)
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      // the SHARED bench action (noop sink, not count() — count lets
+      // Catalyst prune computed columns and under-measure)
+      Bench.exhaust(fn(spark, sfDir))
       System.err.println(
         f"[bench-one] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       spark.catalog.clearCache()

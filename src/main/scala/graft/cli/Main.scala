@@ -103,9 +103,18 @@ object Main {
       val enrichedPath = Enrich.write(Enrich.run(spark, clean, cfg), s"$work/enriched")
       val enriched = spark.read.parquet(enrichedPath)
       println(s"[flagship] enrich: ${enriched.count()} rows -> $enrichedPath")
-      dedupVerdicts(
+      // verdicts are WRITTEN, not just printed (the dedup verb's
+      // contract): the publish below stays reference-faithful (all
+      // enriched rows — the reference pipeline has no dedup stage),
+      // and $work/dedup_verdicts carries the kept/duplicate audit a
+      // downstream consumer filters by
+      val verdicts = dedupVerdicts(
         enriched.select(enriched("id_news").as("doc_id"),
           enriched("content").as("text")), tag = "flagship")
+      verdicts.write.mode("errorifexists").parquet(s"$work/dedup_verdicts")
+      println(s"[flagship] dedup verdicts -> $work/dedup_verdicts")
+      // release the cache dedupVerdicts pinned before the publish stage
+      verdicts.unpersist()
       Catalog.writePartitioned(enriched, s"$work/published")
       Catalog.registerView(spark.read.parquet(s"$work/published"))
       val byCat = spark.sql(

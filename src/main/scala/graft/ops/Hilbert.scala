@@ -100,8 +100,11 @@ object Hilbert {
     // needs — evaluated once at broadcast build, keeping the per-row
     // expression CASE-free so codegen subexpression elimination applies
     // (ZOrder.withZ's r07 lesson; a per-row branch cost ~7× there)
+    // empty input: all-NULL bounds row → NULL condition would fire the
+    // raise_error spuriously; null bounds pass (result is empty anyway)
     val checked = bounds.select(
-      when(inRange("minx", "maxx") && inRange("miny", "maxy"), col("minx"))
+      when(col("minx").isNull ||
+        (inRange("minx", "maxx") && inRange("miny", "maxy")), col("minx"))
         .otherwise(raise_error(concat(
           lit(s"Hilbert.withH: column range exceeds 2^45 ($colX: ["),
           col("minx").cast("string"), lit(", "), col("maxx").cast("string"),

@@ -35,6 +35,15 @@ import org.apache.spark.sql.types._
   * function of the key), so a tie group never straddles a boundary and
   * each boundary break depends only on (last value of p, first value of
   * p+1) — exactly what the merge examines.
+  *
+  * MEMORY CONTRACT: each order-key tie group is buffered in executor
+  * heap (its values must be sub-sorted per column), so `orderCols` must
+  * be a near-unique physical order key — the operator's domain is
+  * storage-order run detection, where the order key IS the (near-
+  * unique) file position. A coarse key (e.g. a 3-value flag column)
+  * would put O(n) rows in one tie group and defeat the streaming
+  * bound; that input is a different question ("runs under an arbitrary
+  * grouping"), not a supported use of this operator.
   */
 object RunCount {
 

@@ -98,8 +98,13 @@ object ZOrder {
     // near 2^63 is ~2^11, orders of magnitude below the 2^37 threshold.
     def inRange(mn: String, mx: String) =
       col(mx).cast("double") - col(mn).cast("double") <= lit(MaxRange.toDouble)
+    // empty input: the bounds agg yields one all-NULL row, the inRange
+    // conjunction is NULL, and `otherwise(raise_error)` would fire a
+    // spurious "range exceeds" on a frame with no rows to key — let the
+    // null bounds pass (the cross-joined result is empty regardless)
     val checked = bounds.select(
-      when(inRange("minx", "maxx") && inRange("miny", "maxy"), col("minx"))
+      when(col("minx").isNull ||
+        (inRange("minx", "maxx") && inRange("miny", "maxy")), col("minx"))
         .otherwise(raise_error(concat(
           lit(s"ZOrder.withZ: column range exceeds 2^37 ($colX: ["),
           col("minx").cast("string"), lit(", "), col("maxx").cast("string"),

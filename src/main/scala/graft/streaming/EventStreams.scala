@@ -50,7 +50,20 @@ object EventStreams {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(path), s"events stream source directory does not exist: $dir")
-    val hasFiles = graft.ops.Compaction.dirStats(spark, dir)._1 > 0
+    // ANY visible data file counts — not just *.parquet-suffixed ones
+    // (Compaction.dirStats counts those): non-Spark writers produce
+    // unsuffixed part files, and misclassifying a non-empty dir as
+    // empty would silently pin the fallback schema over real files
+    val hasFiles = {
+      val it = fs.listFiles(path, /* recursive = */ true)
+      var found = false
+      while (!found && it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        found = st.isFile && !name.startsWith("_") && !name.startsWith(".")
+      }
+      found
+    }
     val onDisk =
       if (hasFiles) spark.read.parquet(dir).schema else defaultSchema
     graft.Tables.normalizeEventTs(
@@ -58,11 +71,17 @@ object EventStreams {
   }
 
   /** Canonical events schema (TESTDATA.md), used only when the source
-    * directory has no files yet at stream start.
+    * directory has no files yet at stream start. `ts` is declared
+    * TIMESTAMP_NTZ because that is the flavor the canonical fixture
+    * writer produces (the r05+ driver fixtures — the whole reason
+    * `Tables.normalizeTemporal` exists); declaring TimestampType here
+    * would make the empty-start stream fail on the FIRST canonical
+    * files to arrive. `normalizeEventTs` then casts NTZ→TimestampType,
+    * so downstream sees the same type whichever path chose the schema.
     */
   private[streaming] val defaultSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),

@@ -76,6 +76,12 @@ class HilbertSpec extends AnyFunSuite {
       s"expected the range-guard error, got: ${messages(e).take(500)}")
   }
 
+  test("withH on an EMPTY frame returns empty instead of a spurious guard error") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("x", "y").filter(col("x") < 0)
+    assert(Hilbert.withH(df, "x", "y").count() == 0)
+  }
+
   test("hilbert-ordered write preserves content and tightens both columns") {
     val base = java.nio.file.Files.createTempDirectory("hilbert").toString
     val li = spark.read.parquet(s"$dir/lineitem.parquet")

@@ -107,6 +107,14 @@ class ZOrderSpec extends AnyFunSuite {
     assert(ZOrder.withZ(df, "x", "y").count() == 2)
   }
 
+  test("withZ on an EMPTY frame returns empty instead of a spurious guard error") {
+    import spark.implicits._
+    // all-NULL bounds row: the range guard must let it pass (no rows to
+    // key), not raise "range exceeds" from the NULL comparison
+    val df = Seq((1L, 2L)).toDF("x", "y").filter(col("x") < 0)
+    assert(ZOrder.withZ(df, "x", "y").count() == 0)
+  }
+
   test("z-ordered write preserves content exactly") {
     val base = java.nio.file.Files.createTempDirectory("zorder_c").toString
     val li = spark.read.parquet(s"$dir/lineitem.parquet")

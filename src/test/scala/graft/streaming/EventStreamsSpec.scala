@@ -39,9 +39,37 @@ class EventStreamsSpec extends AnyFunSuite {
     val empty = java.nio.file.Files.createTempDirectory("events_empty").toString
     val s = EventStreams.readEvents(spark, empty)
     assert(s.isStreaming)
-    assert(s.schema == EventStreams.defaultSchema)
+    // the fallback schema declares ts NTZ (the canonical fixture
+    // flavor); post-normalize the stream presents TimestampType —
+    // identical to what the non-empty peek path presents
+    assert(s.schema.fieldNames.sameElements(
+      EventStreams.defaultSchema.fieldNames))
+    assert(s.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
     runToMemory(EventStreams.hourlyCounts(s), "empty_start")
     assert(spark.table("empty_start").count() == 0)
+  }
+
+  test("empty-start stream reads canonical-flavor files that arrive later") {
+    // the fallback schema must match what the lake's writer actually
+    // produces (NTZ since the r05 fixtures): declare-TimestampType
+    // would fail on the FIRST canonical file to land after start
+    val d = java.nio.file.Files.createTempDirectory("events_late")
+    val s = EventStreams.readEvents(spark, d.toString)
+    // file named WITHOUT .parquet suffix: the non-empty probe must
+    // count unsuffixed data files too (non-Spark writers produce them)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      d.resolve("part-00000"))
+    runToMemory(EventStreams.hourlyCounts(s), "late_arrivals", mode = "complete")
+    val got = spark.sql("select sum(n_events) from late_arrivals")
+      .head().getLong(0)
+    assert(got == batchEvents().count())
+    // and a restart NOW (files present, unsuffixed) peeks the real
+    // schema instead of misreading the dir as empty
+    val restarted = EventStreams.readEvents(spark, d.toString)
+    assert(restarted.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
   }
 
   test("hourly counts match the batch aggregation") {
