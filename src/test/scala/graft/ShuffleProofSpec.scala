@@ -77,6 +77,45 @@ class ShuffleProofSpec extends AnyFunSuite {
       s"fingerprint exchange ($fpWire B wire) not smaller than text exchange ($naiveWire B wire)")
   }
 
+  test("RunCount's range exchange moves a fifth of the windowed form's rows") {
+    // q165's scalable run counter (ops/RunCount) claims ONE range
+    // exchange of the 5-column base frame, where the pre-r07 windowed
+    // form exploded to long format and exchanged numColumns× the rows
+    // (hash-partitioned by col_name — parallelism = 5). Pin the ratio
+    // off the exchanges' own record metrics.
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag").as("rf"),
+        col("l_linestatus").as("ls"),
+        col("l_quantity").cast("long").cast("string").as("qty"),
+        col("l_shipdate").cast("date").cast("string").as("sd"),
+        col("l_suppkey").cast("string").as("sk"))
+    val vals = Seq("rf", "ls", "qty", "sd", "sk")
+    // RunCount's only data-scale exchange, measured as a DataFrame
+    // (the operator consumes it via .rdd, which hides the exchange
+    // from the summary frame's own plan)
+    val ranged = li.repartitionByRange(col("l_orderkey"), col("l_linenumber"))
+      .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
+    // the windowed form's exchange: explode to long, hash by col_name
+    val long = li.select(col("l_orderkey"), col("l_linenumber"),
+        explode(array(vals.map(n =>
+          struct(lit(n).as("col_name"), col(n).as("val"))): _*)).as("s"))
+      .repartition(col("s.col_name"))
+    def records(df: DataFrame): Long = {
+      df.collect()
+      val ex = nodes(df.queryExecution.executedPlan).collect {
+        case s: ShuffleExchangeExec => s
+      }
+      assert(ex.nonEmpty, "expected a shuffle exchange")
+      ex.map(_.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)).sum
+    }
+    val wide = records(ranged)
+    val longRecs = records(long)
+    info(s"RunCount range exchange: $wide records; windowed long-format exchange: $longRecs records")
+    assert(wide * vals.length == longRecs,
+      s"expected exactly ${vals.length}x: $wide vs $longRecs")
+  }
+
   test("both dedup shapes combine map-side before their exchange (partial aggregation)") {
     // The byte win composes with partial aggregation: on duplicate-heavy
     // data the map side also collapses copies before the wire. Pin that
