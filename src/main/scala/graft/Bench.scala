@@ -119,17 +119,42 @@ object Bench {
     // per query, drop errored queries from the totals, and publish the
     // list so the artifact self-describes partial runs.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    for (_ <- 1 to reps; (name, fn) <- entries) {
+    // Per-rep CALIBRATION anchor: a fixed CPU-bound job (hash-sum over
+    // a generated range — no I/O, no shuffle) timed at the start of
+    // every rep round. Recorded medians differ up to ~2× between HOST
+    // BOOTS on unchanged code (r07: the post-reboot full run inflated
+    // ~40-100% on untouched queries while optimized ones still showed
+    // their order-of-magnitude drops); the calib series makes that
+    // drift a measured number in the artifact itself, so cross-boot
+    // comparisons can normalize by the calib ratio instead of arguing
+    // from vibes. One warm-up calibration is run (and discarded) before
+    // the reps so rep 1's sample doesn't pay codegen compilation.
+    def calibrate(): Double = {
       val t0 = System.nanoTime()
-      try { exhaust(fn(spark, sfDir)) } catch { case e: Throwable =>
-        errors.getOrElseUpdate(name,
-          (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
-            .replaceAll("""[^ -!#-\[\]-~]""", " ").take(160))
+      // % bounds the addends so the 100M-term sum stays far from the
+      // long range (ANSI overflow would kill the anchor)
+      Bench.exhaust(spark.range(0L, 400000000L, 1L, cpus.toInt)
+        .select(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("id")) % 1000000L).as("h")))
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate()
+    val calibs = scala.collection.mutable.ArrayBuffer[Double]()
+    for (_ <- 1 to reps) {
+      calibs += calibrate()
+      for ((name, fn) <- entries) {
+        val t0 = System.nanoTime()
+        try { exhaust(fn(spark, sfDir)) } catch { case e: Throwable =>
+          errors.getOrElseUpdate(name,
+            (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
+              .replaceAll("""[^ -!#-\[\]-~]""", " ").take(160))
+        }
+        // queries cache intermediate frames per invocation; drop them so
+        // every rep pays the same (full) cost and memory stays bounded
+        spark.catalog.clearCache()
+        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
       }
-      // queries cache intermediate frames per invocation; drop them so
-      // every rep pays the same (full) cost and memory stays bounded
-      spark.catalog.clearCache()
-      samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
     }
     val ok = entries.filterNot { case (name, _) => errors.contains(name) }
     val med = ok.map { case (name, _) => name -> median(samples(name)) }
@@ -141,9 +166,12 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = med.map(_._2).sum
     val totalMin = mins.map(_._2).sum
+    val calibMed = median(calibs.toSeq)
+    val calibJson = calibs.map(c => f"$c%.4f").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
         s""""n_ok":${ok.size},"n_errored":${errors.size},"errors":$errJson,""" +
+        s""""calib_sec":$calibMed,"calib_series":$calibJson,""" +
         s""""queries":${renderMap(med)},""" +
         s""""total_min":$totalMin,"queries_min":${renderMap(mins)},"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")

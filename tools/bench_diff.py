@@ -33,10 +33,25 @@ def main():
     p.add_argument("new", help="current BENCH_LOCAL.json")
     p.add_argument("--threshold", type=float, default=0.15,
                    help="relative move to flag (default 0.15)")
+    p.add_argument("--calib-normalize", action="store_true",
+                   help="rescale the NEW run by old_calib/new_calib before "
+                        "diffing (both files must carry calib_sec — the "
+                        "fixed CPU-anchor graft.Bench times each rep round); "
+                        "separates host/boot drift from code effects")
     ns = p.parse_args()
     thr = ns.threshold
     old, new = load(ns.old), load(ns.new)
     oq, nq = old.get("queries", {}), new.get("queries", {})
+    oc, nc = old.get("calib_sec"), new.get("calib_sec")
+    if oc and nc:
+        print(f"calibration anchor: old {oc:.3f}s, new {nc:.3f}s "
+              f"(host ratio {nc / oc:.2f}x)")
+    if ns.calib_normalize:
+        if not (oc and nc):
+            sys.exit("--calib-normalize needs calib_sec in BOTH files")
+        scale = oc / nc
+        nq = {k: v * scale for k, v in nq.items()}
+        print(f"new-run times rescaled by {scale:.3f} (calib normalization)")
     shared = sorted(set(oq) & set(nq))
     only_old = sorted(set(oq) - set(nq))
     only_new = sorted(set(nq) - set(oq))
