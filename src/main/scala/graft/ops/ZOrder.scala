@@ -130,4 +130,75 @@ object ZOrder {
       .sortWithinPartitions(col("z"))
       .drop("z")
       .write.mode("errorifexists").parquet(outDir)
+
+  // ---- three-column Morton (the real OPTIMIZE ZORDER BY arity) ----
+
+  /** Spread the low 16 bits of `c` so bit i lands at position 3i — the
+    * standard 64-bit Morton3D "splitBy3" magic-mask ladder (valid for
+    * up to 21 input bits; we feed 16). Same shape as [[spread]], one
+    * extra stage because the gaps are twice as wide.
+    */
+  def spread3(c: Column): Column = {
+    val m = Seq(
+      (32, 0x001F00000000FFFFL),
+      (16, 0x001F0000FF0000FFL),
+      (8, 0x100F00F00F00F00FL),
+      (4, 0x10C30C30C30C30C3L),
+      (2, 0x1249249249249249L))
+    m.foldLeft(c.bitwiseAND(lit(0xFFFFL))) { case (x, (s, mask)) =>
+      (x.bitwiseOR(shiftleft(x, s))).bitwiseAND(lit(mask))
+    }
+  }
+
+  /** 48-bit Morton key of three 16-bit bucket ids (x in bits 3i, y in
+    * 3i+1, z in 3i+2).
+    */
+  def zValue3(x: Column, y: Column, z: Column): Column =
+    spread3(x)
+      .bitwiseOR(shiftleft(spread3(y), 1))
+      .bitwiseOR(shiftleft(spread3(z), 2))
+
+  /** Three-column [[withZ]]: the per-row Morton3D key against the
+    * frame's own min/max per column (one broadcast scalar row), with
+    * the same hoisted range guard — evaluated once at broadcast build,
+    * never on the per-row path.
+    */
+  def withZ3(df: DataFrame, colX: String, colY: String, colZ: String,
+      as: String = "z3"): DataFrame = {
+    val bounds = df.agg(
+      min(col(colX)).as("minx"), max(col(colX)).as("maxx"),
+      min(col(colY)).as("miny"), max(col(colY)).as("maxy"),
+      min(col(colZ)).as("minz"), max(col(colZ)).as("maxz"))
+    def inRange(mn: String, mx: String) =
+      col(mx).cast("double") - col(mn).cast("double") <= lit(MaxRange.toDouble)
+    val checked = bounds.select(
+      when(col("minx").isNull ||
+        (inRange("minx", "maxx") && inRange("miny", "maxy") &&
+          inRange("minz", "maxz")), col("minx"))
+        .otherwise(raise_error(concat(
+          lit(s"ZOrder.withZ3: column range exceeds 2^37 ($colX: ["),
+          col("minx").cast("string"), lit(", "), col("maxx").cast("string"),
+          lit(s"], $colY: ["),
+          col("miny").cast("string"), lit(", "), col("maxy").cast("string"),
+          lit(s"], $colZ: ["),
+          col("minz").cast("string"), lit(", "), col("maxz").cast("string"),
+          lit("]) — bucket16 would overflow; pre-bucket wide/hash keys first"))))
+        .as("minx"),
+      col("maxx"), col("miny"), col("maxy"), col("minz"), col("maxz"))
+    df.crossJoin(broadcast(checked))
+      .withColumn(as, zValue3(
+        bucket16(col(colX), col("minx"), col("maxx")),
+        bucket16(col(colY), col("miny"), col("maxy")),
+        bucket16(col(colZ), col("minz"), col("maxz"))))
+      .drop("minx", "maxx", "miny", "maxy", "minz", "maxz")
+  }
+
+  /** Three-column [[write]]: contiguous Morton3D segments per file. */
+  def write3(df: DataFrame, colX: String, colY: String, colZ: String,
+      outDir: String, nFiles: Int): Unit =
+    withZ3(df, colX, colY, colZ)
+      .repartitionByRange(nFiles, col("z3"))
+      .sortWithinPartitions(col("z3"))
+      .drop("z3")
+      .write.mode("errorifexists").parquet(outDir)
 }

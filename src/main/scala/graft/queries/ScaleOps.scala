@@ -109,6 +109,49 @@ object ScaleOps {
     graft.ops.ZOrder.withZ(li, "l_partkey", "l_suppkey")
       .select(col("l_orderkey"), col("l_linenumber"), col("z"))
   }
+  // q203 — THREE-column Z-order keys ([[graft.ops.ZOrder.withZ3]]):
+  // q74 gates the 2-D Morton key; this gates the 3-D one — the arity
+  // real `OPTIMIZE ZORDER BY` calls use (Delta/Iceberg accept N
+  // columns; two was the bring-up case). Same structure: 16-bit range
+  // buckets per column, then the standard splitBy3 magic-mask ladder,
+  // bit-identical in DuckDB as integer shifts/masks. The layout win
+  // (three-column file-skipping at once) is pinned measured in
+  // ZOrderSpec's write3 test; THIS query proves the key engine-exact.
+  private def q203(s: SparkSession, dir: String): DataFrame = {
+    val li = load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+    graft.ops.ZOrder.withZ3(li, "l_partkey", "l_suppkey", "l_orderkey")
+      .select(col("l_orderkey"), col("l_linenumber"), col("z3"))
+  }
+  // Morton3D "splitBy3" spread, decimal mask renderings (q203's oracle)
+  private def spread3Sql(e: String): String =
+    Seq((32, "8725724278095871"), (16, "8725728556220671"),
+      (8, "1157144660301377551"), (4, "1207822528635744451"),
+      (2, "1317624576693539401"))
+      .foldLeft(s"($e & 65535)") { case (x, (sh, m)) =>
+        s"(($x | ($x << $sh)) & $m)"
+      }
+  private lazy val q203Sql = {
+    def bucket(c: String, mn: String, mx: String) =
+      s"(CAST($c - $mn AS BIGINT) * 65536) // (CAST($mx - $mn AS BIGINT) + 1)"
+    s"""WITH b AS (
+      |  SELECT MIN(l_partkey) AS minx, MAX(l_partkey) AS maxx,
+      |         MIN(l_suppkey) AS miny, MAX(l_suppkey) AS maxy,
+      |         MIN(l_orderkey) AS minz, MAX(l_orderkey) AS maxz
+      |  FROM lineitem),
+      |bk AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    ${bucket("l_partkey", "minx", "maxx")} AS bx,
+      |    ${bucket("l_suppkey", "miny", "maxy")} AS by,
+      |    ${bucket("l_orderkey", "minz", "maxz")} AS bz
+      |  FROM lineitem CROSS JOIN b)
+      |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |  (${spread3Sql("bx")} | (${spread3Sql("by")} << 1)
+      |    | (${spread3Sql("bz")} << 2)) AS z3
+      |FROM bk""".stripMargin
+  }
+
   // Morton "part1by1" spread, decimal renderings of the magic masks
   // (shared by q74's key check and q163's zone-map audit)
   private def spreadSql(e: String): String =
@@ -681,6 +724,7 @@ object ScaleOps {
   lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q201_dpp_audit", q201, Some(q201Sql)),
     QueryDef("q202_schema_drift", q202, Some(q202Sql)),
+    QueryDef("q203_zorder3_keys", q203, Some(q203Sql)),
     QueryDef("q63_salted_agg", q63, Some(q63Sql)),
     QueryDef("q88_salted_join", q88, Some(q88Sql)),
     QueryDef("q64_bucketed_join", q64, Some(q64Sql)),
