@@ -519,7 +519,10 @@ object Advanced {
       graft.functions.H60Expr(org.apache.spark.sql.GraftPlanShim.expressionOf(
         concat(col("o_orderkey").cast("string"), lit(":"),
           col("b").cast("string")))))
-    val reps = cents
+    // the ×64 explode amplifies per-row CPU 64-fold (one md5 per
+    // order×replicate); parallelism for that stage must come from the
+    // session, not the scan's split count — see [[graft.ops.Fanout]]
+    val reps = graft.ops.Fanout.rebalance(cents)
       .withColumn("b", explode(expr("sequence(0, 63)")))
       .withColumn("u", h60u % 1000)
       .withColumn("w", when(col("u") < 368, 0L).when(col("u") < 736, 1L)

@@ -2181,13 +2181,20 @@ object TextOps {
 
   // q168 — SimHash CALIBRATION curve: q146 measured banding configs for
   // MinHash; this measures what a SimHash hamming THRESHOLD means in
-  // ground-truth Jaccard — for every banded candidate pair (q61's
-  // generation), exact 3-shingle Jaccard in permille, aggregated per
-  // hamming distance. The monotone curve is how an operator picks the
-  // hamming cutoff for a target similarity floor — measured on the
-  // corpus, not assumed from the cos-angle formula. Cost is bounded by
-  // the CANDIDATE set (never all pairs); the exact-Jaccard side joins
-  // per-pair common-shingle counts only for those candidates.
+  // ground-truth Jaccard — per hamming distance over the banded
+  // candidate pairs (q61's generation), the pair count plus exact
+  // 3-shingle Jaccard statistics. The monotone curve is how an operator
+  // picks the hamming cutoff for a target similarity floor — measured
+  // on the corpus, not assumed from the cos-angle formula.
+  // Cost shape: the candidate set is band-join-bounded (never
+  // all-pairs), but on a vocab-skewed corpus SimHash bands collide
+  // densely (sf0.1: 272k candidates over 5k docs), and the exact-
+  // Jaccard side ships both shingle arrays per pair — so ONLY the
+  // per-hamming n_pairs runs over the full candidate set (narrow rows,
+  // no arrays), while the Jaccard statistics run on a deterministic
+  // 1-in-4 probe (smaller endpoint doc_a % 4 = 0 — the q146/q87
+  // pattern). n_probe is published so the stats' support is explicit;
+  // the curve's monotone shape is sampling-invariant.
   private def q168(s: SparkSession, dir: String): DataFrame = {
     val banded = simhashed(s, dir)
       .select(col("doc_id"), col("simhash"),
@@ -2201,22 +2208,26 @@ object TextOps {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(first(expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)"))
         .as("hamming"))
+      .cache() // consumed twice: full counts + probe stats (272k narrow rows)
     val shs = docs(s, dir)
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), expr("array_distinct(shingles(w, 3))").as("sh"))
-    cand
+    val counts = cand.groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val stats = cand.filter(col("doc_a") % 4 === 0)
       .join(shs.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
       .join(shs.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
       .withColumn("common", expr("CAST(size(array_intersect(sa, sb)) AS BIGINT)"))
       .withColumn("jac_permille",
         expr("common * 1000 div (size(sa) + size(sb) - common)"))
       .groupBy(col("hamming"))
-      .agg(count(lit(1)).as("n_pairs"),
+      .agg(count(lit(1)).as("n_probe"),
         expr("CAST(sum(jac_permille) AS BIGINT) div count(1)")
           .as("avg_jac_permille"),
         min(col("jac_permille")).as("min_jac"),
         max(col("jac_permille")).as("max_jac"))
+    counts.join(stats, Seq("hamming"), "left")
       .orderBy(col("hamming"))
   }
   private lazy val q168Sql =
@@ -2239,18 +2250,26 @@ object TextOps {
       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
       |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents) t
       |  WHERE LEN(w) >= 3),
+      |counts AS (
+      |  SELECT hamming, COUNT(*) AS n_pairs FROM cand GROUP BY hamming),
       |jc AS (
       |  SELECT c.hamming,
       |    CAST(LEN(LIST_INTERSECT(x.sh, y.sh)) AS BIGINT) * 1000
       |      // (LEN(x.sh) + LEN(y.sh) - LEN(LIST_INTERSECT(x.sh, y.sh)))
       |      AS jac_permille
       |  FROM cand c JOIN shd x ON c.doc_a = x.doc_id
-      |              JOIN shd y ON c.doc_b = y.doc_id)
-      |SELECT hamming, COUNT(*) AS n_pairs,
-      |  CAST(SUM(jac_permille) AS BIGINT) // COUNT(*) AS avg_jac_permille,
-      |  CAST(MIN(jac_permille) AS BIGINT) AS min_jac,
-      |  CAST(MAX(jac_permille) AS BIGINT) AS max_jac
-      |FROM jc GROUP BY hamming ORDER BY hamming""".stripMargin
+      |              JOIN shd y ON c.doc_b = y.doc_id
+      |  WHERE c.doc_a % 4 = 0),
+      |stats AS (
+      |  SELECT hamming, COUNT(*) AS n_probe,
+      |    CAST(SUM(jac_permille) AS BIGINT) // COUNT(*) AS avg_jac_permille,
+      |    CAST(MIN(jac_permille) AS BIGINT) AS min_jac,
+      |    CAST(MAX(jac_permille) AS BIGINT) AS max_jac
+      |  FROM jc GROUP BY hamming)
+      |SELECT c.hamming, c.n_pairs,
+      |  s.n_probe, s.avg_jac_permille, s.min_jac, s.max_jac
+      |FROM counts c LEFT JOIN stats s USING (hamming)
+      |ORDER BY c.hamming""".stripMargin
 
   // q169 — corpus TEMPLATE-SAFETY lint: before q151 renders documents
   // into chat templates, scan for content that would corrupt the
