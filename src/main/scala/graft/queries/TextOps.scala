@@ -300,9 +300,11 @@ object TextOps {
       |ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 20""".stripMargin
 
   // MinHash permutation constants: h_i(x) = (a_i*x + b_i) mod P, P = 2^31-1.
-  private val P = 2147483647L
-  private val As = Seq(7L, 13L, 31L, 61L, 127L, 251L, 509L, 1021L)
-  private val Bs = Seq(3L, 17L, 29L, 47L, 89L, 101L, 131L, 149L)
+  // Single source of truth is ops/MinHash (shared with the streaming
+  // ingest detector); aliased here so every gated query keeps its form.
+  private val P = graft.ops.MinHash.P
+  private val As = graft.ops.MinHash.As
+  private val Bs = graft.ops.MinHash.Bs
 
   // q17 — MinHash signatures (8 permutations) per document: the
   // sub-quadratic near-dup path. Banding the signature pairs (sig0,sig1),

@@ -65,4 +65,61 @@ class DocStreamsSpec extends AnyFunSuite {
       .select(md5(col("text"))).distinct().count()
     assert(spark.sql("select count(*) from kept_docs_replay").head().getLong(0) == total)
   }
+
+  /** Batch truth for the streaming detector: distinct pairs sharing ≥ 1
+    * MinHash band (q17's band-join candidate set, built from the same
+    * [[graft.ops.MinHash.withBands]] signatures).
+    */
+  private def bandJoinTruth: Set[(Long, Long)] = {
+    graft.functions.VectorExpressions.register(spark)
+    val ex = graft.ops.MinHash.withBands(
+        graft.Tables.load(spark, dir, "documents").select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(array((0 until graft.ops.MinHash.NumBands)
+        .map(i => concat_ws(":", lit(i), col(s"band$i"))): _*)).as("bk"))
+    ex.as("a").join(ex.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct()
+      .collect() // collect-scale: test assertion, sf0.001 pair set
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("streaming near-dup candidates equal the batch band-join candidate set") {
+    val stream = DocStreams.readDocs(spark, streamDir)
+    val q = DocStreams.nearDupCandidates(spark, stream, cap = 100000)
+      .writeStream.format("memory").queryName("neardup_cands")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("select doc_a, doc_b from neardup_cands")
+      .distinct().collect() // collect-scale: test assertion, sf0.001 pair set
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = bandJoinTruth
+    assert(truth.nonEmpty, "fixture must contain at least one banded pair")
+    assert(streamed == truth)
+    // every emitted pair is ordered and non-reflexive
+    assert(streamed.forall { case (a, b) => a < b })
+  }
+
+  test("replayed near-dup content emits no new candidates; cap bounds state") {
+    val d2 = java.nio.file.Files.createTempDirectory("neardup_stream2")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      d2.resolve("a.parquet"))
+    val stream = DocStreams.readDocs(spark, d2.toString)
+    val q = DocStreams.nearDupCandidates(spark, stream, cap = 100000)
+      .writeStream.format("memory").queryName("neardup_replay")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("neardup_ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    val first = spark.sql("select count(*) from neardup_replay").head().getLong(0)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      d2.resolve("b.parquet"))
+    q.processAllAvailable()
+    q.stop()
+    // identical doc_ids are already bucket members → dropped at the door
+    assert(spark.sql("select count(*) from neardup_replay").head().getLong(0) == first)
+  }
 }
