@@ -26,4 +26,28 @@ class MinHashSpec extends AnyFunSuite {
       graft.Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))))
     assert(rowForm.nonEmpty && rowForm == q17)
   }
+
+  test("edge cases: 3-word docs get one shingle; shorter docs are excluded") {
+    graft.functions.VectorExpressions.register(spark)
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),          // exactly one 3-shingle
+      (2L, "alpha beta"),                // too short — excluded
+      (3L, "alpha beta gamma"),          // duplicate content of 1
+      (4L, "")                           // empty — excluded
+    ).toDF("doc_id", "text")
+    val out = MinHash.withBands(docs)
+      .collect() // collect-scale: test assertion, 4 synthetic rows
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(1L).getAs[Long]("n_shingles") == 1L)
+    // identical content → identical signatures and bands
+    (0 to 7).foreach(i =>
+      assert(out(1L).getAs[Long](s"sig$i") == out(3L).getAs[Long](s"sig$i")))
+    (0 to 3).foreach(b =>
+      assert(out(1L).getAs[Long](s"band$b") == out(3L).getAs[Long](s"band$b")))
+    // a single shingle's signature is the permuted hash itself
+    val h = out(1L).getAs[Long]("sig0")
+    assert(h >= 0 && h < MinHash.P)
+  }
 }
