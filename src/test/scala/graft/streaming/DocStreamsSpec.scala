@@ -100,6 +100,47 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(streamed.forall { case (a, b) => a < b })
   }
 
+  test("multi-batch arrival still yields the exact batch candidate set (state crosses batches)") {
+    // split the corpus into three files and force one micro-batch per
+    // file: pairs now form across batches through the band-bucket state,
+    // not within one batch's shuffle
+    val d3 = java.nio.file.Files.createTempDirectory("neardup_stream3")
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+    (0 until 3).foreach { i =>
+      val part = docs.filter(col("doc_id") % 3 === i)
+      val tmp = java.nio.file.Files.createTempDirectory(s"neardup_part$i")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).iterator()
+      var moved = false
+      while (f.hasNext && !moved) {
+        val p = f.next()
+        if (p.toString.endsWith(".parquet")) {
+          java.nio.file.Files.copy(p, d3.resolve(f"chunk$i%02d.parquet"))
+          moved = true
+        }
+      }
+      assert(moved, s"no parquet part written for chunk $i")
+    }
+    val stream = spark.readStream
+      .schema(graft.schema.Schemas.documents)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(d3.toString)
+    val q = DocStreams.nearDupCandidates(spark, stream, cap = 100000)
+      .writeStream.format("memory").queryName("neardup_multibatch")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("neardup_mb_ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("select doc_a, doc_b from neardup_multibatch")
+      .distinct().collect() // collect-scale: test assertion, sf0.001 pair set
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == bandJoinTruth)
+  }
+
   test("replayed near-dup content emits no new candidates; cap bounds state") {
     val d2 = java.nio.file.Files.createTempDirectory("neardup_stream2")
     java.nio.file.Files.copy(
