@@ -37,19 +37,27 @@ object Clean {
     "short_description" -> "content",
     "date" -> "publish_date")
 
-  /** The pre-id portion of the pipeline: cleaned, filtered, typed. */
-  def prepared(spark: SparkSession, jsonlPath: String): DataFrame =
-    spark.read
-      .schema(Schemas.raw)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(jsonlPath)
+  /** The stateless clean TRANSFORM (corrupt-drop → rename → dropna →
+    * IN-list → coercing cast → drop unparseable): one definition shared
+    * verbatim by the batch stage and the streaming twin ([[runStream]])
+    * — same filters, same coercions, two execution modes.
+    */
+  def transform(raw: DataFrame): DataFrame =
+    raw
       .filter(col("_corrupt_record").isNull)
       .withColumnsRenamed(renames)
       .na.drop(Seq("title", "content", "category"))
       .filter(col("category").isin(Schemas.categoriesToKeep: _*))
       .withColumn("publish_date", try_to_timestamp(col("publish_date")))
       .filter(col("publish_date").isNotNull)
+
+  /** The pre-id portion of the pipeline: cleaned, filtered, typed. */
+  def prepared(spark: SparkSession, jsonlPath: String): DataFrame =
+    transform(spark.read
+      .schema(Schemas.raw)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(jsonlPath))
 
   /** Reference-faithful Stage 1: dense 1..N ids via one global window.
     *
@@ -86,6 +94,40 @@ object Clean {
           .select("title", "content", "link", "publish_date", "category"),
         "id_news", Seq(col("publish_date"), col("link")))
       .select("id_news", "title", "content", "link", "publish_date", "category")
+
+  /** Stage 1 as a CONTINUOUS query: the reference's batch clean stage
+    * over a JSONL directory stream (news drops arriving as files), with
+    * an exactly-once parquet sink. [[transform]] is shared verbatim —
+    * every filter and coercion is the gated batch semantics. The one
+    * batch-only operator is the dense 1..N id: a total order over a
+    * FINISHED dataset is meaningless mid-stream, so the streaming row
+    * identity is the content fingerprint (md5 over title·content·link,
+    * `\u0001`-joined so ("ab","") and ("a","b") cannot collide — the
+    * q58/DocStreams identity style), which is stable,
+    * arrival-order-independent, and exactly what the downstream
+    * streaming dedup keys on; the periodic batch run still assigns the
+    * reference-faithful ids. Checkpointed file sink = exactly-once
+    * (the EventSinks.startParquetFileSink contract).
+    */
+  def runStream(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = spark.readStream
+      .schema(Schemas.raw)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(inDir)
+    transform(raw)
+      .withColumn("fingerprint", md5(concat_ws("\u0001",
+        col("title"), col("content"), col("link"))))
+      .select("fingerprint", "title", "content", "link", "publish_date",
+        "category")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+  }
 
   /** Corrupt-line QUARANTINE: same tolerant read as [[prepared]], but
     * instead of silently dropping unparseable lines, route them to a

@@ -1,0 +1,51 @@
+package graft.etl
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import java.nio.file.Files
+
+/** Streaming/batch parity for the clean stage: [[Clean.runStream]] over
+  * the reference corpus must keep exactly the rows the gated batch stage
+  * keeps (same transform, shared by construction), with the documented
+  * identity delta — content fingerprint instead of the batch-only dense
+  * id. Multi-file arrival exercises the continuous path for real.
+  */
+class CleanStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val jsonl = "/root/reference/News_Category_Dataset_v3.json"
+
+  test("streaming clean keeps exactly the batch row set (fingerprint identity)") {
+    // split the corpus into two files → two arrivals
+    val in = Files.createTempDirectory("clean_stream_in")
+    val lines = scala.io.Source.fromFile(jsonl)("UTF-8").getLines().toVector
+    val (a, b) = lines.splitAt(lines.length / 2)
+    Files.write(in.resolve("drop1.jsonl"), a.mkString("\n").getBytes("UTF-8"))
+    Files.write(in.resolve("drop2.jsonl"), b.mkString("\n").getBytes("UTF-8"))
+    val out = Files.createTempDirectory("clean_stream_out").toString
+    val ckpt = Files.createTempDirectory("clean_stream_ckpt").toString
+
+    val q = Clean.runStream(spark, in.toString, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    def keyOf(r: org.apache.spark.sql.Row) = (
+      r.getAs[String]("title"), r.getAs[String]("content"),
+      r.getAs[String]("link"),
+      r.getAs[java.sql.Timestamp]("publish_date").toString,
+      r.getAs[String]("category"))
+    val streamed = spark.read.parquet(out).collect() // collect-scale: test assertion, 463-row fixture
+    val batch = Clean.run(spark, jsonl).collect() // collect-scale: test assertion, 463-row fixture
+    assert(streamed.map(keyOf).toSet == batch.map(keyOf).toSet)
+    assert(streamed.length == batch.length) // no row lost or duplicated
+    // the fingerprint is the md5 of the \u0001-joined identity fields
+    streamed.foreach { r =>
+      val expect = java.security.MessageDigest.getInstance("MD5")
+        .digest((r.getAs[String]("title") + "\u0001" +
+          r.getAs[String]("content") + "\u0001" +
+          r.getAs[String]("link")).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getAs[String]("fingerprint") == expect)
+    }
+  }
+}
