@@ -127,12 +127,27 @@ object Main {
       println(s"[flagship] SQL surface ready: enriched_news over $work/published")
       spark.stop()
 
+    // continuous clean: drain whatever JSONL files are in the directory
+    // now through the checkpointed streaming stage and exit — re-running
+    // picks up only NEW files (the checkpoint remembers processed ones),
+    // so a cron'd `clean-stream` is incremental ingest with no
+    // bookkeeping. Leave the process running instead by replacing the
+    // drain with awaitTermination.
+    case "clean-stream" :: in :: out :: ckpt :: Nil =>
+      val spark = session()
+      val q = Clean.runStream(spark, in, s"$out/clean_stream", ckpt)
+      q.processAllAvailable()
+      q.stop()
+      println(s"[clean-stream] drained $in -> $out/clean_stream " +
+        s"(checkpoint $ckpt; re-run to pick up new files)")
+      spark.stop()
+
     case other =>
       System.err.println(
         s"unknown or malformed stage: ${other.mkString(" ")}\n" +
           "usage: clean <jsonl> <outdir> | enrich <parquet> <outdir> " +
           "[--sample N] [--rate S] | load <table> | dedup <parquet> <outdir> " +
-          "| flagship <jsonl> <workdir>")
+          "| flagship <jsonl> <workdir> | clean-stream <jsonlDir> <outdir> <ckptDir>")
       sys.exit(1)
   }
 
