@@ -139,10 +139,34 @@ object Bench {
             org.apache.spark.sql.functions.col("id")) % 1000000L).as("h")))
       (System.nanoTime() - t0) / 1e9
     }
-    calibrate()
+    // SECOND anchor, workload-matched to the token/hash family: md5
+    // over per-row GENERATED STRINGS (UTF8String allocation + digest —
+    // the docs queries' inner loop), same partitioning. One anchor
+    // cannot capture ANISOTROPIC host drift: this boot (r07) ran the
+    // arithmetic anchor 2.5× FASTER while token-explode+md5 queries ran
+    // 2-3× SLOWER (SMT/topology change, not load — reproduced on an
+    // idle host). When the two anchors' cross-boot ratios disagree,
+    // normalization is ill-defined and bench_diff warns instead of
+    // producing absurd rescaled numbers; within-boot A/B (BenchOne,
+    // same harness, read the min) remains the only decision procedure.
+    def calibrate2(): Double = {
+      val t0 = System.nanoTime()
+      Bench.exhaust(spark.range(0L, 8000000L, 1L, cpus.toInt)
+        .select(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.length(
+            org.apache.spark.sql.functions.md5(
+              org.apache.spark.sql.functions.concat(
+                org.apache.spark.sql.functions.lit("calib:"),
+                org.apache.spark.sql.functions.col("id").cast("string")))))
+          .as("h")))
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate(); calibrate2()
     val calibs = scala.collection.mutable.ArrayBuffer[Double]()
+    val calibs2 = scala.collection.mutable.ArrayBuffer[Double]()
     for (_ <- 1 to reps) {
       calibs += calibrate()
+      calibs2 += calibrate2()
       for ((name, fn) <- entries) {
         val t0 = System.nanoTime()
         try { exhaust(fn(spark, sfDir)) } catch { case e: Throwable =>
@@ -168,10 +192,13 @@ object Bench {
     val totalMin = mins.map(_._2).sum
     val calibMed = median(calibs.toSeq)
     val calibJson = calibs.map(c => f"$c%.4f").mkString("[", ",", "]")
+    val calib2Med = median(calibs2.toSeq)
+    val calib2Json = calibs2.map(c => f"$c%.4f").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
         s""""n_ok":${ok.size},"n_errored":${errors.size},"errors":$errJson,""" +
         s""""calib_sec":$calibMed,"calib_series":$calibJson,""" +
+        s""""calib2_sec":$calib2Med,"calib2_series":$calib2Json,""" +
         s""""queries":${renderMap(med)},""" +
         s""""total_min":$totalMin,"queries_min":${renderMap(mins)},"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")

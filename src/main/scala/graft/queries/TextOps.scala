@@ -348,6 +348,44 @@ object TextOps {
       |FROM sigs""".stripMargin
   }
 
+  // q204 — the PER-ROW MinHash form (ops/MinHash.withBands): identical
+  // values to q17 computed as array_min(transform(…)) per document —
+  // no explode, no shuffle — which is what the STREAMING ingest
+  // detector (DocStreams.nearDupCandidates) runs per arriving row.
+  // Gated INDEPENDENTLY of q17: the oracle recomputes the signatures
+  // through DuckDB's list HOFs (LIST_MIN/LIST_TRANSFORM) rather than
+  // q17's unnest+GROUP BY — same truth, two derivations in each
+  // engine, so agreement is a four-way pin (Spark agg form = Spark
+  // row form = DuckDB agg form = DuckDB list form).
+  // Shape at 100 TB: per-row state is one shingle array (bounded by
+  // doc length); the narrow map emits 12 longs/doc. The agg form (q17)
+  // stays preferable in batch only because its downstream band join
+  // shuffles anyway; this form is the one a stream must use.
+  private def q204(s: SparkSession, dir: String): DataFrame =
+    graft.ops.MinHash.withBands(
+      docs(s, dir).select(col("doc_id"), col("text")))
+  private lazy val q204Sql = {
+    val sigCols = As.indices.map { i =>
+      s"LIST_MIN(LIST_TRANSFORM(hs, h -> (${As(i)} * h + ${Bs(i)}) % $P)) AS sig$i"
+    }.mkString(",\n      |    ")
+    s"""WITH sh AS ($shingledSql),
+      |hv AS (
+      |  SELECT doc_id, CAST(LEN(shingles) AS BIGINT) AS n_shingles,
+      |    LIST_TRANSFORM(shingles,
+      |      x -> CAST('0x' || SUBSTRING(MD5(x), 1, 15) AS BIGINT) % $P) AS hs
+      |  FROM sh),
+      |sigs AS (
+      |  SELECT doc_id, n_shingles,
+      |    $sigCols
+      |  FROM hv)
+      |SELECT doc_id, n_shingles, sig0, sig1, sig2, sig3, sig4, sig5, sig6, sig7,
+      |  sig0 * $P + sig1 AS band0,
+      |  sig2 * $P + sig3 AS band1,
+      |  sig4 * $P + sig5 AS band2,
+      |  sig6 * $P + sig7 AS band3
+      |FROM sigs""".stripMargin
+  }
+
   // q18 — SimHash (60-bit) per document over token occurrences: each token
   // hash votes ±1 per bit position; the signature packs the majority bits.
   private def simhashed(s: SparkSession, dir: String): DataFrame =
@@ -3949,6 +3987,7 @@ object TextOps {
     QueryDef("q15_token_topk", q15, Some(q15Sql)),
     QueryDef("q16_ngram_jaccard", q16, Some(q16Sql)),
     QueryDef("q17_minhash_signatures", q17, Some(q17Sql)),
+    QueryDef("q204_minhash_rowform", q204, Some(q204Sql)),
     QueryDef("q18_simhash", q18, Some(q18Sql)),
     QueryDef("q19_lang_id", q19, Some(q19Sql)),
     QueryDef("q26_fingerprints", q26, Some(q26Sql)),

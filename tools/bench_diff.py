@@ -43,12 +43,33 @@ def main():
     old, new = load(ns.old), load(ns.new)
     oq, nq = old.get("queries", {}), new.get("queries", {})
     oc, nc = old.get("calib_sec"), new.get("calib_sec")
+    oc2, nc2 = old.get("calib2_sec"), new.get("calib2_sec")
     if oc and nc:
-        print(f"calibration anchor: old {oc:.3f}s, new {nc:.3f}s "
+        print(f"calibration anchor (arith): old {oc:.3f}s, new {nc:.3f}s "
               f"(host ratio {nc / oc:.2f}x)")
+    if oc2 and nc2:
+        print(f"calibration anchor (string-md5): old {oc2:.3f}s, "
+              f"new {nc2:.3f}s (host ratio {nc2 / oc2:.2f}x)")
+    if (oc2 is None) != (nc2 is None):
+        print("note: only one run carries the string-md5 anchor "
+              "(calib2_sec added r07) — anisotropic-drift detection "
+              "unavailable; treat any single-ratio normalization with "
+              "suspicion across boots")
+    anisotropic = (oc and nc and oc2 and nc2 and
+                   max((nc / oc) / (nc2 / oc2), (nc2 / oc2) / (nc / oc)) > 1.5)
+    if anisotropic:
+        print("WARNING: the two anchors moved differently (>1.5x apart) — "
+              "ANISOTROPIC host drift (e.g. SMT/topology change: light "
+              "work faster, throughput work slower). Single-ratio "
+              "normalization is ill-defined; trust only within-boot A/B "
+              "(BenchOne, same harness, per-rep minimum).")
     if ns.calib_normalize:
         if not (oc and nc):
             sys.exit("--calib-normalize needs calib_sec in BOTH files")
+        if anisotropic:
+            sys.exit("refusing --calib-normalize: anchors disagree (see "
+                     "WARNING above); a single rescale would manufacture "
+                     "fake regressions/improvements")
         scale = oc / nc
         nq = {k: v * scale for k, v in nq.items()}
         print(f"new-run times rescaled by {scale:.3f} (calib normalization)")
