@@ -117,8 +117,13 @@ object Clean {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(inDir)
     transform(raw)
+      // link is NOT covered by transform's na.drop, and concat_ws
+      // silently SKIPS null fields — which would let a null-link doc
+      // collide with a distinct doc whose content happens to carry the
+      // separator. coalesce to "" keeps the three-field frame intact
+      // (an empty link still contributes its separator).
       .withColumn("fingerprint", md5(concat_ws("\u0001",
-        col("title"), col("content"), col("link"))))
+        col("title"), col("content"), coalesce(col("link"), lit("")))))
       .select("fingerprint", "title", "content", "link", "publish_date",
         "category")
       .writeStream

@@ -41,6 +41,13 @@ case class H60Expr(child: Expression) extends UnaryExpression {
 
 object H60Expr {
 
+  /** Column wrapper (the GraftPlanShim round-trip) — the ONE definition
+    * every call site delegates to; previously five verbatim copies.
+    */
+  def column(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftPlanShim.columnOf(
+      H60Expr(org.apache.spark.sql.GraftPlanShim.expressionOf(c)))
+
   private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
     java.security.MessageDigest.getInstance("MD5"))
 

@@ -35,8 +35,7 @@ object MinHash {
   val NumBands = 4
 
   private def h60(c: Column): Column =
-    org.apache.spark.sql.GraftPlanShim.columnOf(
-      graft.functions.H60Expr(org.apache.spark.sql.GraftPlanShim.expressionOf(c)))
+    graft.functions.H60Expr.column(c)
 
   /** (doc_id, sig0..sig7, band0..band3, n_shingles) for every document
     * with ≥ 3 words, computed per-row (no explode, no shuffle).

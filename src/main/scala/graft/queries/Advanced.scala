@@ -515,10 +515,9 @@ object Advanced {
     // the declarative chain materializes a 32-char hex string per
     // (order × replicate) row — 9.6M at sf0.1 — and was the dominant
     // cost once the bench action stopped pruning it (r07)
-    val h60u = org.apache.spark.sql.GraftPlanShim.columnOf(
-      graft.functions.H60Expr(org.apache.spark.sql.GraftPlanShim.expressionOf(
-        concat(col("o_orderkey").cast("string"), lit(":"),
-          col("b").cast("string")))))
+    val h60u = graft.functions.H60Expr.column(
+      concat(col("o_orderkey").cast("string"), lit(":"),
+        col("b").cast("string")))
     // the ×64 explode amplifies per-row CPU 64-fold (one md5 per
     // order×replicate); parallelism for that stage must come from the
     // session, not the scan's split count — see [[graft.ops.Fanout]]

@@ -26,8 +26,7 @@ object CurationOps {
   /** 60-bit portable hash (same contract as TextOps.h60 — the native
     * [[graft.functions.H60Expr]]). */
   private def h60(c: Column): Column =
-    org.apache.spark.sql.GraftPlanShim.columnOf(
-      graft.functions.H60Expr(org.apache.spark.sql.GraftPlanShim.expressionOf(c)))
+    graft.functions.H60Expr.column(c)
   private def h60Sql(e: String): String =
     s"CAST('0x' || SUBSTRING(MD5($e), 1, 15) AS BIGINT)"
 

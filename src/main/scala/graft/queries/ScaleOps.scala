@@ -196,8 +196,7 @@ object ScaleOps {
   /** 60-bit portable md5-derived hash (same bridge as TextOps — the
     * native [[graft.functions.H60Expr]]). */
   private def h60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.sql.GraftPlanShim.columnOf(
-      graft.functions.H60Expr(org.apache.spark.sql.GraftPlanShim.expressionOf(c)))
+    graft.functions.H60Expr.column(c)
   private def h60Sql(e: String): String =
     s"CAST('0x' || SUBSTRING(MD5($e), 1, 15) AS BIGINT)"
 

@@ -38,8 +38,7 @@ object TextOps {
     * without materializing the 32-char hex string per row.
     */
   private def h60(c: Column): Column =
-    org.apache.spark.sql.GraftPlanShim.columnOf(
-      graft.functions.H60Expr(org.apache.spark.sql.GraftPlanShim.expressionOf(c)))
+    graft.functions.H60Expr.column(c)
 
   /** DuckDB rendering of [[h60]]. */
   private def h60Sql(e: String): String =

@@ -865,13 +865,17 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
     // the tightest band must be near-duplicate territory (hamming ≤ 2;
     // at hamming 3 the tiny sf0.001 corpus already mixes in a
-    // coincidental band collision); far hamming must average to noise
+    // coincidental band collision); far hamming must average to noise.
+    // BOTH ends must actually be covered by the 1-in-4 probe — an empty
+    // near/far set would silently skip the calibration property (the
+    // r07 code-review catch); if a fixture change empties one, re-pin
+    // probe coverage rather than re-adding an if-guard
     val near = rows.filter(_.getAs[Long]("hamming") <= 2)
-    if (near.nonEmpty)
-      assert(near.forall(_.getAs[Long]("avg_jac_permille") >= 900L))
+    assert(near.nonEmpty, "probe must cover at least one hamming<=2 bucket")
+    assert(near.forall(_.getAs[Long]("avg_jac_permille") >= 900L))
     val far = rows.filter(_.getAs[Long]("hamming") >= 10)
-    if (far.nonEmpty)
-      assert(far.forall(_.getAs[Long]("avg_jac_permille") <= 100L))
+    assert(far.nonEmpty, "probe must cover at least one hamming>=10 bucket")
+    assert(far.forall(_.getAs[Long]("avg_jac_permille") <= 100L))
   }
 
   test("q169 template lint: clean rate reconciles with the four flag counts") {

@@ -43,9 +43,37 @@ class CleanStreamSpec extends AnyFunSuite {
       val expect = java.security.MessageDigest.getInstance("MD5")
         .digest((r.getAs[String]("title") + "\u0001" +
           r.getAs[String]("content") + "\u0001" +
-          r.getAs[String]("link")).getBytes("UTF-8"))
+          // mirror production: link is nullable (na.drop omits it) and
+          // the stream coalesces it to "" before the join
+          Option(r.getAs[String]("link")).getOrElse(""))
+          .getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       assert(r.getAs[String]("fingerprint") == expect)
     }
+  }
+
+  test("null-link docs keep distinct fingerprints (concat_ws skip-bug guard)") {
+    // two DISTINCT documents engineered to collide if the null link were
+    // silently skipped: {t, c+SEP+x, null} vs {t, c, x}. The JSON escape
+    // \u0001 is assembled at runtime — written inline it would be
+    // unicode-preprocessed by the Scala LEXER into a raw control char,
+    // which is invalid inside a JSON string and turns the whole line
+    // into a corrupt record (how this test first failed).
+    val esc = "\\" + "u0001"
+    val in = Files.createTempDirectory("clean_stream_null_in")
+    val lines = Seq(
+      s"""{"link":null,"headline":"t","category":"TECH","short_description":"c${esc}x","authors":"A","date":"2022-01-01"}""",
+      """{"link":"x","headline":"t","category":"TECH","short_description":"c","authors":"B","date":"2022-01-01"}""")
+    Files.write(in.resolve("d.jsonl"), lines.mkString("\n").getBytes("UTF-8"))
+    val out = Files.createTempDirectory("clean_stream_null_out").toString
+    val ckpt = Files.createTempDirectory("clean_stream_null_ckpt").toString
+    val q = Clean.runStream(spark, in.toString, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(out)
+      .collect() // collect-scale: test assertion, 2 synthetic rows
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("fingerprint")).distinct.length == 2,
+      "distinct documents must never share a fingerprint")
   }
 }
