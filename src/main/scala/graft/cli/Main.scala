@@ -142,12 +142,26 @@ object Main {
         s"(checkpoint $ckpt; re-run to pick up new files)")
       spark.stop()
 
+    // continuous enrichment over clean-stream output (offline
+    // deterministic client — the reference's DISABLE_LLM path); same
+    // drain-and-exit incremental semantics as clean-stream
+    case "enrich-stream" :: in :: out :: ckpt :: Nil =>
+      val spark = session()
+      val q = Enrich.runStream(spark, in, s"$out/enrich_stream", ckpt,
+        Enrich.Config(client = DisabledLlmClient, perCallDelayMs = 0L))
+      q.processAllAvailable()
+      q.stop()
+      println(s"[enrich-stream] drained $in -> $out/enrich_stream " +
+        s"(checkpoint $ckpt; re-run to pick up new files)")
+      spark.stop()
+
     case other =>
       System.err.println(
         s"unknown or malformed stage: ${other.mkString(" ")}\n" +
           "usage: clean <jsonl> <outdir> | enrich <parquet> <outdir> " +
           "[--sample N] [--rate S] | load <table> | dedup <parquet> <outdir> " +
-          "| flagship <jsonl> <workdir> | clean-stream <jsonlDir> <outdir> <ckptDir>")
+          "| flagship <jsonl> <workdir> | clean-stream <jsonlDir> <outdir> <ckptDir> " +
+          "| enrich-stream <cleanDir> <outdir> <ckptDir>")
       sys.exit(1)
   }
 

@@ -2,7 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.schema.{CleanNews, EnrichedNews}
+import graft.schema.{CleanNews, EnrichedNews, StreamCleanNews, StreamEnrichedNews}
 
 /** Stage 2 — LLM enrichment (reference `enrich_data_to_s3`,
   * `Main.py:188-271`).
@@ -49,6 +49,47 @@ object Enrich {
       case None => df
     }
 
+  /** One guarded client call: rate delay, Try → error tuple, field-wise
+    * `N/A` defaulting — the reference's per-row semantics
+    * (`Main.py:99-101,122-124,249-250`), shared by the batch stage and
+    * the streaming twin.
+    */
+  private[etl] def callSafely(client: LlmClient, delayMs: Long,
+      title: String, content: String): (String, String, String) = {
+    if (delayMs > 0) Thread.sleep(delayMs)
+    val res = scala.util.Try(client.enrich(title, content))
+      .getOrElse(LlmClient.errorResult)
+    (Option(res.sentiment).getOrElse(LlmClient.notAvailable),
+      Option(res.category).getOrElse(LlmClient.notAvailable),
+      Option(res.summary).getOrElse(LlmClient.notAvailable))
+  }
+
+  /** Bounded in-task pipelining: process `conc`-sized waves through a
+    * task-local pool; partition row order is preserved. `conc == 1`
+    * degrades to a plain map (no pool). Shared by batch and stream.
+    */
+  private[etl] def pipelined[A, B](rows: Iterator[A], conc: Int)(
+      one: A => B): Iterator[B] =
+    if (conc <= 1) rows.map(one)
+    else {
+      import java.util.concurrent.Executors
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = Executors.newFixedThreadPool(conc)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val out = rows.grouped(conc).flatMap { wave =>
+        Await.result(Future.traverse(wave.toSeq)(r => Future(one(r))), Duration.Inf)
+      }
+      new Iterator[B] {
+        override def hasNext: Boolean = {
+          val h = out.hasNext
+          if (!h) pool.shutdown()
+          h
+        }
+        override def next(): B = out.next()
+      }
+    }
+
   def run(spark: SparkSession, clean: DataFrame, cfg: Config = Config()): DataFrame = {
     import spark.implicits._
     val ds: Dataset[CleanNews] = clean.as[CleanNews]
@@ -60,41 +101,59 @@ object Enrich {
     val delay = cfg.perCallDelayMs
     val conc = math.max(1, cfg.maxConcurrentPerTask)
     val enriched = sized.mapPartitions { rows =>
-      def one(r: CleanNews): EnrichedNews = {
-        if (delay > 0) Thread.sleep(delay)
-        val res = scala.util.Try(client.enrich(r.title, r.content))
-          .getOrElse(LlmClient.errorResult)
+      pipelined(rows, conc) { r: CleanNews =>
+        val (sent, cat, sum) = callSafely(client, delay, r.title, r.content)
         EnrichedNews(
           r.id_news, r.title, r.content, r.link, r.publish_date, r.category,
-          Option(res.sentiment).getOrElse(LlmClient.notAvailable),
-          Option(res.category).getOrElse(LlmClient.notAvailable),
-          Option(res.summary).getOrElse(LlmClient.notAvailable))
-      }
-      if (conc == 1) rows.map(one)
-      else {
-        // bounded in-task pipelining: process `conc`-sized waves through
-        // a task-local pool; row order within the partition is preserved
-        import java.util.concurrent.Executors
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
-        val pool = Executors.newFixedThreadPool(conc)
-        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-        val out = rows.grouped(conc).flatMap { wave =>
-          Await.result(Future.traverse(wave.toSeq)(r => Future(one(r))), Duration.Inf)
-        }
-        new Iterator[EnrichedNews] {
-          override def hasNext: Boolean = {
-            val h = out.hasNext
-            if (!h) pool.shutdown()
-            h
-          }
-          override def next(): EnrichedNews = out.next()
-        }
+          sent, cat, sum)
       }
     }
     // current_timestamp() is fixed per query — matches the reference's
     // evaluate-once `datetime.now()` column (`Main.py:259`).
     enriched.toDF().withColumn("etl_processing_time", current_timestamp())
+  }
+
+  /** Stage 2 as a CONTINUOUS query over [[Clean.runStream]]'s output
+    * (fingerprint identity instead of the batch dense id): the SAME
+    * per-row call semantics ([[callSafely]]) and the SAME in-task
+    * pipelining ([[pipelined]]) run inside a typed mapPartitions on the
+    * stream; micro-batches are the reference's "manual 100-row batches",
+    * for free. Batch-only operators are absent by design: the seeded
+    * sample and positional slicing need a FINISHED dataset.
+    * `etl_processing_time` is evaluate-once per micro-batch — the
+    * streaming analogue of the reference's per-run `datetime.now()`.
+    * Checkpointed parquet sink = exactly-once; a crashed batch replays
+    * with the same rows (the stub clients are deterministic per content,
+    * so replays are idempotent; a live client re-bills, which is the
+    * standard at-least-once LLM-call caveat and belongs to the
+    * transport's idempotency key, not the engine).
+    */
+  def runStream(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, cfg: Config = Config()):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val client = cfg.client
+    val delay = cfg.perCallDelayMs
+    val conc = math.max(1, cfg.maxConcurrentPerTask)
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[StreamCleanNews].schema)
+      .parquet(inDir)
+      .as[StreamCleanNews]
+    val enriched = src.mapPartitions { rows =>
+      pipelined(rows, conc) { r: StreamCleanNews =>
+        val (sent, cat, sum) = callSafely(client, delay, r.title, r.content)
+        StreamEnrichedNews(
+          r.fingerprint, r.title, r.content, r.link, r.publish_date,
+          r.category, sent, cat, sum)
+      }
+    }
+    enriched.toDF().withColumn("etl_processing_time", current_timestamp())
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
   }
 
   /** Join-based enrichment variant — the reference's literal structure

@@ -66,6 +66,31 @@ final case class CleanNews(
     publish_date: Timestamp,
     category: String)
 
+/** Typed row of the STREAMING clean output ([[graft.etl.Clean.runStream]]):
+  * content fingerprint instead of the batch-only dense id.
+  */
+final case class StreamCleanNews(
+    fingerprint: String,
+    title: String,
+    content: String,
+    link: String,
+    publish_date: Timestamp,
+    category: String)
+
+/** [[StreamCleanNews]] plus the three enrichment columns (before the
+  * per-micro-batch etl_processing_time is appended).
+  */
+final case class StreamEnrichedNews(
+    fingerprint: String,
+    title: String,
+    content: String,
+    link: String,
+    publish_date: Timestamp,
+    category: String,
+    sentiment_llm: String,
+    category_llm: String,
+    market_impact_summary: String)
+
 /** Typed row of the enriched table (before the constant
   * etl_processing_time column is appended).
   */

@@ -52,6 +52,36 @@ class CleanStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming enrich over streaming clean matches the per-row client exactly") {
+    // clean-stream the corpus, then enrich-stream its output with the
+    // content-deterministic stub and bounded in-task pipelining — the
+    // whole reference pipeline as two chained continuous queries
+    val in = Files.createTempDirectory("ce_stream_in")
+    Files.copy(java.nio.file.Paths.get(jsonl), in.resolve("all.jsonl"))
+    val cleanOut = Files.createTempDirectory("ce_stream_clean").toString
+    val q1 = Clean.runStream(spark, in.toString, cleanOut,
+      Files.createTempDirectory("ce_ckpt1").toString)
+    q1.processAllAvailable(); q1.stop()
+
+    val enrichOut = Files.createTempDirectory("ce_stream_enrich").toString
+    val q2 = Enrich.runStream(spark, cleanOut, enrichOut,
+      Files.createTempDirectory("ce_ckpt2").toString,
+      Enrich.Config(client = HashingStubClient, maxConcurrentPerTask = 3))
+    q2.processAllAvailable(); q2.stop()
+
+    val rows = spark.read.parquet(enrichOut)
+      .collect() // collect-scale: test assertion, 463-row fixture
+    assert(rows.length == spark.read.parquet(cleanOut).count())
+    rows.foreach { r =>
+      val expect = HashingStubClient.enrich(
+        r.getAs[String]("title"), r.getAs[String]("content"))
+      assert(r.getAs[String]("sentiment_llm") == expect.sentiment)
+      assert(r.getAs[String]("category_llm") == expect.category)
+      assert(r.getAs[String]("market_impact_summary") == expect.summary)
+      assert(r.getAs[java.sql.Timestamp]("etl_processing_time") != null)
+    }
+  }
+
   test("null-link docs keep distinct fingerprints (concat_ws skip-bug guard)") {
     // two DISTINCT documents engineered to collide if the null link were
     // silently skipped: {t, c+SEP+x, null} vs {t, c, x}. The JSON escape
