@@ -95,6 +95,18 @@ object Clean {
         "id_news", Seq(col("publish_date"), col("link")))
       .select("id_news", "title", "content", "link", "publish_date", "category")
 
+  /** The streaming row identity: md5 over title/content/link,
+    * `\u0001`-joined. link is NOT covered by transform's na.drop, and
+    * concat_ws silently SKIPS null fields — which would let a null-link
+    * doc collide with a distinct doc whose content happens to carry the
+    * separator; coalesce to "" keeps the three-field frame intact (an
+    * empty link still contributes its separator). ONE definition for
+    * both streaming variants.
+    */
+  private def withFingerprint(df: DataFrame): DataFrame =
+    df.withColumn("fingerprint", md5(concat_ws("\u0001",
+      col("title"), col("content"), coalesce(col("link"), lit("")))))
+
   /** Stage 1 as a CONTINUOUS query: the reference's batch clean stage
     * over a JSONL directory stream (news drops arriving as files), with
     * an exactly-once parquet sink. [[transform]] is shared verbatim —
@@ -116,14 +128,7 @@ object Clean {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(inDir)
-    transform(raw)
-      // link is NOT covered by transform's na.drop, and concat_ws
-      // silently SKIPS null fields — which would let a null-link doc
-      // collide with a distinct doc whose content happens to carry the
-      // separator. coalesce to "" keeps the three-field frame intact
-      // (an empty link still contributes its separator).
-      .withColumn("fingerprint", md5(concat_ws("\u0001",
-        col("title"), col("content"), coalesce(col("link"), lit("")))))
+    withFingerprint(transform(raw))
       .select("fingerprint", "title", "content", "link", "publish_date",
         "category")
       .writeStream
@@ -131,6 +136,51 @@ object Clean {
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
+      .start()
+  }
+
+  /** [[runStream]] with a corrupt-line QUARANTINE side sink — the
+    * streaming twin of [[preparedWithQuarantine]]: one read, two sinks.
+    * [[runStream]]'s plain file sink cannot serve two outputs, so this
+    * variant goes through `foreachBatch` with BOTH writes
+    * idempotent-by-batch (each batch overwrites only its own
+    * `batch_id=<id>` partition — the
+    * [[graft.streaming.EventSinks.startIdempotentBatchSink]] contract),
+    * so a replayed micro-batch converges in both outputs instead of
+    * duplicating in either. The micro-batch is cached across its two
+    * consumers, mirroring the batch variant's note. Readers see a
+    * `batch_id` partition column on both outputs.
+    */
+  def runStreamWithQuarantine(spark: SparkSession, inDir: String,
+      outDir: String, quarantineDir: String, checkpointDir: String):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = spark.readStream
+      .schema(Schemas.raw)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(inDir)
+    raw.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        val b = batch.cache()
+        try {
+          b.filter(col("_corrupt_record").isNotNull)
+            .select(col("_corrupt_record").as("raw_line"),
+              current_timestamp().as("quarantined_at"))
+            .withColumn("batch_id", lit(id))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(quarantineDir)
+          withFingerprint(transform(b))
+            .select("fingerprint", "title", "content", "link",
+              "publish_date", "category")
+            .withColumn("batch_id", lit(id))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(outDir)
+        } finally { b.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
   }
 

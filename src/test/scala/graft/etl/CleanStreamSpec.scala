@@ -82,6 +82,31 @@ class CleanStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("quarantine stream routes corrupt lines to the side sink, clean rows forward") {
+    val in = Files.createTempDirectory("q_stream_in")
+    val corrupt = """{"link":"http://a/8","headline":"Broken"""
+    val lines = Seq(
+      """{"link":"http://a/1","headline":"Markets rally","category":"BUSINESS","short_description":"Stocks up","authors":"A","date":"2022-01-02"}""",
+      corrupt,
+      """{"link":"http://a/2","headline":"Tech layoffs","category":"TECH","short_description":"Cuts deepen","authors":"B","date":"2022-01-01"}""")
+    Files.write(in.resolve("d.jsonl"), lines.mkString("\n").getBytes("UTF-8"))
+    val out = Files.createTempDirectory("q_stream_out").toString
+    val quar = Files.createTempDirectory("q_stream_quar").toString
+    val q = Clean.runStreamWithQuarantine(spark, in.toString, out, quar,
+      Files.createTempDirectory("q_stream_ckpt").toString)
+    q.awaitTermination() // AvailableNow: terminates when drained
+    val kept = spark.read.parquet(out)
+      .collect() // collect-scale: test assertion, 2 synthetic rows
+    assert(kept.length == 2)
+    assert(kept.forall(_.getAs[String]("fingerprint") != null))
+    // partition discovery infers batch_id as INT from the directory name
+    assert(kept.map(_.getAs[Int]("batch_id")).distinct.length == 1)
+    val bad = spark.read.parquet(quar)
+      .collect() // collect-scale: test assertion, 1 synthetic row
+    assert(bad.length == 1)
+    assert(bad.head.getAs[String]("raw_line") == corrupt)
+  }
+
   test("null-link docs keep distinct fingerprints (concat_ws skip-bug guard)") {
     // two DISTINCT documents engineered to collide if the null link were
     // silently skipped: {t, c+SEP+x, null} vs {t, c, x}. The JSON escape
