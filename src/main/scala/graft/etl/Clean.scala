@@ -159,29 +159,54 @@ object Clean {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(inDir)
+      // provenance BEFORE the sink split: the batch twin records which
+      // input file each quarantined line came from; the stream must too
+      .withColumn("source_path", input_file_name())
     raw.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        batch.sparkSession.conf
-          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         val b = batch.cache()
         try {
-          b.filter(col("_corrupt_record").isNotNull)
-            .select(col("_corrupt_record").as("raw_line"),
-              current_timestamp().as("quarantined_at"))
-            .withColumn("batch_id", lit(id))
-            .write.mode("overwrite").partitionBy("batch_id")
-            .parquet(quarantineDir)
-          withFingerprint(transform(b))
-            .select("fingerprint", "title", "content", "link",
-              "publish_date", "category")
-            .withColumn("batch_id", lit(id))
-            .write.mode("overwrite").partitionBy("batch_id")
-            .parquet(outDir)
+          graft.streaming.EventSinks.writeIdempotentPartition(
+            b.filter(col("_corrupt_record").isNotNull)
+              .select(col("_corrupt_record").as("raw_line"),
+                current_timestamp().as("quarantined_at"),
+                col("source_path")),
+            id, quarantineDir, checkpointDir)
+          graft.streaming.EventSinks.writeIdempotentPartition(
+            withFingerprint(transform(b))
+              .select("fingerprint", "title", "content", "link",
+                "publish_date", "category"),
+            id, outDir, checkpointDir)
         } finally { b.unpersist(); () }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
+
+  /** Schema-stable reader for [[runStreamWithQuarantine]]'s side sink:
+    * a healthy stream writes EMPTY quarantine batches, and partitioned
+    * writes of empty frames emit no parquet footers — a naive
+    * `spark.read.parquet` then fails schema inference. Declaring the
+    * schema (batch_id included, as BIGINT — partition-value inference
+    * would wobble between INT and LONG) makes zero-corruption the
+    * readable, boring case; a missing directory reads as empty too.
+    */
+  def readQuarantine(spark: SparkSession, quarantineDir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("raw_line",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("quarantined_at",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("source_path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("batch_id",
+        org.apache.spark.sql.types.LongType)))
+    val path = new org.apache.hadoop.fs.Path(quarantineDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(quarantineDir)
   }
 
   /** Corrupt-line QUARANTINE: same tolerant read as [[prepared]], but

@@ -75,7 +75,18 @@ object Enrich {
       import java.util.concurrent.Executors
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
-      val pool = Executors.newFixedThreadPool(conc)
+      // daemon threads + a task-completion hook: an UNDRAINED iterator
+      // (task kill, interrupt, a downstream limit) must neither leak
+      // non-daemon threads per occurrence nor pin a local-mode JVM open
+      // after spark.stop(); normal exhaustion still shuts the pool down
+      val pool = Executors.newFixedThreadPool(conc,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-enrich-pipeline")
+          t.setDaemon(true)
+          t
+        })
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       val out = rows.grouped(conc).flatMap { wave =>
         Await.result(Future.traverse(wave.toSeq)(r => Future(one(r))), Duration.Inf)
@@ -139,7 +150,14 @@ object Enrich {
       .schema(org.apache.spark.sql.Encoders.product[StreamCleanNews].schema)
       .parquet(inDir)
       .as[StreamCleanNews]
-    val enriched = src.mapPartitions { rows =>
+    // the QPS-bounding knob works in both modes: tasks × conc / latency
+    // is the aggregate call rate, and maxPartitions caps tasks here
+    // exactly as it does in the batch stage
+    val sized = cfg.maxPartitions match {
+      case Some(p) => src.coalesce(p)
+      case None => src
+    }
+    val enriched = sized.mapPartitions { rows =>
       pipelined(rows, conc) { r: StreamCleanNews =>
         val (sent, cat, sum) = callSafely(client, delay, r.title, r.content)
         StreamEnrichedNews(

@@ -30,6 +30,68 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object EventSinks {
 
+  /** The streaming query id recorded in `checkpoint/metadata` — stable
+    * across restarts of the SAME checkpoint, fresh for a new one.
+    */
+  private[graft] def streamQueryId(
+      fs: org.apache.hadoop.fs.FileSystem, checkpoint: String): Option[String] = {
+    val meta = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
+    if (!fs.exists(meta)) None
+    else {
+      val in = fs.open(meta)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+    }
+  }
+
+  /** Pin an output directory to ONE streaming query via a `_stream_id`
+    * marker: a FRESH checkpoint against an existing output restarts
+    * batch ids at 0, and idempotent-by-batch writes would then rewrite
+    * low-numbered partitions while stale high-numbered ones survive —
+    * silent duplication. Mismatch fails loudly before any write.
+    */
+  private[graft] def assertStreamIdentity(
+      fs: org.apache.hadoop.fs.FileSystem, outPath: org.apache.hadoop.fs.Path,
+      queryId: Option[String], what: String): Unit = queryId.foreach { qid =>
+    val marker = new org.apache.hadoop.fs.Path(outPath, "_stream_id")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val existing = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      if (existing != qid) throw new IllegalStateException(
+        s"$what at $outPath: output belongs to streaming query $existing " +
+          s"but this run's checkpoint has query id $qid — the checkpoint " +
+          "was reset against an existing output. Use a fresh output path " +
+          "or restore the original checkpoint.")
+    } else {
+      fs.mkdirs(outPath)
+      val out = fs.create(marker, true)
+      try out.write(qid.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** One idempotent-by-batch partition write, guarded: verify the
+    * `_stream_id` marker, then overwrite ONLY this batch's
+    * `batch_id=<id>` partition (dynamic overwrite) so a replayed batch
+    * converges instead of duplicating. Shared by
+    * [[startIdempotentBatchSink]] and
+    * `graft.etl.Clean.runStreamWithQuarantine`.
+    */
+  private[graft] def writeIdempotentPartition(
+      batch: DataFrame, id: Long, path: String, checkpoint: String): Unit = {
+    val s = batch.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    assertStreamIdentity(fs, hPath, streamQueryId(fs, checkpoint),
+      "idempotent-batch sink")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    batch.withColumn("batch_id", lit(id))
+      .write.mode("overwrite")
+      .partitionBy("batch_id")
+      .parquet(path)
+  }
+
   /** Exactly-once parquet file sink (commit-log based). */
   def startParquetFileSink(
       df: DataFrame, path: String, checkpoint: String): StreamingQuery =
@@ -87,33 +149,8 @@ object EventSinks {
         // query id (stable across restarts of the SAME checkpoint, fresh
         // for a new one) in a _stream_id marker: mismatch = reset
         // checkpoint → fail before overwriting anything.
-        val queryId = {
-          val meta = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
-          if (!fs.exists(meta)) None
-          else {
-            val in = fs.open(meta)
-            val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-            "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
-          }
-        }
-        val marker = new org.apache.hadoop.fs.Path(hPath, "_stream_id")
-        queryId.foreach { qid =>
-          if (fs.exists(marker)) {
-            val in = fs.open(marker)
-            val existing = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-            finally in.close()
-            if (existing != qid) throw new IllegalStateException(
-              s"snapshot-upsert sink at $path: series belongs to streaming " +
-                s"query $existing but this run's checkpoint has query id " +
-                s"$qid — the checkpoint was reset against an existing " +
-                "snapshot series. Use a fresh output path or restore the " +
-                "original checkpoint.")
-          } else {
-            val out = fs.create(marker, true)
-            try out.write(qid.getBytes("UTF-8")) finally out.close()
-          }
-        }
+        val queryId = streamQueryId(fs, checkpoint)
+        assertStreamIdentity(fs, hPath, queryId, "snapshot-upsert sink")
         val current = versions.filter(_ < id).sorted.lastOption match {
           case Some(v) => s.read.parquet(s"$path/v=$v")
           case None => s.createDataFrame(
@@ -138,12 +175,7 @@ object EventSinks {
       df: DataFrame, path: String, checkpoint: String): StreamingQuery =
     df.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        batch.sparkSession.conf
-          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        batch.withColumn("batch_id", lit(id))
-          .write.mode("overwrite")
-          .partitionBy("batch_id")
-          .parquet(path)
+        writeIdempotentPartition(batch, id, path, checkpoint)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -101,10 +101,53 @@ class CleanStreamSpec extends AnyFunSuite {
     assert(kept.forall(_.getAs[String]("fingerprint") != null))
     // partition discovery infers batch_id as INT from the directory name
     assert(kept.map(_.getAs[Int]("batch_id")).distinct.length == 1)
-    val bad = spark.read.parquet(quar)
+    val bad = Clean.readQuarantine(spark, quar)
       .collect() // collect-scale: test assertion, 1 synthetic row
     assert(bad.length == 1)
     assert(bad.head.getAs[String]("raw_line") == corrupt)
+    // provenance: the quarantined line traces back to its input file
+    assert(bad.head.getAs[String]("source_path").endsWith("d.jsonl"))
+    assert(bad.head.getAs[Long]("batch_id") >= 0L)
+  }
+
+  test("a zero-corruption quarantine reads as an empty frame, not a schema error") {
+    val in = Files.createTempDirectory("q_clean_in")
+    Files.write(in.resolve("d.jsonl"),
+      """{"link":"http://a/1","headline":"T","category":"TECH","short_description":"C","authors":"A","date":"2022-01-01"}"""
+        .getBytes("UTF-8"))
+    val out = Files.createTempDirectory("q_clean_out").toString
+    val quar = Files.createTempDirectory("q_clean_quar").toString
+    val q = Clean.runStreamWithQuarantine(spark, in.toString, out, quar,
+      Files.createTempDirectory("q_clean_ckpt").toString)
+    q.awaitTermination()
+    // empty partitioned writes emit no footers; the schema-stable reader
+    // must still produce a typed empty frame (and tolerate a missing dir)
+    assert(Clean.readQuarantine(spark, quar).count() == 0L)
+    assert(Clean.readQuarantine(spark, quar + "_never_created").count() == 0L)
+    assert(spark.read.parquet(out).count() == 1L)
+  }
+
+  test("a reset checkpoint against an existing output fails loudly, not silently duplicating") {
+    val in = Files.createTempDirectory("q_reset_in")
+    Files.write(in.resolve("d.jsonl"),
+      """{"link":"http://a/1","headline":"T","category":"TECH","short_description":"C","authors":"A","date":"2022-01-01"}"""
+        .getBytes("UTF-8"))
+    val out = Files.createTempDirectory("q_reset_out").toString
+    val quar = Files.createTempDirectory("q_reset_quar").toString
+    val q1 = Clean.runStreamWithQuarantine(spark, in.toString, out, quar,
+      Files.createTempDirectory("q_reset_ckpt1").toString)
+    q1.awaitTermination()
+    // new checkpoint, same outputs: batch ids restart at 0 — the
+    // _stream_id marker must refuse before anything is overwritten
+    val q2 = Clean.runStreamWithQuarantine(spark, in.toString, out, quar,
+      Files.createTempDirectory("q_reset_ckpt2").toString)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("checkpoint was reset")))
   }
 
   test("null-link docs keep distinct fingerprints (concat_ws skip-bug guard)") {

@@ -168,11 +168,32 @@ class EventSinksSpec extends AnyFunSuite {
     val n = first.count()
     assert(n == nEvents)
     assert(first.columns.contains("batch_id"))
-    // simulate a replay of the same epoch: a FRESH checkpoint re-runs
-    // batch 0 against the same output — dynamic partition overwrite must
-    // converge to the same rows, not append duplicates
-    val ckpt2 = java.nio.file.Files.createTempDirectory("sink_ckpt2").toString
-    EventSinks.startIdempotentBatchSink(events, out, ckpt2).awaitTermination()
+    // a TRUE replay re-runs an uncommitted batch under the SAME
+    // checkpoint: same query id, same batch id — the write must
+    // converge to the same rows, not append duplicates. Simulated at
+    // the helper level (the sink's per-batch body), replaying batch 0
+    // against the same output with the original checkpoint.
+    val batch0 = spark.read.parquet(out).drop("batch_id")
+    EventSinks.writeIdempotentPartition(batch0, 0L, out, ckpt)
     assert(spark.read.parquet(out).count() == n)
+  }
+
+  test("idempotent sink refuses a RESET checkpoint against an existing output") {
+    val (out, ckpt) = freshDirs()
+    val events = EventStreams.readEvents(spark, streamDir)
+      .select(col("event_id"), col("event_type"))
+    EventSinks.startIdempotentBatchSink(events, out, ckpt).awaitTermination()
+    // a FRESH checkpoint restarts batch ids at 0; against an existing
+    // multi-batch output that silently duplicates — the _stream_id
+    // marker must fail loudly instead (r07 review finding)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("sink_ckpt2").toString
+    val q = EventSinks.startIdempotentBatchSink(events, out, ckpt2)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("checkpoint was reset")))
   }
 }
