@@ -116,6 +116,28 @@ class ShuffleProofSpec extends AnyFunSuite {
       s"expected exactly ${vals.length}x: $wide vs $longRecs")
   }
 
+  test("q182's ×64 amplifier stage runs BEHIND the fan-out rebalance, at session width") {
+    // Fanout.rebalance exists because the replicate explode's 9.6M md5s
+    // otherwise inherit the single-row-group scan's ONE split (r07:
+    // min 3.5 s single-task → 1.1 s spread). Pin the mechanism, not the
+    // timing: the executed plan must carry a round-robin exchange, and
+    // the h60 projection must sit above it (downstream of the spread),
+    // so deleting the rebalance — or placing it after the amplifier —
+    // fails here rather than resurfacing as a silent bench regression.
+    val df = SparkEntry.queries("q182_bootstrap_ci")(spark, dir)
+    df.collect()
+    val all = nodes(df.queryExecution.executedPlan)
+    def one(p: SparkPlan) = p.simpleString(160) // single node, not subtree
+    val rr = all.indexWhere(one(_).startsWith("Exchange RoundRobinPartitioning"))
+    assert(rr >= 0, "q182 lost its Fanout.rebalance round-robin exchange")
+    // pre-order: ancestors precede the exchange — the amplifier
+    // projection must be one of them (i.e. downstream of the spread)
+    val h60Above = all.take(rr).exists(p =>
+      one(p).startsWith("Project") && one(p).contains("h60("))
+    assert(h60Above,
+      "the h60 amplifier projection is not downstream of the rebalance")
+  }
+
   test("both dedup shapes combine map-side before their exchange (partial aggregation)") {
     // The byte win composes with partial aggregation: on duplicate-heavy
     // data the map side also collapses copies before the wire. Pin that
