@@ -221,7 +221,11 @@ object Clean {
     *
     * Returns (cleanFrame, quarantinedCount). The quarantine sink is
     * append-mode: repeated ingest runs accumulate an audit trail
-    * rather than failing on an existing directory.
+    * rather than failing on an existing directory. The returned count
+    * is THIS batch's own quarantined rows — observed as a metric
+    * during the quarantine write itself (no second scan, and no
+    * read-back of the accumulated audit, which would over-report on
+    * re-ingest of the same path).
     */
   def preparedWithQuarantine(
       spark: SparkSession, jsonlPath: String, quarantineDir: String): (DataFrame, Long) = {
@@ -231,13 +235,14 @@ object Clean {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(jsonlPath)
       .cache()
+    val obs = org.apache.spark.sql.Observation()
     val bad = raw.filter(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record").as("raw_line"),
         current_timestamp().as("quarantined_at"),
         lit(jsonlPath).as("source_path"))
+      .observe(obs, count(lit(1)).as("n_quarantined"))
     bad.write.mode("append").parquet(quarantineDir)
-    val nBad = spark.read.parquet(quarantineDir)
-      .filter(col("source_path") === jsonlPath).count()
+    val nBad = obs.get("n_quarantined").asInstanceOf[Long]
     val clean = raw
       .filter(col("_corrupt_record").isNull)
       .withColumnsRenamed(renames)

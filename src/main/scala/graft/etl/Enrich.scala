@@ -184,13 +184,16 @@ object Enrich {
   def runJoinBased(spark: SparkSession, clean: DataFrame, cfg: Config = Config()): DataFrame = {
     import spark.implicits._
     val client = cfg.client
+    val delay = cfg.perCallDelayMs
     val results = clean.select(col("id_news"), col("title"), col("content"))
       .as[(Long, String, String)]
       .mapPartitions { rows =>
+        // same [[callSafely]] guard as the fused path: rate delay, Try →
+        // error tuple, AND field-wise `N/A` defaulting (`Main.py:114-119`)
+        // — both enrichment variants share L5 parity
         rows.map { case (id, title, content) =>
-          val r = scala.util.Try(client.enrich(title, content))
-            .getOrElse(LlmClient.errorResult)
-          (id, r.sentiment, r.category, r.summary)
+          val (sent, cat, sum) = callSafely(client, delay, title, content)
+          (id, sent, cat, sum)
         }
       }
       .toDF("id_news", "sentiment_llm", "category_llm", "market_impact_summary")

@@ -99,9 +99,11 @@ class CleanSpec extends AnyFunSuite {
     // the clean side must equal the silent-drop path exactly
     val silent = Clean.prepared(spark, path).collect().map(_.toSeq).toSet
     assert(clean.collect().map(_.toSeq).toSet == silent)
-    // a second ingest run APPENDS (audit trail, no errorifexists crash)
+    // a second ingest run APPENDS to the audit (no errorifexists crash)
+    // but reports ITS OWN batch count — not the accumulated trail
     val (_, nBad2) = Clean.preparedWithQuarantine(spark, path, qdir)
-    assert(nBad2 == 2L)
+    assert(nBad2 == 1L)
+    assert(spark.read.parquet(qdir).count() == 2L) // audit shows both runs
   }
 
   test("runScalable produces byte-identical output to run") {

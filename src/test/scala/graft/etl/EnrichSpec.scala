@@ -68,6 +68,25 @@ class EnrichSpec extends AnyFunSuite {
     assert(fused == joined && fused.size == 3)
   }
 
+  test("join-based variant defaults null client fields to N/A (L5 parity)") {
+    // a client that "succeeds" but returns a null field — the reference
+    // defaults each missing field to "N/A" (Main.py:114-119); both
+    // enrichment variants must share that defaulting via callSafely
+    object NullFieldClient extends LlmClient {
+      def enrich(title: String, content: String): LlmResult =
+        LlmResult(null, "Business & Finance", null)
+    }
+    for (df <- Seq(
+        Enrich.run(spark, cleanDf(), Enrich.Config(client = NullFieldClient)),
+        Enrich.runJoinBased(spark, cleanDf(), Enrich.Config(client = NullFieldClient)))) {
+      val rows = df.collect()
+      assert(rows.length == 3)
+      assert(rows.forall(_.getAs[String]("sentiment_llm") == LlmClient.notAvailable))
+      assert(rows.forall(_.getAs[String]("category_llm") == "Business & Finance"))
+      assert(rows.forall(_.getAs[String]("market_impact_summary") == LlmClient.notAvailable))
+    }
+  }
+
   test("prompt template embeds categories, title, and content") {
     val p = LlmClient.promptFor("TITLE_X", "CONTENT_Y")
     assert(p.contains("TITLE_X") && p.contains("CONTENT_Y"))
