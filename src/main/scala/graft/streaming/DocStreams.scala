@@ -47,11 +47,75 @@ object DocStreams {
       .as[FpDoc]
       .groupByKey(_.fingerprint)
       .transformWithState(
-        new FingerprintDedupProcessor,
+        new FingerprintDedupProcessor(
+          org.apache.spark.sql.streaming.TTLConfig.NONE),
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Append)
       .toDF()
   }
+
+  /** [[dedupByFingerprint]] with a FINITE state horizon — the documented
+    * 100 TB operating posture made concrete: fingerprint state expires
+    * `ttl` after its last sighting (processing-time TTL on the RocksDB
+    * provider), bounding state to the re-dedup horizon instead of the
+    * corpus lifetime. The contract this buys and what it costs:
+    *
+    *   - WITHIN the horizon, semantics are identical to the infinite
+    *     form: replays are dropped at the door.
+    *   - PAST the horizon, a re-crawl of evicted content is re-admitted
+    *     (the stream alone can no longer know) — which is exactly why
+    *     the posture pairs TTL with the periodic batch reconcile: the
+    *     incremental q86 pass (delta fingerprints anti-joined against
+    *     the corpus fingerprint index) drops those re-admits before
+    *     they enter the corpus. DocStreamsSpec pins the full cycle:
+    *     evict → re-admit → reconcile re-converges the kept set.
+    *
+    * Each TTL'd sighting of a fingerprint REFRESHES its horizon (state
+    * is re-upserted on arrival even when the row is suppressed), so
+    * continuously re-crawled content never falls out while it is live.
+    *
+    * Operational note: under the default (ASAP) trigger a
+    * processing-time-TTL query schedules housekeeping micro-batches
+    * continuously (state eviction is batch-driven), so
+    * `processAllAvailable` never reaches an idle point — run it with a
+    * processing-time trigger interval, or as periodic
+    * `Trigger.AvailableNow` sweeps resuming from the checkpoint (the
+    * form DocStreamsSpec pins; state and its TTL clocks persist across
+    * sweeps).
+    */
+  def dedupByFingerprintTtl(spark: SparkSession, docs: DataFrame,
+      ttl: java.time.Duration): DataFrame = {
+    import spark.implicits._
+    EventStreams.withRocksDBStateStore(spark)
+    docs
+      .select(md5(col("text")).as("fingerprint"), col("doc_id"))
+      .as[FpDoc]
+      .groupByKey(_.fingerprint)
+      .transformWithState(
+        new FingerprintDedupProcessor(
+          org.apache.spark.sql.streaming.TTLConfig(ttl)),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append)
+      .toDF()
+  }
+
+  /** The batch-side half of the TTL posture: reconcile a window of
+    * streamed admits against the corpus fingerprint index (the
+    * incremental-dedup shape — q86's delta-vs-index anti-join). Rows the
+    * TTL'd stream re-admitted because their state had expired are
+    * exactly the rows whose fingerprint already exists in the index;
+    * the anti-join drops them, re-converging the kept set. The delta is
+    * a horizon's worth of admits (small); the corpus index is the big
+    * side — Spark's anti-join builds only the RIGHT side for broadcast,
+    * so the scale play is keeping the index bucketed by fingerprint
+    * (the delta alone shuffles to it) or Bloom-pruning the index scan
+    * with the delta's fingerprints (ops/BloomPrune), exactly the gated
+    * q86 economics. The join is left declarative here so AQE picks the
+    * strategy the actual sizes warrant.
+    */
+  def reconcileAdmits(admits: DataFrame, corpusIndex: DataFrame): DataFrame =
+    admits.join(corpusIndex.select("fingerprint").distinct(),
+      Seq("fingerprint"), "left_anti")
 
   final case class BandDoc(band_key: String, doc_id: Long)
   final case class CandidatePair(doc_a: Long, doc_b: Long, band_key: String)
@@ -66,7 +130,10 @@ object DocStreams {
     * (earlier, later) pair is emitted once per shared band the moment
     * the later one arrives. DISTINCT (doc_a, doc_b) over the output
     * equals the batch band-join candidate set on the same corpus
-    * (pinned in DocStreamsSpec), assuming no bucket overflows `cap`.
+    * (pinned in DocStreamsSpec), assuming no bucket overflows `cap` —
+    * an assumption made observable by [[overflowCounter]]: pass one as
+    * `overflows` and a zero reading certifies the parity precondition
+    * for the traffic actually seen.
     *
     * State design at 100 TB: one ListState of doc ids per band bucket,
     * capped at `cap` members — the champion-list bound the batch df-cap
@@ -79,7 +146,8 @@ object DocStreams {
     * reconcile, exactly as [[dedupByFingerprint]] documents.
     */
   def nearDupCandidates(spark: SparkSession, docs: DataFrame,
-      cap: Int = 256): DataFrame = {
+      cap: Int = 256,
+      overflows: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     import spark.implicits._
     EventStreams.withRocksDBStateStore(spark)
     graft.functions.VectorExpressions.register(spark)
@@ -92,14 +160,32 @@ object DocStreams {
       .as[BandDoc]
     banded.groupByKey(_.band_key)
       .transformWithState(
-        new BandCandidateProcessor(cap),
+        new BandCandidateProcessor(cap, overflows),
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Append)
       .toDF()
   }
 
-  /** Keyed by band bucket; state = capped champion list of member ids. */
-  class BandCandidateProcessor(cap: Int)
+  /** The observable overflow signal for [[nearDupCandidates]]: one named
+    * accumulator counting every arrival a saturated band bucket declined
+    * to admit. The batch-parity contract is conditioned on "no bucket
+    * overflows cap" — this makes that precondition a MONITORED fact
+    * (Spark-UI-visible, driver-readable) instead of an assumption: zero
+    * means the parity condition held; nonzero quantifies how much of
+    * the candidate space a viral band is suppressing. Accumulator
+    * semantics are at-least-once under micro-batch replay (a retried
+    * task re-counts) — a monitoring signal, not an exact ledger, which
+    * is the standard Spark accumulator caveat and the right tool for a
+    * saturation alarm.
+    */
+  def overflowCounter(spark: SparkSession): org.apache.spark.util.LongAccumulator =
+    spark.sparkContext.longAccumulator("neardup_band_overflows")
+
+  /** Keyed by band bucket; state = capped champion list of member ids.
+    * `overflows` counts declined admissions ([[overflowCounter]]).
+    */
+  class BandCandidateProcessor(cap: Int,
+      overflows: Option[org.apache.spark.util.LongAccumulator] = None)
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, BandDoc, CandidatePair] {
     import org.apache.spark.sql.{Encoders => E}
     @transient private var members: org.apache.spark.sql.streaming.ListState[Long] = _
@@ -129,30 +215,42 @@ object DocStreams {
           members.appendValue(id)
           admitted += 1
           seen += id
-        }
+        } else overflows.foreach(_.add(1L))
       }
       out.result().iterator
     }
   }
 
-  /** Keyed by fingerprint; one boolean of state per distinct content. */
-  class FingerprintDedupProcessor
+  /** Keyed by fingerprint; one boolean of state per distinct content.
+    * `ttl` bounds the state's lifetime ([[dedupByFingerprintTtl]]);
+    * [[dedupByFingerprint]] passes `TTLConfig.NONE` = infinite horizon.
+    */
+  class FingerprintDedupProcessor(
+      ttl: org.apache.spark.sql.streaming.TTLConfig)
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, FpDoc, KeptDoc] {
     import org.apache.spark.sql.{Encoders => E}
     @transient private var seen: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+    private val refreshOnSighting =
+      ttl != org.apache.spark.sql.streaming.TTLConfig.NONE
 
     override def init(
         outputMode: OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
-      seen = getHandle.getValueState(
-        "seen", E.scalaBoolean, org.apache.spark.sql.streaming.TTLConfig.NONE)
+      seen = getHandle.getValueState("seen", E.scalaBoolean, ttl)
     }
 
     override def handleInputRows(
         key: String,
         inputRows: Iterator[FpDoc],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[KeptDoc] = {
-      if (seen.exists()) { inputRows.foreach(_ => ()); Iterator.empty }
+      if (seen.exists()) {
+        inputRows.foreach(_ => ())
+        // finite horizon: a suppressed sighting still proves the content
+        // is live — re-upsert so the TTL clock restarts and continuously
+        // re-crawled content never silently falls out of the window
+        if (refreshOnSighting) seen.update(true)
+        Iterator.empty
+      }
       else {
         // several claimants of the same new fingerprint can share a
         // micro-batch: admit the min doc_id for replay determinism

@@ -163,4 +163,180 @@ class DocStreamsSpec extends AnyFunSuite {
     // identical doc_ids are already bucket members → dropped at the door
     assert(spark.sql("select count(*) from neardup_replay").head().getLong(0) == first)
   }
+
+  /** One sweep of the TTL'd dedup over `srcDir`, resumed from `ckpt`
+    * (state and its TTL clocks carry across sweeps through the
+    * checkpoint — exactly how a production TTL'd ingest runs as
+    * periodic jobs). A processing-time-TTL query schedules housekeeping
+    * micro-batches continuously, so neither `processAllAvailable` nor
+    * `Trigger.AvailableNow` ever reaches an idle point; instead, watch
+    * query progress until the source's `expectRows` input rows have
+    * been consumed (progress events fire AFTER the batch commits its
+    * sink output), then stop. The sink is an exactly-once parquet file
+    * sink shared across sweeps (the memory sink refuses checkpoint
+    * recovery); each sweep's admits are the part-files it added, read
+    * back via [[newPartFiles]].
+    */
+  private def ttlSweep(srcDir: String, ckpt: String, outDir: String,
+      ttl: java.time.Duration, name: String, expectRows: Long): Unit = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val consumed = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.name == name) {
+          consumed.addAndGet(e.progress.numInputRows); ()
+        }
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val q = DocStreams.dedupByFingerprintTtl(spark,
+          DocStreams.readDocs(spark, srcDir), ttl)
+        .writeStream.format("parquet").queryName(name)
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      val deadline = System.currentTimeMillis() + 120000L
+      while (consumed.get() < expectRows &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      q.stop()
+      assert(consumed.get() >= expectRows,
+        s"sweep consumed ${consumed.get()} of $expectRows rows within timeout")
+    } finally spark.streams.removeListener(listener)
+  }
+
+  private def partFiles(outDir: String): Set[String] = {
+    val d = java.nio.file.Paths.get(outDir)
+    if (!java.nio.file.Files.exists(d)) Set.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(d)
+      try s.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSet
+      finally s.close()
+    }
+  }
+
+  /** (fingerprint, doc_id) rows in `files` — one sweep's admits. */
+  private def newPartFiles(files: Set[String]): Array[(String, Long)] =
+    if (files.isEmpty) Array.empty
+    else spark.read.parquet(files.toSeq: _*)
+      .select("fingerprint", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      // collect-scale: test assertion, sf0.001
+
+  test("TTL evicts fingerprint state; batch reconcile re-converges the kept set") {
+    // the documented 100 TB posture as a tested contract: finite TTL →
+    // content past the horizon is re-admitted by the stream alone →
+    // the q86-style batch reconcile (delta anti-join corpus index)
+    // drops the re-admits, restoring exactly the batch-dedup kept set
+    val d2 = java.nio.file.Files.createTempDirectory("ttl_stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("ttl_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("ttl_out")
+      .resolve("kept").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      d2.resolve("a.parquet"))
+    val docRows = spark.read.parquet(s"$dir/documents.parquet").count()
+    ttlSweep(d2.toString, ckpt, out,
+      java.time.Duration.ofSeconds(2), "kept_ttl_w1", docRows)
+    val files1 = partFiles(out)
+    val window1 = newPartFiles(files1)
+    val distinctFps = spark.read.parquet(s"$dir/documents.parquet")
+      .select(md5(col("text"))).distinct().count()
+    assert(window1.length.toLong == distinctFps)
+    // let every fingerprint's state expire past the horizon, then
+    // replay the identical content as a new file into sweep 2
+    Thread.sleep(4000)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      d2.resolve("b.parquet"))
+    ttlSweep(d2.toString, ckpt, out,
+      java.time.Duration.ofSeconds(2), "kept_ttl_w2", docRows)
+    val window2 = newPartFiles(partFiles(out) -- files1)
+    // evicted state has genuinely reopened the door: everything re-admits
+    assert(window2.length.toLong == distinctFps,
+      s"expected full re-admission after TTL eviction, got ${window2.length} of $distinctFps")
+    // reconcile: sweep 1's admits ARE the corpus index; sweep 2's
+    // admits are the delta — the anti-join must drop every re-admit
+    import spark.implicits._
+    val corpusIndex = window1.map(_._1).toSeq.toDF("fingerprint")
+    val delta = window2.toSeq.toDF("fingerprint", "doc_id")
+    assert(DocStreams.reconcileAdmits(delta, corpusIndex).count() == 0L)
+    // a genuinely-new fingerprint must SURVIVE the same reconcile —
+    // the anti-join drops only horizon re-admits, not fresh content
+    val fresh = Seq(("not-in-corpus-fp", 999999L)).toDF("fingerprint", "doc_id")
+    assert(DocStreams.reconcileAdmits(delta.union(fresh), corpusIndex)
+      .collect().map(_.getString(0)).toSeq == Seq("not-in-corpus-fp"))
+    // and the corpus index alone equals the batch q58 kept set
+    val batch = graft.SparkEntry.queries("q58_dedup_fingerprint")(spark, dir)
+      .select("fingerprint").collect().map(_.getString(0)).toSet
+    assert(window1.map(_._1).toSet == batch)
+  }
+
+  test("TTL'd dedup within the horizon still suppresses replays") {
+    val d2 = java.nio.file.Files.createTempDirectory("ttl_stream_live")
+    val ckpt = java.nio.file.Files.createTempDirectory("ttl_live_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("ttl_live_out")
+      .resolve("kept").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      d2.resolve("a.parquet"))
+    val docRows = spark.read.parquet(s"$dir/documents.parquet").count()
+    ttlSweep(d2.toString, ckpt, out,
+      java.time.Duration.ofMinutes(10), "kept_ttl_live_w1", docRows)
+    val files1 = partFiles(out)
+    assert(newPartFiles(files1).nonEmpty)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      d2.resolve("b.parquet"))
+    ttlSweep(d2.toString, ckpt, out,
+      java.time.Duration.ofMinutes(10), "kept_ttl_live_w2", docRows)
+    // within the horizon the TTL'd form behaves exactly like the
+    // infinite form: nothing re-admits
+    assert(newPartFiles(partFiles(out) -- files1).isEmpty)
+  }
+
+  test("band-bucket overflow is an observable signal, not an assumption") {
+    // cap=1 forces every band bucket past saturation on a corpus with
+    // shared bands: the second member of any bucket must be declined
+    // AND counted; with the default unbounded cap the counter reads 0
+    val acc = DocStreams.overflowCounter(spark)
+    val stream = DocStreams.readDocs(spark, streamDir)
+    val q = DocStreams.nearDupCandidates(spark, stream, cap = 1,
+        overflows = Some(acc))
+      .writeStream.format("memory").queryName("neardup_overflow")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("overflow_ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(acc.value > 0L,
+      "saturated buckets must register on the overflow counter")
+    // saturated-but-still-flagging: pairs are still emitted against the
+    // admitted champion even past the cap
+    assert(spark.sql("select count(*) from neardup_overflow").head().getLong(0) > 0L)
+
+    // control: a cap the corpus never reaches reads zero — the parity
+    // precondition of the earlier tests is certified, not assumed
+    val acc2 = DocStreams.overflowCounter(spark)
+    val q2 = DocStreams.nearDupCandidates(spark,
+        DocStreams.readDocs(spark, streamDir), cap = 100000,
+        overflows = Some(acc2))
+      .writeStream.format("memory").queryName("neardup_no_overflow")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("no_overflow_ckpt").toString)
+      .start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(acc2.value == 0L)
+  }
 }
