@@ -91,6 +91,46 @@ object Formats {
       .schema(schema)
       .parquet(path)
 
+  /** ROW-GROUP-granularity salvage for MID-FILE damage — the level
+    * below [[readParquetSalvage]]. Spark's corrupt-file tolerance
+    * operates at SPLIT granularity: on a read error the scan skips the
+    * rest of the current split only (rows already emitted from the
+    * split survive; other splits are independent tasks). A default read
+    * plans small-to-medium files as ONE split, so one torn page costs
+    * the whole file. Planning the same salvage scan with splits sized
+    * to the writer's row-group size (`splitBytes` ≈ the writer's
+    * `parquet.block.size`) bounds the blast radius to the damaged row
+    * group's own split: parquet assigns each row group to the split
+    * containing its midpoint, and every task reads the (intact) footer
+    * independently, so undamaged row groups keep their rows.
+    *
+    * The floor below THIS level is the footer: it is the file's
+    * row-group index, so a corrupt footer still costs the whole file —
+    * there is nothing addressable to salvage without it, and the
+    * operational answer is re-fetch or quarantine
+    * (SalvageReadSpec pins all three levels). Cost note: more splits =
+    * more tasks and one footer read each; this is a recovery verb for
+    * a damaged directory, not the steady-state scan.
+    *
+    * Split sizing is session configuration consulted at execution, so
+    * the scan is planned in a config-isolated sibling session (same
+    * SparkContext; the caller's session confs are untouched) — the
+    * returned frame stays valid to the caller.
+    */
+  def readParquetSalvageRowGroups(s: SparkSession, path: String,
+      schema: StructType, splitBytes: Long = 8L * 1024 * 1024): DataFrame = {
+    val fine = s.newSession()
+    fine.conf.set("spark.sql.files.maxPartitionBytes", splitBytes.toString)
+    // openCostInBytes pads each file's size when packing splits; zero it
+    // so the split grid actually lands on splitBytes boundaries
+    fine.conf.set("spark.sql.files.openCostInBytes", "0")
+    fine.read
+      .option("ignoreCorruptFiles", "true")
+      .option("ignoreMissingFiles", "true")
+      .schema(schema)
+      .parquet(path)
+  }
+
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("errorifexists").orc(path)
 

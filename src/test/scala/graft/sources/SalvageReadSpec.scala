@@ -62,4 +62,108 @@ class SalvageReadSpec extends AnyFunSuite {
     assert(n == 100, s"expected the surviving file's 100 rows, got $n")
     intercept[Throwable] { strict.count() }
   }
+
+  /** Footer metadata of the single parquet file in `dir`:
+    * (filePath, per-row-group (startingPos, compressedBytes, rowCount)).
+    */
+  private def rowGroupLayout(dir: String): (String, Seq[(Long, Long, Long)]) = {
+    import scala.jdk.CollectionConverters._
+    val file = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted.head
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file),
+      spark.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        .map(b => (b.getStartingPos, b.getCompressedSize, b.getRowCount))
+      (file, blocks)
+    } finally reader.close()
+  }
+
+  test("row-group salvage recovers every intact row group of a mid-file corruption") {
+    val dir = freshDir("salvage_rowgroup")
+    // one file, many small row groups: ids are written in order, so row
+    // group k holds a known contiguous id range (the footer's rowCount
+    // prefix sums) — damage is attributable to exact ids
+    val pad = "x" * 200
+    (0 until 20000).map(i => (i.toLong, s"row$i$pad")).toDF("id", "v")
+      .coalesce(1).sortWithinPartitions("id")
+      .write.mode("overwrite").option("parquet.block.size", 64 * 1024).parquet(dir)
+    val (file, blocks) = rowGroupLayout(dir)
+    assert(blocks.length >= 4,
+      s"need several row groups to attribute damage; got ${blocks.length}")
+
+    // tear pages INSIDE a middle row group; footer and magic stay valid
+    val victim = blocks.length / 2
+    val (vStart, vLen, _) = blocks(victim)
+    val ch = java.nio.channels.FileChannel.open(Paths.get(file),
+      StandardOpenOption.WRITE)
+    try {
+      ch.position(vStart + math.min(8L, vLen / 2))
+      ch.write(java.nio.ByteBuffer.wrap(Array.fill[Byte](
+        math.min(256L, vLen / 2).toInt)(0x5A)))
+    } finally ch.close()
+
+    // level 0 — strict: refuses the directory (materialize columns —
+    // a bare count() reads only footers and never touches the torn page)
+    intercept[Throwable] {
+      spark.read.schema(schema).parquet(dir).select("id").collect()
+    }
+    // level 1 — file-granularity salvage: one split holds the whole
+    // file, so the error poisons everything after it in that split;
+    // only rows emitted BEFORE the torn page survive. This is the
+    // documented file-level floor.
+    val fileLevel = Formats.readParquetSalvage(spark, dir, schema)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(fileLevel.size < 20000)
+    // level 2 — row-group-granularity: split the scan at the writer's
+    // block size; expected loss = the victim's split suffix only
+    val splitBytes = 64L * 1024
+    def splitOf(b: (Long, Long, Long)): Long = (b._1 + b._2 / 2) / splitBytes
+    val idStart = blocks.scanLeft(0L)(_ + _._3)
+    val lost = blocks.zipWithIndex.filter { case (b, k) =>
+      splitOf(b) == splitOf(blocks(victim)) && k >= victim
+    }.map(_._2).toSet
+    val expected = blocks.indices.filterNot(lost)
+      .flatMap(k => idStart(k) until idStart(k + 1)).toSet
+    val fine = Formats.readParquetSalvageRowGroups(spark, dir, schema, splitBytes)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // every id outside the victim's split suffix is recovered, and
+    // nothing past the tear inside it leaks through half-read
+    assert(expected.subsetOf(fine),
+      s"row-group salvage lost intact rows: missing ${(expected -- fine).take(5)}")
+    val vicIds = (idStart(victim) until idStart(victim + 1)).toSet
+    assert(fine.size > fileLevel.size, "finer splits must recover more than file level")
+    assert((fine -- expected).subsetOf(vicIds),
+      "recovered ids beyond the intact set must come from the victim row group's own prefix")
+    // and the same fine-split read on an UNDAMAGED twin is lossless
+    val dir2 = freshDir("salvage_rowgroup_clean")
+    (0 until 20000).map(i => (i.toLong, s"row$i$pad")).toDF("id", "v")
+      .coalesce(1).sortWithinPartitions("id")
+      .write.mode("overwrite").option("parquet.block.size", 64 * 1024).parquet(dir2)
+    assert(Formats.readParquetSalvageRowGroups(spark, dir2, schema, splitBytes)
+      .count() == 20000L)
+  }
+
+  test("a corrupt footer is the salvage floor: the whole file is lost at every level") {
+    val dir = freshDir("salvage_footer")
+    writeGood(dir, 0 until 100)
+    writeGood(dir, 100 until 200)
+    val (file, _) = rowGroupLayout(dir) // sorted.head = first part file
+    // tear the footer length+magic at EOF: the row-group index is gone
+    val size = Files.size(Paths.get(file))
+    val ch = java.nio.channels.FileChannel.open(Paths.get(file),
+      StandardOpenOption.WRITE)
+    try {
+      ch.position(size - 12)
+      ch.write(java.nio.ByteBuffer.wrap(Array.fill[Byte](12)(0x5A)))
+    } finally ch.close()
+    // nothing is addressable without the footer — both salvage levels
+    // skip the file entirely; the other file's rows all survive
+    assert(Formats.readParquetSalvage(spark, dir, schema).count() == 100L)
+    assert(Formats.readParquetSalvageRowGroups(spark, dir, schema, 64L * 1024)
+      .count() == 100L)
+    intercept[Throwable] { spark.read.schema(schema).parquet(dir).count() }
+  }
 }
