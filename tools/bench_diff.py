@@ -1,15 +1,28 @@
 #!/usr/bin/env python3
-"""Per-query bench regression diff (VERDICT r05 item 7).
+"""Per-query bench regression diff (VERDICT r05 item 7; default gate r09).
 
 Usage: python3 tools/bench_diff.py OLD.json NEW.json [--threshold 0.15]
 (argparse: options may appear anywhere; both --threshold 0.15 and
 --threshold=0.15 forms work)
+
+The canonical regression gate is diffing against the committed baseline:
+
+    python3 tools/bench_diff.py BASELINE_BENCH.json BENCH_LOCAL.json
 
 Reads two BENCH_LOCAL.json-format files (the full-map artifact graft.Bench
 writes), joins their per-query medians, and flags queries whose time moved
 more than the threshold in either direction. Prints a summary + the flagged
 table; exits 1 if any query regressed past the threshold (so the round
 workflow can notice), 0 otherwise.
+
+CALIB NORMALIZATION IS THE DEFAULT (r07 verdict item 1): when both files
+carry calib_sec, the NEW run is rescaled by old_calib/new_calib before
+diffing, so host/boot drift is separated from code effects and the gate
+flags only code-attributable moves. Pass --no-calib-normalize to compare
+raw wall-clock instead. If either file lacks the anchor, or the two
+anchors disagree anisotropically (>1.5x apart), normalization is skipped
+with a loud note and the diff proceeds RAW — a single rescale would
+manufacture fake moves in those cases.
 
 Round-5 motivation: shared queries inflated 30-80% between the 87-query
 r04 run and the 190-query r05 run with unchanged plans, and nothing in the
@@ -33,11 +46,15 @@ def main():
     p.add_argument("new", help="current BENCH_LOCAL.json")
     p.add_argument("--threshold", type=float, default=0.15,
                    help="relative move to flag (default 0.15)")
+    p.add_argument("--no-calib-normalize", action="store_true",
+                   help="compare raw wall-clock instead of rescaling the "
+                        "NEW run by old_calib/new_calib (normalization is "
+                        "the default when both files carry calib_sec — the "
+                        "fixed CPU-anchor graft.Bench times each rep round; "
+                        "it separates host/boot drift from code effects)")
+    # accepted for backward compatibility; normalization is now the default
     p.add_argument("--calib-normalize", action="store_true",
-                   help="rescale the NEW run by old_calib/new_calib before "
-                        "diffing (both files must carry calib_sec — the "
-                        "fixed CPU-anchor graft.Bench times each rep round); "
-                        "separates host/boot drift from code effects")
+                   help=argparse.SUPPRESS)
     ns = p.parse_args()
     thr = ns.threshold
     old, new = load(ns.old), load(ns.new)
@@ -63,16 +80,22 @@ def main():
               "work faster, throughput work slower). Single-ratio "
               "normalization is ill-defined; trust only within-boot A/B "
               "(BenchOne, same harness, per-rep minimum).")
-    if ns.calib_normalize:
-        if not (oc and nc):
-            sys.exit("--calib-normalize needs calib_sec in BOTH files")
-        if anisotropic:
-            sys.exit("refusing --calib-normalize: anchors disagree (see "
-                     "WARNING above); a single rescale would manufacture "
-                     "fake regressions/improvements")
+    if ns.no_calib_normalize:
+        print("calib normalization disabled (--no-calib-normalize): "
+              "diffing raw wall-clock")
+    elif not (oc and nc):
+        print("note: calib_sec missing from one or both files — "
+              "normalization unavailable, diffing raw wall-clock")
+    elif anisotropic:
+        print("note: skipping calib normalization (anchors disagree, see "
+              "WARNING above; a single rescale would manufacture fake "
+              "moves) — diffing raw wall-clock")
+    else:
         scale = oc / nc
         nq = {k: v * scale for k, v in nq.items()}
-        print(f"new-run times rescaled by {scale:.3f} (calib normalization)")
+        print(f"new-run times rescaled by {scale:.3f} "
+              f"(calib normalization, host drift ratio {nc / oc:.3f}x; "
+              f"pass --no-calib-normalize for raw)")
     shared = sorted(set(oq) & set(nq))
     only_old = sorted(set(oq) - set(nq))
     only_new = sorted(set(nq) - set(oq))
