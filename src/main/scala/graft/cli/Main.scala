@@ -155,13 +155,41 @@ object Main {
         s"(checkpoint $ckpt; re-run to pick up new files)")
       spark.stop()
 
+    // one-command reproduction of the correctness table (VERDICT r07
+    // item 8): dump every catalog query's result over <sfDir> via
+    // graft.Verify, then replay each oracle SQL in DuckDB and compare
+    // (tools/local_verify.py — needs the driver-side python3+duckdb;
+    // the dump alone still runs without them). Exit code = the gate's.
+    case "verify-local" :: sfDir :: outDir :: rest =>
+      graft.Verify.main((sfDir :: outDir :: rest).toArray)
+      val gate = new java.io.File("tools/local_verify.py")
+      if (!gate.exists()) {
+        System.err.println(
+          s"[verify-local] dumped results to $outDir; ${gate.getPath} not " +
+            "found — run the DuckDB compare from the repo root")
+        sys.exit(1)
+      }
+      val cmd = List("python3", gate.getPath, sfDir, outDir) ++ rest
+      val rc =
+        try new ProcessBuilder(cmd: _*).inheritIO().start().waitFor()
+        catch {
+          case e: java.io.IOException =>
+            System.err.println(
+              s"[verify-local] dumped results to $outDir; could not launch " +
+                s"python3 (${e.getMessage}) — the DuckDB oracle compare " +
+                "needs a python3 with the duckdb package")
+            1
+        }
+      sys.exit(rc)
+
     case other =>
       System.err.println(
         s"unknown or malformed stage: ${other.mkString(" ")}\n" +
           "usage: clean <jsonl> <outdir> | enrich <parquet> <outdir> " +
           "[--sample N] [--rate S] | load <table> | dedup <parquet> <outdir> " +
           "| flagship <jsonl> <workdir> | clean-stream <jsonlDir> <outdir> <ckptDir> " +
-          "| enrich-stream <cleanDir> <outdir> <ckptDir>")
+          "| enrich-stream <cleanDir> <outdir> <ckptDir> " +
+          "| verify-local <sfDir> <outdir> [query ...]")
       sys.exit(1)
   }
 
