@@ -833,20 +833,43 @@ object ScaleOps {
   // ~the whole partkey domain (expected ≈ all 32 chunks); z-order cuts
   // BOTH dimensions at once — the number that justifies paying the
   // z-sort at ingest. In production the "chunk" is a file and min/max
-  // come from footer stats; the ntile model is the same math run as an
-  // audit (on a sample at 100 TB — the tiling window would otherwise
-  // serialize).
+  // come from footer stats; the ntile model is the same math as an
+  // audit — computed DISTRIBUTED ([[distributedNtile]]: GlobalIndex
+  // range exchange, no single-partition window; the r09 probe measured
+  // the window form serializing at 10× rows).
+  /** `ntile(buckets)` over a TOTAL order, distributed: dense global
+    * rank via [[graft.ops.GlobalIndex]] (range exchange + two narrow
+    * passes — no single-partition window) mapped through the
+    * closed-form ntile bucket function (the first N mod b buckets take
+    * one extra row). Bit-equal to `ntile(buckets)` over an
+    * unpartitioned window on the same total
+    * order — the q163/q192 oracles still say NTILE — but scales: the
+    * r09 sf0.1→sf1 probe measured the window form at ~8.4× wall-clock
+    * for 10× rows (serial sort of everything), the bound this form
+    * removes. `rows` is the frame's row count (one metadata-only
+    * parquet count at the call site; all three layout audits share it).
+    */
+  private[graft] def distributedNtile(df: DataFrame, rows: Long, buckets: Int,
+      order: Seq[Column]): DataFrame = {
+    val q = rows / buckets
+    val r = rows % buckets
+    val ranked = graft.ops.GlobalIndex.withDenseIndex(df, "_g_rank", order)
+    val chunk =
+      if (q == 0) col("_g_rank") // fewer rows than buckets: one row each
+      else when(col("_g_rank") <= lit(r * (q + 1)),
+          expr(s"(_g_rank - 1) div ${q + 1} + 1"))
+        .otherwise(expr(s"$r + (_g_rank - 1 - ${r * (q + 1)}) div $q + 1"))
+    ranked.withColumn("chunk", chunk.cast("int")).drop("_g_rank")
+  }
+
   private def q163(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val li = load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"))
+    val rows = li.count() // metadata-only parquet count, shared by both audits
     val zed = graft.ops.ZOrder.withZ(li, "l_partkey", "l_suppkey")
     def audit(df: DataFrame, layout: String, order: Seq[Column]) = {
-      val chunked = df.withColumn("chunk",
-        // window-scale: audit-sample — layout audit; at 100 TB run on a
-        // sample (see the scale note above), files carry real footers
-        ntile(32).over(Window.orderBy(order: _*)))
+      val chunked = distributedNtile(df, rows, 32, order)
       chunked.groupBy(col("chunk"))
         .agg(min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
           min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
@@ -903,21 +926,18 @@ object ScaleOps {
   // are near-identical between the curves by construction). The
   // [[graft.ops.Hilbert]] key is a broadcast 64Ki-cell lookup on the
   // Spark side and an 8-stage unrolled xy2d CTE chain in the oracle —
-  // the gate proves them bit-identical. Global ntile window = audit
-  // shape (q163's note); production layout writes use
-  // Hilbert.write's range exchange, never a single-partition window.
+  // the gate proves them bit-identical. Chunking runs through
+  // [[distributedNtile]] (q163's note — no single-partition window);
+  // production layout writes use Hilbert.write's range exchange.
   private def q192(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val li = load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"))
+    val rows = li.count() // metadata-only parquet count, shared by the audits
     val zed = graft.ops.ZOrder.withZ(li, "l_partkey", "l_suppkey")
     val hil = graft.ops.Hilbert.withH(li, "l_partkey", "l_suppkey")
     def audit(df: DataFrame, layout: String, order: Seq[Column]) = {
-      val chunked = df.withColumn("chunk",
-        // window-scale: audit-sample — layout audit; at 100 TB run on a
-        // sample (see the scale note above), files carry real footers
-        ntile(32).over(Window.orderBy(order: _*)))
+      val chunked = distributedNtile(df, rows, 32, order)
       chunked.groupBy(col("chunk"))
         .agg(min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
           min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))

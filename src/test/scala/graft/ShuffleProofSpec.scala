@@ -149,4 +149,33 @@ class ShuffleProofSpec extends AnyFunSuite {
         s"no map-side partial aggregation in:\n$p")
     }
   }
+
+  test("distributedNtile matches the global ntile window bit-for-bit, without its single-partition sort") {
+    // the r09 probe measured q163/q192's global ntile window at ~8.4×
+    // wall-clock for 10× rows (everything through one sorted
+    // partition); the distributed form (GlobalIndex rank + closed-form
+    // bucket function) must be BIT-EQUAL on a ragged row count (the
+    // first N mod 32 buckets take the extra row) while planning no
+    // single-partition exchange
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .filter(col("l_partkey") > 5)
+    val n = li.count()
+    assert(n % 32 != 0, s"fixture drifted: need a ragged bucket split, n=$n")
+    val order = Seq(col("l_orderkey"), col("l_linenumber"))
+    val dist = graft.queries.ScaleOps.distributedNtile(li, n, 32, order)
+      .select("l_orderkey", "l_linenumber", "chunk")
+    import org.apache.spark.sql.expressions.Window
+    val win = li.withColumn("chunk",
+      // window-scale: test oracle — the serial truth the distributed
+      // twin must reproduce, sf0.01 only
+      ntile(32).over(Window.orderBy(order: _*)))
+      .select("l_orderkey", "l_linenumber", "chunk")
+    assert(dist.collect().map(_.toSeq).toSet == win.collect().map(_.toSeq).toSet)
+    // plan shape: every exchange in the distributed form is session-wide
+    val singles = nodes(dist.queryExecution.executedPlan).collect {
+      case s: ShuffleExchangeExec if s.outputPartitioning.numPartitions == 1 => s
+    }
+    assert(singles.isEmpty, "distributedNtile must not gather to one partition")
+  }
 }

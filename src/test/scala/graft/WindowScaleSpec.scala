@@ -43,6 +43,9 @@ class WindowScaleSpec extends AnyFunSuite {
       .map(f => java.nio.file.Files.readAllLines(f).asScala
         .count(_.contains("window-scale:")))
       .sum
-    assert(n >= 13, s"expected the 13 audited sites to stay tagged, found $n")
+    // 13 audited sites through r08; r09 converted the q163/q192 layout
+    // audits' global ntile windows to the distributed GlobalIndex form
+    // (ScaleOps.distributedNtile), removing two sites for real
+    assert(n >= 11, s"expected the 11 audited sites to stay tagged, found $n")
   }
 }
