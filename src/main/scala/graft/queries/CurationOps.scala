@@ -91,14 +91,19 @@ object CurationOps {
   // q114 — blocked fuzzy entity resolution (record linkage). A "dirty"
   // feed is derived from customer names by deleting the vowels u/o
   // (edit distance 2 from the clean form), then linked back: candidate
-  // generation by BLOCKING KEY (last 3 characters — digits survive the
+  // generation by BLOCKING KEY (last 5 characters — digits survive the
   // perturbation), scoring by Levenshtein, best match = min (distance,
   // custkey) per dirty record via the native TopKPerGroup operator.
   // Shape at 100 TB: the block key turns an O(n²) all-pairs string
   // comparison into an equi-join whose per-key fan-out is the block
   // size — the same candidate-bounding role the LSH bands play for
-  // near-dup (q17). Skewed blocks get the q88 salted-join treatment;
-  // Levenshtein runs only on candidates, never all pairs.
+  // near-dup (q17) — with one load-bearing condition the r09 sf1 probe
+  // made measurable: block-key CARDINALITY must scale with the corpus.
+  // The original last-3 key held a fixed 1000 blocks, so block depth
+  // grew ∝ n and the join was O(n²/1000) — 95× wall-clock at 10× rows;
+  // last-5 scales the block count with the keyspace and restored ~linear.
+  // Skewed blocks get the q88 salted-join treatment; Levenshtein runs
+  // only on candidates, never all pairs.
   // ---------------------------------------------------------------------
   private def q114(s: SparkSession, dir: String): DataFrame = {
     val clean = load(s, dir, "customer").select(col("c_custkey"), col("c_name"))
@@ -106,8 +111,8 @@ object CurationOps {
       col("c_custkey").as("dirty_key"),
       regexp_replace(col("c_name"), "[uo]", "").as("dirty_name"))
     val cand = dirty
-      .withColumn("blk", expr("right(dirty_name, 3)"))
-      .join(clean.withColumn("blk", expr("right(c_name, 3)")), Seq("blk"))
+      .withColumn("blk", expr("right(dirty_name, 5)"))
+      .join(clean.withColumn("blk", expr("right(c_name, 5)")), Seq("blk"))
       .withColumn("dist", levenshtein(col("dirty_name"), col("c_name")).cast("long"))
       .filter(col("dist") <= 2)
     graft.ops.TopK.perGroup(
@@ -122,7 +127,7 @@ object CurationOps {
       |cand AS (
       |  SELECT d.dirty_key, c.c_custkey AS match_key,
       |         CAST(LEVENSHTEIN(d.dirty_name, c.c_name) AS BIGINT) AS dist
-      |  FROM dirty d JOIN customer c ON RIGHT(d.dirty_name, 3) = RIGHT(c.c_name, 3)
+      |  FROM dirty d JOIN customer c ON RIGHT(d.dirty_name, 5) = RIGHT(c.c_name, 5)
       |  WHERE LEVENSHTEIN(d.dirty_name, c.c_name) <= 2),
       |r AS (SELECT *, ROW_NUMBER() OVER (
       |        PARTITION BY dirty_key ORDER BY dist, match_key) AS rn FROM cand)

@@ -1186,8 +1186,12 @@ object EventsOps {
   // WITHOUT A SINGLE FLOAT: chi² = N(ad−bc)²/D ≥ 3.841 is evaluated by
   // cross-multiplication (1000·N·(ad−bc)² ≥ 3841·D), so the
   // significance bit is bitwise-reproducible, never a libm artifact.
-  // (Magnitudes stay in BIGINT through sf0.1; at larger N promote the
-  // two products to DECIMAL(38,0) — the comparison stays exact.)
+  // The two products are N⁵-scale, so they are computed in
+  // DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — int64 overflowed at the
+  // r09 sf1 probe (10× rows) and 100 TB is far past it — and PUBLISHED
+  // as digit strings (the gate's wide-integer rule). Exact to
+  // ~5·10⁶ users per event_type (1000·N⁵ inside 38 digits); past that
+  // the ANSI decimal errors loudly instead of wrapping silently.
   // Shape at 100 TB: one (user, type) partial-agg shuffle, then a
   // |types|-row frame; the readout is free next to the count pass.
   private def q164(s: SparkSession, dir: String): DataFrame =
@@ -1203,10 +1207,19 @@ object EventsOps {
         sum(when(!col("va") && col("conv"), 1L).otherwise(0L)).as("c"),
         sum(when(!col("va") && !col("conv"), 1L).otherwise(0L)).as("d"))
       .withColumn("n_users", expr("a + b + c + d"))
-      .withColumn("chi2_num", expr("n_users * (a * d - b * c) * (a * d - b * c)"))
-      .withColumn("chi2_den", expr("(a + b) * (c + d) * (a + c) * (b + d)"))
+      .withColumn("ad_bc",
+        expr("CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c"))
+      .withColumn("chi2_num_d",
+        expr("CAST(n_users AS DECIMAL(38,0)) * ad_bc * ad_bc"))
+      .withColumn("chi2_den_d", expr(
+        "(CAST(a AS DECIMAL(38,0)) + b) * (c + d) * (a + c) * (b + d)"))
       .withColumn("significant",
-        expr("chi2_den > 0 AND 1000 * chi2_num >= 3841 * chi2_den"))
+        expr("chi2_den_d > 0 AND 1000 * chi2_num_d >= 3841 * chi2_den_d"))
+      .select(col("event_type"), col("a"), col("b"), col("c"), col("d"),
+        col("n_users"),
+        col("chi2_num_d").cast("string").as("chi2_num"),
+        col("chi2_den_d").cast("string").as("chi2_den"),
+        col("significant"))
   private val q164Sql =
     """WITH uc AS (
       |  SELECT user_id, event_type, COUNT(*) AS n
@@ -1219,15 +1232,19 @@ object EventsOps {
       |    CAST(SUM(CASE WHEN va AND NOT conv THEN 1 ELSE 0 END) AS BIGINT) AS b,
       |    CAST(SUM(CASE WHEN NOT va AND conv THEN 1 ELSE 0 END) AS BIGINT) AS c,
       |    CAST(SUM(CASE WHEN NOT va AND NOT conv THEN 1 ELSE 0 END) AS BIGINT) AS d
-      |  FROM fl GROUP BY 1)
-      |SELECT event_type, a, b, c, d,
-      |  a + b + c + d AS n_users,
-      |  (a + b + c + d) * (a * d - b * c) * (a * d - b * c) AS chi2_num,
-      |  (a + b) * (c + d) * (a + c) * (b + d) AS chi2_den,
-      |  (a + b) * (c + d) * (a + c) * (b + d) > 0 AND
-      |    1000 * (a + b + c + d) * (a * d - b * c) * (a * d - b * c) >=
-      |    3841 * (a + b) * (c + d) * (a + c) * (b + d) AS significant
-      |FROM tab""".stripMargin
+      |  FROM fl GROUP BY 1),
+      |wide AS (
+      |  SELECT event_type, a, b, c, d, a + b + c + d AS n_users,
+      |    CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c AS ad_bc,
+      |    (CAST(a AS HUGEINT) + b) * (c + d) * (a + c) * (b + d) AS den
+      |  FROM tab)
+      |SELECT event_type, a, b, c, d, n_users,
+      |  CAST(CAST(n_users AS HUGEINT) * ad_bc * ad_bc AS VARCHAR) AS chi2_num,
+      |  CAST(den AS VARCHAR) AS chi2_den,
+      |  den > 0 AND
+      |    1000 * CAST(n_users AS HUGEINT) * ad_bc * ad_bc >= 3841 * den
+      |    AS significant
+      |FROM wide""".stripMargin
 
   // q154 — MULTI-TOUCH attribution: the multi-match sibling of the
   // as-of join (q27 credits only the last click; linear attribution

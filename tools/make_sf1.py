@@ -20,9 +20,15 @@ becoming a 10-way exact-dup corpus:
               original per-user history (the per-user window/PIT shape
               scales in users, not in history depth)
   lineitem/orders/customer  fact keys offset (orderkey/custkey join
-              consistency maintained); part/supplier/nation/region are
-              DIMENSIONS — copied unscaled, exactly how a 10× fact
-              load meets the same dimension tables
+              consistency maintained); c_name is REGENERATED from the
+              offset key ('Customer#%09d' — the source format), because
+              a name that embeds the old key would leave key-derived
+              blocking/fingerprint columns identical across replicas
+              and quadratically inflate block joins (first observed on
+              q114: last-3-chars blocks went 10× deep, 95× wall-clock);
+              part/supplier/nation/region are DIMENSIONS — copied
+              unscaled, exactly how a 10× fact load meets the same
+              dimension tables
 
 
 DuckDB-side tool (driver-side python, like local_verify.py); writes
@@ -93,7 +99,8 @@ def main():
     max_cust = con.execute(f"SELECT max(c_custkey)+1 FROM {src('customer')}").fetchone()[0]
     write("customer", replicate("customer", lambda k: f"""
         SELECT c_custkey + {k * max_cust} AS c_custkey,
-               {f"'r{k}-' || c_name" if k else "c_name"} AS c_name,
+               'Customer#' || lpad(CAST(c_custkey + {k * max_cust} AS VARCHAR),
+                 9, '0') AS c_name,
                c_nationkey, c_acctbal, c_mktsegment
         FROM {src('customer')}"""))
     write("orders", replicate("orders", lambda k: f"""
