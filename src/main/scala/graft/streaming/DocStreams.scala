@@ -147,7 +147,18 @@ object DocStreams {
     */
   def nearDupCandidates(spark: SparkSession, docs: DataFrame,
       cap: Int = 256,
-      overflows: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+      overflows: Option[org.apache.spark.util.LongAccumulator] = None,
+      /** Finite horizon for band-bucket state — the same TTL + periodic
+        * batch-reconcile posture as [[dedupByFingerprintTtl]] (and the
+        * same operational note: a processing-time-TTL query needs a
+        * trigger interval or checkpoint-resumed sweeps). `None` =
+        * infinite horizon. Past the horizon an idle bucket's champion
+        * list evicts; a re-crawl then re-seeds it and pairs against
+        * post-eviction arrivals only — candidates that straddled the
+        * horizon belong to the periodic batch band-join (q17), exactly
+        * like fingerprint re-admits belong to the q86 reconcile.
+        */
+      ttl: Option[java.time.Duration] = None): DataFrame = {
     import spark.implicits._
     EventStreams.withRocksDBStateStore(spark)
     graft.functions.VectorExpressions.register(spark)
@@ -158,10 +169,16 @@ object DocStreams {
       .select(concat_ws(":", col("band_idx"), col("band_val")).as("band_key"),
         col("doc_id"))
       .as[BandDoc]
+    val (ttlConf, timeMode) = ttl match {
+      case Some(d) => (org.apache.spark.sql.streaming.TTLConfig(d),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime())
+      case None => (org.apache.spark.sql.streaming.TTLConfig.NONE,
+        org.apache.spark.sql.streaming.TimeMode.None())
+    }
     banded.groupByKey(_.band_key)
       .transformWithState(
-        new BandCandidateProcessor(cap, overflows),
-        org.apache.spark.sql.streaming.TimeMode.None(),
+        new BandCandidateProcessor(cap, overflows, ttlConf),
+        timeMode,
         OutputMode.Append)
       .toDF()
   }
@@ -182,10 +199,13 @@ object DocStreams {
     spark.sparkContext.longAccumulator("neardup_band_overflows")
 
   /** Keyed by band bucket; state = capped champion list of member ids.
-    * `overflows` counts declined admissions ([[overflowCounter]]).
+    * `overflows` counts declined admissions ([[overflowCounter]]);
+    * `ttl` bounds the bucket's state lifetime (see [[nearDupCandidates]]).
     */
   class BandCandidateProcessor(cap: Int,
-      overflows: Option[org.apache.spark.util.LongAccumulator] = None)
+      overflows: Option[org.apache.spark.util.LongAccumulator] = None,
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, BandDoc, CandidatePair] {
     import org.apache.spark.sql.{Encoders => E}
     @transient private var members: org.apache.spark.sql.streaming.ListState[Long] = _
@@ -193,8 +213,7 @@ object DocStreams {
     override def init(
         outputMode: OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
-      members = getHandle.getListState(
-        "members", E.scalaLong, org.apache.spark.sql.streaming.TTLConfig.NONE)
+      members = getHandle.getListState("members", E.scalaLong, ttl)
     }
 
     override def handleInputRows(

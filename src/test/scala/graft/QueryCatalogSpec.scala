@@ -796,11 +796,15 @@ class QueryCatalogSpec extends AnyFunSuite {
       val (a, b, c, d) = (r.getAs[Long]("a"), r.getAs[Long]("b"),
         r.getAs[Long]("c"), r.getAs[Long]("d"))
       assert(a + b + c + d == r.getAs[Long]("n_users"))
-      assert(r.getAs[Long]("chi2_num") >= 0L && r.getAs[Long]("chi2_den") >= 0L)
+      // chi2_num/chi2_den publish as DIGIT STRINGS since r09 (the
+      // products are N^5-scale, computed in DECIMAL(38,0) after int64
+      // overflowed at the sf1 probe) — parse for the reconcile
+      val num = BigInt(r.getAs[String]("chi2_num"))
+      val den = BigInt(r.getAs[String]("chi2_den"))
+      assert(num >= 0 && den >= 0)
       // the no-float decision agrees with the float chi² it encodes
-      val den = r.getAs[Long]("chi2_den")
-      val expected = den > 0 &&
-        r.getAs[Long]("chi2_num").toDouble / den >= 3.841
+      val expected = den > BigInt(0) &&
+        num.toDouble / den.toDouble >= 3.841
       assert(r.getAs[Boolean]("significant") == expected)
     }
   }

@@ -178,8 +178,12 @@ class DocStreamsSpec extends AnyFunSuite {
     * back via [[newPartFiles]].
     */
   private def ttlSweep(srcDir: String, ckpt: String, outDir: String,
-      ttl: java.time.Duration, name: String, expectRows: Long): Unit = {
+      ttl: java.time.Duration, name: String, expectRows: Long,
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = null): Unit = {
     import org.apache.spark.sql.streaming.StreamingQueryListener
+    val mk = Option(build).getOrElse(
+      (d: org.apache.spark.sql.DataFrame) =>
+        DocStreams.dedupByFingerprintTtl(spark, d, ttl))
     val consumed = new java.util.concurrent.atomic.AtomicLong(0L)
     val listener = new StreamingQueryListener {
       override def onQueryStarted(
@@ -194,8 +198,7 @@ class DocStreamsSpec extends AnyFunSuite {
     }
     spark.streams.addListener(listener)
     try {
-      val q = DocStreams.dedupByFingerprintTtl(spark,
-          DocStreams.readDocs(spark, srcDir), ttl)
+      val q = mk(DocStreams.readDocs(spark, srcDir))
         .writeStream.format("parquet").queryName(name)
         .option("path", outDir)
         .option("checkpointLocation", ckpt)
@@ -301,6 +304,43 @@ class DocStreamsSpec extends AnyFunSuite {
     // within the horizon the TTL'd form behaves exactly like the
     // infinite form: nothing re-admits
     assert(newPartFiles(partFiles(out) -- files1).isEmpty)
+  }
+
+  test("band-bucket TTL evicts idle champion lists; a past-horizon replay re-pairs from scratch") {
+    // the band-state half of the TTL posture: past the horizon the
+    // bucket's champion list is gone, so a replayed corpus re-seeds
+    // every bucket and re-pairs WITHIN ITSELF — emitting exactly the
+    // sweep-1 distinct candidate set again (the infinite-horizon
+    // replay test above pins the contrast: within horizon, nothing)
+    val d2 = java.nio.file.Files.createTempDirectory("band_ttl_stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("band_ttl_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("band_ttl_out")
+      .resolve("cands").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      d2.resolve("a.parquet"))
+    val docRows = spark.read.parquet(s"$dir/documents.parquet").count()
+    val ttl = java.time.Duration.ofSeconds(2)
+    def mk(d: org.apache.spark.sql.DataFrame) =
+      DocStreams.nearDupCandidates(spark, d, cap = 100000, ttl = Some(ttl))
+    ttlSweep(d2.toString, ckpt, out, ttl, "band_ttl_w1", docRows, mk)
+    val files1 = partFiles(out)
+    def pairs(files: Set[String]): Set[(Long, Long)] =
+      if (files.isEmpty) Set.empty
+      else spark.read.parquet(files.toSeq: _*)
+        .select("doc_a", "doc_b").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        // collect-scale: test assertion, sf0.001 pair set
+    val w1 = pairs(files1)
+    assert(w1.nonEmpty)
+    Thread.sleep(4000)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      d2.resolve("b.parquet"))
+    ttlSweep(d2.toString, ckpt, out, ttl, "band_ttl_w2", docRows, mk)
+    val w2 = pairs(partFiles(out) -- files1)
+    assert(w2 == w1,
+      s"evicted buckets must re-pair the replay from scratch: sweep1 ${w1.size} pairs, sweep2 ${w2.size}")
   }
 
   test("band-bucket overflow is an observable signal, not an assumption") {
