@@ -1126,12 +1126,33 @@ object SimilarityOps {
   // group-scan) instead of window + filter.
   private def q39(s: SparkSession, dir: String): DataFrame =
     q39Impl(s, dir, lit(true))
-  private def q39Impl(s: SparkSession, dir: String, probe: Column): DataFrame = {
+
+  /** Bench-only scale twin of q39 (`x_ann_multiprobe_scaled`, no oracle
+    * — the catalog q39 pins planes=4 for oracle determinism): the
+    * hyperplane count is sized ∝ log₂(n/targetDepth), so expected
+    * bucket depth stays ~constant as the corpus grows and the
+    * bucket-join's pair volume stays ~linear in n. With FIXED planes
+    * the bucket count is fixed and depth ∝ n, making the join
+    * O(n²/2^planes) — the r09 reps=3 recheck measured catalog q39 at
+    * 6.6× median (9.8× min) wall-clock for 10× rows; this twin is the
+    * measured counter-claim, the same twinned-baseline pattern as
+    * q16→q17 and q20→q22. At 100 TB plane count is a layout parameter
+    * chosen from corpus size, exactly like LSH band count (q146).
+    */
+  private[graft] def q39ScaledPlanes(s: SparkSession, dir: String): DataFrame = {
+    val n = load(s, dir, "embeddings").count() // metadata-only count
+    val planes = math.max(AnnPlanes,
+      math.ceil(math.log(n.toDouble / 125.0) / math.log(2.0)).toInt)
+    q39Impl(s, dir, lit(true), planes)
+  }
+
+  private def q39Impl(s: SparkSession, dir: String, probe: Column,
+      planes: Int = AnnPlanes): DataFrame = {
     val e = withNorm(s, load(s, dir, "embeddings"))
-    val bucketed = graft.ops.AnnIndex.withBucket(e, "v", AnnPlanes, Dims).cache()
+    val bucketed = graft.ops.AnnIndex.withBucket(e, "v", planes, Dims).cache()
     val probes = graft.ops.AnnIndex.withProbeBuckets(
       bucketed.filter(probe).select(col("vec_id").as("a_id"), col("v").as("va"),
-        col("norm").as("na"), col("bucket")), AnnPlanes)
+        col("norm").as("na"), col("bucket")), planes)
     val b = bucketed.select(col("vec_id").as("b_id"), col("v").as("vb"),
       col("norm").as("nb"), col("bucket").as("b_bucket"))
     val pairs = probes.join(b, col("probe_bucket") === col("b_bucket"))
