@@ -177,5 +177,21 @@ class ShuffleProofSpec extends AnyFunSuite {
       case s: ShuffleExchangeExec if s.outputPartitioning.numPartitions == 1 => s
     }
     assert(singles.isEmpty, "distributedNtile must not gather to one partition")
+
+    // edge: fewer rows than buckets (q = 0) — ntile gives each row its
+    // own bucket 1..N in order; the closed form must match
+    val tiny = Tables.load(spark, dir, "region")
+      .select(col("r_regionkey"))
+    val tn = tiny.count()
+    assert(tn < 32)
+    val tDist = graft.queries.ScaleOps.distributedNtile(
+        tiny, tn, 32, Seq(col("r_regionkey")))
+      .collect().map(r => (r.getAs[Long]("r_regionkey"), r.getAs[Int]("chunk"))).toSet
+    import org.apache.spark.sql.expressions.Window
+    val tWin = tiny.withColumn("chunk",
+      // window-scale: test oracle — 5-row frame
+      ntile(32).over(Window.orderBy(col("r_regionkey"))))
+      .collect().map(r => (r.getAs[Long]("r_regionkey"), r.getAs[Int]("chunk"))).toSet
+    assert(tDist == tWin)
   }
 }
