@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
 
 /** Dense 1-based global index in a total order WITHOUT a single-partition
   * window — the classic distributed zipWithIndex: range-partition on the
@@ -29,13 +30,25 @@ object GlobalIndex {
     val sorted = df
       .repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-    val counts = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+    // Persist the sorted rows across the two passes: without this the
+    // count job and the index job each re-run the within-partition sort
+    // (the range-exchange shuffle files are reused, but the sort is
+    // not) — at 100 TB that is a full redundant sort pass. DISK_ONLY:
+    // the data just came off a shuffle, so memory residency buys
+    // nothing the OS page cache doesn't already provide, and it can't
+    // evict working memory under pressure. The blocks are released by
+    // the ContextCleaner once the returned frame's RDD lineage becomes
+    // unreachable (there is no sound place to unpersist eagerly — the
+    // result is lazy and the caller may evaluate it any number of
+    // times).
+    val sortedRdd = sorted.rdd.persist(StorageLevel.DISK_ONLY)
+    val counts = sortedRdd.mapPartitionsWithIndex { (i, it) =>
       Iterator((i, it.size.toLong))
       // collect-scale: metadata — numPartitions longs, never data rows
     }.collect().sortBy(_._1)
     val offsets = counts.map(_._2).scanLeft(1L)(_ + _)
     val offsetsBc = spark.sparkContext.broadcast(offsets)
-    val withId = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+    val withId = sortedRdd.mapPartitionsWithIndex { (i, it) =>
       var id = offsetsBc.value(i)
       it.map { r => val out = Row.fromSeq(id +: r.toSeq); id += 1; out }
     }
