@@ -73,12 +73,10 @@ object Bench {
           Window.orderBy(col("l_orderkey"), col("l_linenumber"))).cast("long"))),
       "x_dense_id_scalable" -> ((s: SparkSession, d: String) =>
         graft.ops.GlobalIndex.withDenseIndex(idBase(s, d), "id",
-          Seq(col("l_orderkey"), col("l_linenumber")))),
-      // r09: q39's scale twin — hyperplanes sized ∝ log₂(n) so bucket
-      // depth (and the bucket-join's pair volume per row) stays flat as
-      // the corpus grows; catalog q39 pins planes=4 for its oracle
-      "x_ann_multiprobe_scaled" -> ((s: SparkSession, d: String) =>
-        graft.queries.SimilarityOps.q39ScaledPlanes(s, d)))
+          Seq(col("l_orderkey"), col("l_linenumber")))))
+    // (q39's scaled-planes twin graduated from bench-only
+    // x_ann_multiprobe_scaled to catalog q205_ann_scaled_planes in r10 —
+    // it is timed through SparkEntry.queries like every catalog entry.)
     val entries = (SparkEntry.queries.toSeq ++ extraEntries)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // The timed action. NOT count(): Aggregate(count(1)) lets Catalyst

@@ -72,6 +72,54 @@ object AnnIndex {
       explode(array((col("bucket") +: probes): _*)))
   }
 
+  /** Corpus-sized plane count: the smallest p ≥ `minPlanes` with
+    * targetDepth·2^p ≥ n, i.e. ⌈log₂(n/targetDepth)⌉ clamped below by
+    * `minPlanes` — expected bucket depth stays ≤ targetDepth as the
+    * corpus grows, keeping the bucket-join's pair volume ~linear in n
+    * (fixed planes make depth ∝ n and the join O(n²/2^planes)).
+    * Pure-integer comparison, NOT a floating log: the DuckDB oracle
+    * replays the same thresholds as a CASE chain (`planeCountSql`), and
+    * a float log₂ could land on either side of an exact power of two.
+    */
+  def scaledPlaneCount(n: Long, minPlanes: Int, targetDepth: Long): Int = {
+    var p = minPlanes
+    while (p < 62 && (targetDepth << p) < n) p += 1
+    p
+  }
+
+  /** DuckDB rendering of scaledPlaneCount over a BIGINT count expression:
+    * a CASE chain on the exact integer thresholds targetDepth·2^p for
+    * p in [minPlanes, maxPlanes]. Inputs beyond the last threshold get
+    * maxPlanes (callers assert n fits — see SimilarityOps q205).
+    */
+  def planeCountSql(nExpr: String, minPlanes: Int, maxPlanes: Int,
+      targetDepth: Long): String = {
+    val whens = (minPlanes until maxPlanes).map { p =>
+      s"WHEN ($nExpr) <= ${targetDepth << p} THEN $p"
+    }
+    s"(CASE ${whens.mkString(" ")} ELSE $maxPlanes END)"
+  }
+
+  /** DuckDB rendering of the signature with a RUNTIME plane count: bit p
+    * contributes only when p < `planesExpr` (a scalar column/expression),
+    * so one static SQL string serves any corpus size up to 2^maxPlanes
+    * buckets. The gate comes first in the conjunction — DuckDB's CASE
+    * short-circuits, so disabled planes never evaluate their fold.
+    */
+  def bucketSqlGated(vecExpr: String, maxPlanes: Int, dims: Int,
+      planesExpr: String): String = {
+    val ps = planes(maxPlanes, dims)
+    val bitExprs = ps.zipWithIndex.map { case (w, p) =>
+      val proj = w.zipWithIndex.foldLeft("CAST(0 AS DOUBLE)") { case (acc, (s, d)) =>
+        val op = if (s > 0) "+" else "-"
+        s"(($acc) $op $vecExpr[${d + 1}])"
+      }
+      s"CASE WHEN $p < ($planesExpr) AND ($proj) > 0 " +
+        s"THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }
+    bitExprs.mkString("(", " + ", ")")
+  }
+
   /** DuckDB rendering of the same signature, for oracle SQL generation.
     * `vecExpr` must be a DOUBLE[] expression; element access is 1-based
     * in DuckDB, so dim d becomes [d+1].

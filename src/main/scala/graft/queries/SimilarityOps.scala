@@ -889,6 +889,7 @@ object SimilarityOps {
     QueryDef("q173_filtered_ann", q173, Some(q173Sql)),
     QueryDef("q177_rag_context", q177, Some(q177Sql)),
     QueryDef("q180_comoment_matrix", q180, Some(q180Sql)),
+    QueryDef("q205_ann_scaled_planes", q39ScaledPlanes, Some(q205Sql)),
   )
 
   // q180 — embedding CO-MOMENT matrix (the second-moment statistics a
@@ -1127,10 +1128,10 @@ object SimilarityOps {
   private def q39(s: SparkSession, dir: String): DataFrame =
     q39Impl(s, dir, lit(true))
 
-  /** Bench-only scale twin of q39 (`x_ann_multiprobe_scaled`, no oracle
-    * — the catalog q39 pins planes=4 for oracle determinism): the
-    * hyperplane count is sized ∝ log₂(n/targetDepth), so expected
-    * bucket depth stays ~constant as the corpus grows and the
+  /** Scale twin of q39, catalog-gated as q205 (bench id
+    * `x_ann_multiprobe_scaled`): the hyperplane count is sized
+    * ⌈log₂(n/125)⌉ (clamped to [AnnPlanes, MaxScaledPlanes]), so
+    * expected bucket depth stays ~constant as the corpus grows and the
     * bucket-join's pair volume stays ~linear in n. With FIXED planes
     * the bucket count is fixed and depth ∝ n, making the join
     * O(n²/2^planes) — the r09 reps=3 recheck measured catalog q39 at
@@ -1138,13 +1139,29 @@ object SimilarityOps {
     * measured counter-claim, the same twinned-baseline pattern as
     * q16→q17 and q20→q22. At 100 TB plane count is a layout parameter
     * chosen from corpus size, exactly like LSH band count (q146).
+    *
+    * planes = f(count) is pure-integer (`AnnIndex.scaledPlaneCount`)
+    * and the oracle replays the identical thresholds as a CASE chain
+    * (q205Sql), so the result is deterministic cross-engine at every
+    * scale factor — sf0.01 lands on 4 planes (= q39), sf0.1 on 6,
+    * sf1 on 9.
     */
   private[graft] def q39ScaledPlanes(s: SparkSession, dir: String): DataFrame = {
     val n = load(s, dir, "embeddings").count() // metadata-only count
-    val planes = math.max(AnnPlanes,
-      math.ceil(math.log(n.toDouble / 125.0) / math.log(2.0)).toInt)
+    val planes = graft.ops.AnnIndex.scaledPlaneCount(n, AnnPlanes, ScaledTargetDepth)
+    require(planes <= MaxScaledPlanes,
+      s"corpus of $n embeddings needs $planes planes > MaxScaledPlanes=" +
+        s"$MaxScaledPlanes — raise the cap (and the oracle's unrolled bits)")
     q39Impl(s, dir, lit(true), planes)
   }
+
+  /** Oracle cap on the unrolled signature bits: 16 planes cover corpora
+    * up to 125·2¹⁶ ≈ 8.2M embeddings — far past any fixture scale; the
+    * Spark side requires() the same bound so a breach fails loudly on
+    * both engines rather than silently disagreeing.
+    */
+  private val MaxScaledPlanes = 16
+  private val ScaledTargetDepth = 125L
 
   private def q39Impl(s: SparkSession, dir: String, probe: Column,
       planes: Int = AnnPlanes): DataFrame = {
@@ -1174,6 +1191,43 @@ object SimilarityOps {
       |probes AS (
       |  SELECT vec_id, v, norm, UNNEST(LIST_VALUE($probeList)) AS probe_bucket
       |  FROM bucketed),
+      |pairs AS (
+      |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+      |    LIST_DOT_PRODUCT(a.v, b.v) / (a.norm * b.norm) AS cos_sim
+      |  FROM probes a JOIN bucketed b
+      |    ON a.probe_bucket = b.bucket AND a.vec_id <> b.vec_id),
+      |ranked AS (
+      |  SELECT vec_id, neighbor_id, cos_sim,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+      |  FROM pairs)
+      |SELECT vec_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 3""".stripMargin
+  }
+
+  // q205 — the SQL twin of q39ScaledPlanes. One static string serves any
+  // corpus size: `params` derives the plane count from COUNT(*) via the
+  // same integer thresholds as AnnIndex.scaledPlaneCount, the signature
+  // unrolls all MaxScaledPlanes bits with each gated on `p < planes`, and
+  // the probe list flips exactly the active planes
+  // (LIST_TRANSFORM(RANGE(0, planes), ...)).
+  private val q205Sql = {
+    val bsql = graft.ops.AnnIndex.bucketSqlGated(
+      "v", MaxScaledPlanes, Dims, "planes")
+    val psql = graft.ops.AnnIndex.planeCountSql(
+      "n", AnnPlanes, MaxScaledPlanes, ScaledTargetDepth)
+    s"""WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+      |  FROM embeddings),
+      |params AS (
+      |  SELECT $psql AS planes
+      |  FROM (SELECT COUNT(*) AS n FROM embeddings)),
+      |bucketed AS (
+      |  SELECT vec_id, v, norm, $bsql AS bucket FROM e CROSS JOIN params),
+      |probes AS (
+      |  SELECT vec_id, v, norm,
+      |    UNNEST(LIST_PREPEND(bucket, LIST_TRANSFORM(RANGE(0, planes),
+      |      p -> XOR(bucket, CAST(1 AS BIGINT) << p)))) AS probe_bucket
+      |  FROM bucketed CROSS JOIN params),
       |pairs AS (
       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
       |    LIST_DOT_PRODUCT(a.v, b.v) / (a.norm * b.norm) AS cos_sim

@@ -49,4 +49,40 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(recallMulti > recallSingle)
     assert(recallMulti >= 0.5, f"multi-probe recall too low: $recallMulti%.3f")
   }
+
+  test("scaledPlaneCount is the integer ceil-log form, exact at the thresholds") {
+    // smallest p >= min with 125·2^p >= n — matches ceil(log2(n/125))
+    // clamped below at min, WITHOUT floating log (a float log2 can land
+    // on either side of an exact power of two; the DuckDB oracle replays
+    // the same integer thresholds, so both engines must agree exactly).
+    assert(AnnIndex.scaledPlaneCount(1L, 4, 125L) == 4)
+    assert(AnnIndex.scaledPlaneCount(500L, 4, 125L) == 4)   // sf0.01
+    assert(AnnIndex.scaledPlaneCount(2000L, 4, 125L) == 4)  // 125·2^4 exactly
+    assert(AnnIndex.scaledPlaneCount(2001L, 4, 125L) == 5)
+    assert(AnnIndex.scaledPlaneCount(5000L, 4, 125L) == 6)  // sf0.1
+    assert(AnnIndex.scaledPlaneCount(50000L, 4, 125L) == 9) // sf1
+    // cross-check against the mathematical definition over a dense range
+    for (n <- 1L to 70000L by 7L) {
+      val ref = math.max(4,
+        math.ceil(math.log(n.toDouble / 125.0) / math.log(2.0)).toInt)
+      val got = AnnIndex.scaledPlaneCount(n, 4, 125L)
+      // allow the float form to be off by the known last-bit hazard only
+      // AT exact powers of two; elsewhere they must agree
+      assert(got == ref || (125L << (got min ref)) * 2 == (125L << (got max ref)),
+        s"n=$n got=$got ref=$ref")
+    }
+  }
+
+  test("planeCountSql replays scaledPlaneCount bit-for-bit in Spark SQL") {
+    // The CASE chain is engine-neutral SQL; evaluate it in Spark against
+    // the Scala function across the threshold neighborhood.
+    val sqlExpr = AnnIndex.planeCountSql("n", 4, 16, 125L)
+    val ns = Seq(1L, 124L, 125L, 126L, 500L, 1999L, 2000L, 2001L, 4000L,
+      4001L, 5000L, 50000L, 63999L, 64000L, 64001L, 8192000L, 8192001L)
+    import spark.implicits._
+    val got = ns.toDF("n").selectExpr(s"$sqlExpr AS p")
+      .collect().map(_.getInt(0)).toSeq
+    val want = ns.map(n => math.min(16, AnnIndex.scaledPlaneCount(n, 4, 125L)))
+    assert(got == want, s"sql=$got scala=$want")
+  }
 }
