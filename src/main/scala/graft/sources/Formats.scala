@@ -120,6 +120,15 @@ object Formats {
   def readParquetSalvageRowGroups(s: SparkSession, path: String,
       schema: StructType, splitBytes: Long = 8L * 1024 * 1024): DataFrame = {
     val fine = s.newSession()
+    // Carry the CALLER'S runtime SQL confs into the sibling: newSession()
+    // re-derives session state from builder-time confs only, so a
+    // runtime-adjusted session timezone or ANSI toggle would otherwise
+    // silently not govern the salvage read. Static/immutable entries
+    // reject the set — they are shared with the caller already.
+    s.conf.getAll.foreach { case (k, v) =>
+      try if (!fine.conf.getOption(k).contains(v)) fine.conf.set(k, v)
+      catch { case _: Exception => () }
+    }
     fine.conf.set("spark.sql.files.maxPartitionBytes", splitBytes.toString)
     // openCostInBytes pads each file's size when packing splits; zero it
     // so the split grid actually lands on splitBytes boundaries

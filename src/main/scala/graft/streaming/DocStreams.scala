@@ -152,11 +152,15 @@ object DocStreams {
         * batch-reconcile posture as [[dedupByFingerprintTtl]] (and the
         * same operational note: a processing-time-TTL query needs a
         * trigger interval or checkpoint-resumed sweeps). `None` =
-        * infinite horizon. Past the horizon an idle bucket's champion
-        * list evicts; a re-crawl then re-seeds it and pairs against
-        * post-eviction arrivals only — candidates that straddled the
-        * horizon belong to the periodic batch band-join (q17), exactly
-        * like fingerprint re-admits belong to the q86 reconcile.
+        * infinite horizon. Every sighting of a bucket REFRESHES its
+        * whole champion list's clocks (ListState element TTLs are fixed
+        * at append, so the processor re-puts the list on arrival —
+        * mirroring the fingerprint processor's re-upsert), so only a
+        * bucket idle for a full `ttl` evicts; a re-crawl then re-seeds
+        * it and pairs against post-eviction arrivals only — candidates
+        * that straddled the horizon belong to the periodic batch
+        * band-join (q17), exactly like fingerprint re-admits belong to
+        * the q86 reconcile.
         */
       ttl: Option[java.time.Duration] = None): DataFrame = {
     import spark.implicits._
@@ -209,6 +213,15 @@ object DocStreams {
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, BandDoc, CandidatePair] {
     import org.apache.spark.sql.{Encoders => E}
     @transient private var members: org.apache.spark.sql.streaming.ListState[Long] = _
+    // ListState element TTLs are fixed at APPEND time — without a
+    // refresh, a hot bucket's champions would expire ttl after their own
+    // admission even while the bucket keeps matching. Mirror the
+    // fingerprint processor's refresh-on-sighting: any arrival proves
+    // the bucket is live, so re-put the whole list to restart every
+    // member's clock. O(cap) writes per ACTIVE bucket per batch — paid
+    // only on the TTL'd path and only for buckets that saw traffic.
+    private val refreshOnSighting =
+      ttl != org.apache.spark.sql.streaming.TTLConfig.NONE
 
     override def init(
         outputMode: OutputMode,
@@ -227,15 +240,24 @@ object DocStreams {
       // deterministic, and (earlier, later) matches cross-batch order
       val arrivals = inputRows.map(_.doc_id).toArray.distinct.sorted
       val out = Array.newBuilder[CandidatePair]
+      var appended = false
       for (id <- arrivals if !seen.contains(id)) {
         for (m <- seen)
           out += CandidatePair(math.min(m, id), math.max(m, id), key)
         if (admitted < cap) {
-          members.appendValue(id)
+          if (!refreshOnSighting) members.appendValue(id)
+          appended = true
           admitted += 1
           seen += id
         } else overflows.foreach(_.add(1L))
       }
+      // TTL'd path: one put() covers both the new admits and the clock
+      // refresh of every existing member (put overwrites the list, so
+      // each element gets a fresh expiry). Fires on every batch with
+      // arrivals for this key — a suppressed duplicate is still a
+      // sighting. The untimed path keeps the cheaper appendValue.
+      if (refreshOnSighting && (appended || arrivals.nonEmpty) && seen.nonEmpty)
+        members.put(seen.toArray)
       out.result().iterator
     }
   }

@@ -166,4 +166,30 @@ class SalvageReadSpec extends AnyFunSuite {
       .count() == 100L)
     intercept[Throwable] { spark.read.schema(schema).parquet(dir).count() }
   }
+
+  test("row-group salvage runs under the caller's RUNTIME session confs") {
+    // newSession() re-derives state from builder-time confs only — a
+    // runtime-adjusted timezone or ANSI toggle must still govern the
+    // salvage read (ADVICE r09), so the sibling session copies the
+    // caller's runtime confs before applying its split-size overrides.
+    val dir = freshDir("salvage_conf")
+    writeGood(dir, 0 until 10)
+    val tzKey = "spark.sql.session.timeZone"
+    val ansiKey = "spark.sql.ansi.enabled"
+    val (tz0, ansi0) = (spark.conf.get(tzKey), spark.conf.get(ansiKey))
+    try {
+      spark.conf.set(tzKey, "Pacific/Chatham") // nobody's builder default
+      spark.conf.set(ansiKey, (ansi0.toBoolean.unary_!).toString)
+      val df = Formats.readParquetSalvageRowGroups(spark, dir, schema)
+      val c = df.sparkSession.conf
+      assert(c.get(tzKey) == "Pacific/Chatham")
+      assert(c.get(ansiKey) != ansi0)
+      // and the split overrides still won over the copied confs
+      assert(c.get("spark.sql.files.openCostInBytes") == "0")
+      assert(df.count() == 10L)
+    } finally {
+      spark.conf.set(tzKey, tz0)
+      spark.conf.set(ansiKey, ansi0)
+    }
+  }
 }

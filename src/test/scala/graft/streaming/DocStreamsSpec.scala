@@ -256,7 +256,9 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(window1.length.toLong == distinctFps)
     // let every fingerprint's state expire past the horizon, then
     // replay the identical content as a new file into sweep 2
-    Thread.sleep(4000)
+    // (5× the TTL: processing-time TTL sweeps on a loaded host can lag;
+    // a 2× margin flaked in review — ADVICE r09)
+    Thread.sleep(10000)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/documents.parquet"),
       d2.resolve("b.parquet"))
@@ -333,7 +335,8 @@ class DocStreamsSpec extends AnyFunSuite {
         // collect-scale: test assertion, sf0.001 pair set
     val w1 = pairs(files1)
     assert(w1.nonEmpty)
-    Thread.sleep(4000)
+    // 5× the TTL — same margin rationale as the fingerprint test above
+    Thread.sleep(10000)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/documents.parquet"),
       d2.resolve("b.parquet"))
@@ -341,6 +344,52 @@ class DocStreamsSpec extends AnyFunSuite {
     val w2 = pairs(partFiles(out) -- files1)
     assert(w2 == w1,
       s"evicted buckets must re-pair the replay from scratch: sweep1 ${w1.size} pairs, sweep2 ${w2.size}")
+  }
+
+  test("a hot band bucket's champions survive past their admission age (refresh-on-sighting)") {
+    // ListState element TTLs are fixed at append — without the
+    // processor's re-put-on-arrival, champions in a continuously-active
+    // bucket would expire `ttl` after their OWN admission even while the
+    // bucket keeps seeing traffic. Pin the refresh: admit at t0, sight
+    // (a suppressed replay) at ~t0+8s, read again at ~t0+16s. With
+    // TTL=15s the admission clock HAS lapsed by sweep 3, but the sweep-2
+    // sighting restarted it — so sweep 3 must re-admit NOTHING. On the
+    // pre-fix code (append-time clocks only) sweep 3 re-pairs from
+    // scratch and this test fails.
+    val d2 = java.nio.file.Files.createTempDirectory("band_hot_stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("band_hot_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("band_hot_out")
+      .resolve("cands").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      d2.resolve("a.parquet"))
+    val docRows = spark.read.parquet(s"$dir/documents.parquet").count()
+    val ttl = java.time.Duration.ofSeconds(15)
+    def mk(d: org.apache.spark.sql.DataFrame) =
+      DocStreams.nearDupCandidates(spark, d, cap = 100000, ttl = Some(ttl))
+    ttlSweep(d2.toString, ckpt, out, ttl, "band_hot_w1", docRows, mk)
+    val files1 = partFiles(out)
+    def pairCount(files: Set[String]): Long =
+      if (files.isEmpty) 0L
+      else spark.read.parquet(files.toSeq: _*).count()
+    assert(pairCount(files1) > 0L)
+    Thread.sleep(8000) // within the horizon: the replay is a SIGHTING
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      d2.resolve("b.parquet"))
+    ttlSweep(d2.toString, ckpt, out, ttl, "band_hot_w2", docRows, mk)
+    val files2 = partFiles(out)
+    // a replay of existing members emits nothing — but its sighting
+    // must have refreshed every champion's clock
+    assert(pairCount(files2 -- files1) == 0L,
+      "within-horizon replay must be suppressed")
+    Thread.sleep(8000) // past the ADMISSION clock, within the refreshed one
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      d2.resolve("c.parquet"))
+    ttlSweep(d2.toString, ckpt, out, ttl, "band_hot_w3", docRows, mk)
+    assert(pairCount(partFiles(out) -- files2) == 0L,
+      "hot bucket evicted: sweep-2 sighting failed to refresh champion clocks")
   }
 
   test("band-bucket overflow is an observable signal, not an assumption") {
