@@ -968,6 +968,7 @@ object EventsOps {
     QueryDef("q148_ewma_daily", q148, Some(q148Sql)),
     QueryDef("q154_multitouch_attribution", q154, Some(q154Sql)),
     QueryDef("q164_ab_readout", q164, Some(q164Sql)),
+    QueryDef("q206_ab_readout_bign", q206, Some(q206Sql)),
     QueryDef("q166_seasonal_residuals", q166, Some(q166Sql)),
     QueryDef("q167_cohort_ltv", q167, Some(q167Sql)),
     QueryDef("q174_session_quality", q174, Some(q174Sql)),
@@ -1243,6 +1244,107 @@ object EventsOps {
       |  CAST(den AS VARCHAR) AS chi2_den,
       |  den > 0 AND
       |    1000 * CAST(n_users AS HUGEINT) * ad_bc * ad_bc >= 3841 * den
+      |    AS significant
+      |FROM wide""".stripMargin
+
+  // q206 — the LARGE-N regime of q164 (VERDICT r09 item 7): the exact
+  // χ² cross-multiply is N⁵-scale and fails loudly past ~5·10⁶ users
+  // per type (by design — ANSI decimal, never silent wrap). Past that
+  // crossover this variant bounds what the decision arithmetic sees by
+  // a DETERMINISTIC per-type user subsample: conversion is still exact
+  // per user (computed from the user's FULL event history before
+  // sampling — no measurement bias), then each type keeps a user iff
+  // N ≤ cap or mix(user_id) < ⌊M·cap/N⌋, where mix is three rounds of
+  // the MINSTD Lehmer step x ← x·48271 mod M (M = 2³¹−1, products
+  // ≤ M·48271 ≈ 10¹⁴ — pure int64 in BOTH engines, no float and no
+  // overflow anywhere), giving an expected cap-sized uniform subsample
+  // that is bitwise-reproducible cross-engine. The sampled table then
+  // takes the SAME exact wide-decimal χ² as q164 — with N' ~ cap the
+  // numerator needs ~5·log₁₀(cap)+3 digits, so cap = 10⁶ keeps the
+  // statistic exact for ANY corpus size; a subsampled χ² is a valid
+  // (lower-power) test, which is the documented trade against q164's
+  // full-data exactness below the crossover. The CATALOG entry pins
+  // cap = 100 so the sf0.01 fixture (150 users/type) actually
+  // exercises the sampling arithmetic under the oracle; production
+  // uses the default. Shape at 100 TB: identical to q164 — one
+  // (user, type) partial-agg exchange; the sample filter is a narrow
+  // map over the |users|×|types| frame with a broadcast |types|-row
+  // totals join.
+  private[graft] def q206Impl(s: SparkSession, dir: String,
+      cap: Long = 1000000L): DataFrame = {
+    val perUser = events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("user_id"),
+        (col("user_id") % 2 === 0).as("va"), (col("n") >= 14).as("conv"))
+    val totals = perUser.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+    val mixed = perUser
+      .join(broadcast(totals), Seq("event_type"))
+      .withColumn("mix", expr(
+        "((((user_id % 2147483647) * 48271 % 2147483647)" +
+          " * 48271 % 2147483647) * 48271 % 2147483647)"))
+      .filter(col("n_users") <= cap ||
+        col("mix") < expr(s"(2147483647L * $cap) div n_users"))
+    mixed
+      .groupBy(col("event_type"), col("n_users"))
+      .agg(
+        sum(when(col("va") && col("conv"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("va") && !col("conv"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("va") && col("conv"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("va") && !col("conv"), 1L).otherwise(0L)).as("d"))
+      .withColumn("n_sampled", expr("a + b + c + d"))
+      .withColumn("ad_bc",
+        expr("CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c"))
+      .withColumn("chi2_num_d",
+        expr("CAST(n_sampled AS DECIMAL(38,0)) * ad_bc * ad_bc"))
+      .withColumn("chi2_den_d", expr(
+        "(CAST(a AS DECIMAL(38,0)) + b) * (c + d) * (a + c) * (b + d)"))
+      .withColumn("significant",
+        expr("chi2_den_d > 0 AND 1000 * chi2_num_d >= 3841 * chi2_den_d"))
+      .select(col("event_type"), col("n_users"), col("n_sampled"),
+        col("a"), col("b"), col("c"), col("d"),
+        col("chi2_num_d").cast("string").as("chi2_num"),
+        col("chi2_den_d").cast("string").as("chi2_den"),
+        col("significant"))
+  }
+  private def q206(s: SparkSession, dir: String): DataFrame =
+    q206Impl(s, dir, cap = 100L)
+  private val q206Sql =
+    """WITH uc AS (
+      |  SELECT user_id, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |fl AS (
+      |  SELECT event_type, user_id, user_id % 2 = 0 AS va, n >= 14 AS conv
+      |  FROM uc),
+      |tot AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+      |  FROM fl GROUP BY 1),
+      |kept AS (
+      |  SELECT f.event_type, t.n_users, f.va, f.conv
+      |  FROM fl f JOIN tot t USING (event_type)
+      |  WHERE t.n_users <= 100 OR
+      |    ((((f.user_id % 2147483647) * 48271 % 2147483647)
+      |       * 48271 % 2147483647) * 48271 % 2147483647)
+      |      < (CAST(2147483647 AS BIGINT) * 100) // t.n_users),
+      |tab AS (
+      |  SELECT event_type, n_users,
+      |    CAST(SUM(CASE WHEN va AND conv THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(SUM(CASE WHEN va AND NOT conv THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |    CAST(SUM(CASE WHEN NOT va AND conv THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |    CAST(SUM(CASE WHEN NOT va AND NOT conv THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |  FROM kept GROUP BY 1, 2),
+      |wide AS (
+      |  SELECT event_type, n_users, a, b, c, d,
+      |    a + b + c + d AS n_sampled,
+      |    CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c AS ad_bc,
+      |    (CAST(a AS HUGEINT) + b) * (c + d) * (a + c) * (b + d) AS den
+      |  FROM tab)
+      |SELECT event_type, n_users, n_sampled, a, b, c, d,
+      |  CAST(CAST(n_sampled AS HUGEINT) * ad_bc * ad_bc AS VARCHAR) AS chi2_num,
+      |  CAST(den AS VARCHAR) AS chi2_den,
+      |  den > 0 AND
+      |    1000 * CAST(n_sampled AS HUGEINT) * ad_bc * ad_bc >= 3841 * den
       |    AS significant
       |FROM wide""".stripMargin
 
