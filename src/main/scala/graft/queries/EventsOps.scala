@@ -1620,15 +1620,26 @@ object EventsOps {
   // permille arithmetic on two BIGINTs), GK at accuracy 1000 within
   // 10% of the exact disc percentile. The raw estimates stay pinned by
   // the spec via [[q72raw]].
+  // Sketch precision vs gate band (the round-10 sf0.1 catch): the HLL
+  // is configured at rsd = 0.01 so the 5% gate band is a 5σ margin.
+  // The ORIGINAL form used the 0.05 default — making the band exactly
+  // 1σ, which held at sf0.01 by luck and flipped at sf0.1: every
+  // event_type shares the same 1500-user universe there, and the
+  // default sketch read 1400 for all five — 6.7% off, all five booleans
+  // False (rsd 0.01 reads 1507, 0.47%). The first silent-wrong-at-scale
+  // defect the sf0.1 oracle run exists to catch.
+  // A tolerance gate is only sound when the band is several σ of the
+  // estimator it audits.
   // Shape at 100 TB: sketches are THE cardinality tool — fixed-size
   // partial state, partial-agg mergeable, one small shuffle regardless
-  // of input size; the exact twins here are the audit's cost, not the
+  // of input size (rsd 0.01 = 2¹⁴ registers ≈ 16 KB per group, still
+  // fixed); the exact twins here are the audit's cost, not the
   // production path's.
   private[graft] def q72raw(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id")).as("users_hll"),
+        approx_count_distinct(col("user_id"), 0.01).as("users_hll"),
         countDistinct(col("user_id")).as("users_exact"),
         expr("approx_percentile(value, 0.5, 1000)").as("p50_approx"),
         expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50_exact"))
