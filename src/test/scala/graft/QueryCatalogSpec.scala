@@ -1690,4 +1690,34 @@ class QueryCatalogSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_shared") >= 1)
     }
   }
+
+  test("q205 coincides with fixed-planes q39 exactly when the corpus sizes to 4 planes") {
+    // sf0.001 has 500 embeddings → scaledPlaneCount = 4 = AnnPlanes, so
+    // the scaled form must be row-identical to q39 (the dynamic-planes
+    // machinery is exercised at sf0.1 where planes=6, under the oracle)
+    val scaled = SparkEntry.queries("q205_ann_scaled_planes")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val fixed = SparkEntry.queries("q39_ann_multiprobe")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(scaled == fixed)
+  }
+
+  test("q206 reduces to q164's table when no type exceeds the sampling cap") {
+    // sf0.001 is far under cap=100 users/type: n_sampled == n_users and
+    // the 2×2 cells (and the decision) must equal the exact readout's
+    val bign = SparkEntry.queries("q206_ab_readout_bign")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("n_sampled"),
+          r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("c"),
+          r.getAs[Long]("d"), r.getAs[Boolean]("significant")))).toMap
+    val exact = SparkEntry.queries("q164_ab_readout")(spark, dir).collect()
+    assert(exact.nonEmpty && bign.size == exact.length)
+    exact.foreach { r =>
+      val (nU, nS, a, b, c, d, sig) = bign(r.getAs[String]("event_type"))
+      assert(nU == nS, "no sampling may occur under the cap")
+      assert((a, b, c, d) == ((r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("c"), r.getAs[Long]("d"))))
+      assert(sig == r.getAs[Boolean]("significant"))
+    }
+  }
 }
