@@ -663,11 +663,7 @@ object SimilarityOps {
       |  WHERE LIST_DOT_PRODUCT(a.v, b.v) / (a.norm * b.norm) >= 0.35),
       |und AS (SELECT src, dst FROM sem_edges
       |  UNION ALL SELECT dst, src FROM sem_edges),
-      |lbl(id, label) AS (
-      |  SELECT vec_id, vec_id FROM embeddings
-      |  UNION
-      |  SELECT u.dst, l.label FROM lbl l JOIN und u ON u.src = l.id),
-      |comp AS (SELECT id, MIN(label) AS cluster_id FROM lbl GROUP BY id),
+      |${OracleCc.cc("SELECT vec_id AS id, vec_id AS label FROM embeddings", "und")},
       |sizes AS (
       |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
       |  FROM comp GROUP BY 1)

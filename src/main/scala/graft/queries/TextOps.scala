@@ -602,11 +602,7 @@ object TextOps {
       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
       |    AND a.doc_id < b.doc_id),
       |und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
-      |lbl(id, label) AS (
-      |  SELECT doc_id, doc_id FROM sigs
-      |  UNION
-      |  SELECT u.dst, l.label FROM lbl l JOIN und u ON u.src = l.id),
-      |comp AS (SELECT id, MIN(label) AS cluster_id FROM lbl GROUP BY id),
+      |${OracleCc.cc("SELECT doc_id AS id, doc_id AS label FROM sigs", "und")},
       |fp AS (SELECT doc_id, MD5(text) AS f FROM documents),
       |canon AS (SELECT f, MIN(doc_id) AS canon_id FROM fp GROUP BY f),
       |ex AS (SELECT doc_id, doc_id <> canon_id AS is_exact_dup
@@ -803,11 +799,7 @@ object TextOps {
       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
       |    AND a.doc_id < b.doc_id),
       |und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
-      |lbl(id, label) AS (
-      |  SELECT doc_id, doc_id FROM sigs
-      |  UNION
-      |  SELECT u.dst, l.label FROM lbl l JOIN und u ON u.src = l.id),
-      |comp AS (SELECT id, MIN(label) AS cluster_id FROM lbl GROUP BY id),
+      |${OracleCc.cc("SELECT doc_id AS id, doc_id AS label FROM sigs", "und")},
       |fp AS (SELECT doc_id, MD5(text) AS f FROM documents),
       |canon AS (SELECT f, MIN(doc_id) AS canon_id FROM fp GROUP BY f),
       |ex AS (SELECT doc_id, doc_id <> canon_id AS is_exact_dup
@@ -856,11 +848,7 @@ object TextOps {
       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
       |    AND a.doc_id < b.doc_id),
       |und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
-      |lbl(id, label) AS (
-      |  SELECT doc_id, doc_id FROM sigs
-      |  UNION
-      |  SELECT u.dst, l.label FROM lbl l JOIN und u ON u.src = l.id),
-      |comp AS (SELECT id, MIN(label) AS cluster_id FROM lbl GROUP BY id),
+      |${OracleCc.cc("SELECT doc_id AS id, doc_id AS label FROM sigs", "und")},
       |sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
       |          FROM comp GROUP BY cluster_id)
       |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
@@ -1602,11 +1590,7 @@ object TextOps {
       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
       |    AND a.doc_id < b.doc_id),
       |und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
-      |lbl(id, label) AS (
-      |  SELECT doc_id, doc_id FROM sigs
-      |  UNION
-      |  SELECT u.dst, l.label FROM lbl l JOIN und u ON u.src = l.id),
-      |comp AS (SELECT id, MIN(label) AS cluster_id FROM lbl GROUP BY id),
+      |${OracleCc.cc("SELECT doc_id AS id, doc_id AS label FROM sigs", "und")},
       |cc AS (
       |  SELECT c.id AS doc_id, c.cluster_id, s.cluster_size
       |  FROM comp c JOIN (
@@ -2139,11 +2123,7 @@ object TextOps {
       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
       |    AND a.doc_id < b.doc_id),
       |und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
-      |lbl(id, label) AS (
-      |  SELECT doc_id, doc_id FROM sigs
-      |  UNION
-      |  SELECT u.dst, l.label FROM lbl l JOIN und u ON u.src = l.id),
-      |comp AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM lbl GROUP BY id),
+      |${OracleCc.cc("SELECT doc_id AS id, doc_id AS label FROM sigs", "und", idAlias = "doc_id")},
       |scored AS (
       |  SELECT c.doc_id, c.cluster_id, d.n_chars,
       |    (CAST(LEN(LIST_DISTINCT(STRING_SPLIT(d.text, ' '))) AS BIGINT) * 1000)
@@ -2460,11 +2440,7 @@ object TextOps {
       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
       |    AND a.doc_id < b.doc_id),
       |und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
-      |lbl(id, label) AS (
-      |  SELECT doc_id, doc_id FROM sigs
-      |  UNION
-      |  SELECT u.dst, l.label FROM lbl l JOIN und u ON u.src = l.id),
-      |comp AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM lbl GROUP BY id),
+      |${OracleCc.cc("SELECT doc_id AS id, doc_id AS label FROM sigs", "und", idAlias = "doc_id")},
       |q AS (
       |  SELECT doc_id, text, n_chars,
       |    (CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT) * 1000)
@@ -2635,11 +2611,7 @@ object TextOps {
       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
       |    AND a.doc_id < b.doc_id),
       |und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
-      |lbl(id, label) AS (
-      |  SELECT doc_id, doc_id FROM sigs
-      |  UNION
-      |  SELECT u.dst, l.label FROM lbl l JOIN und u ON u.src = l.id),
-      |comp AS (SELECT id, MIN(label) AS cluster_id FROM lbl GROUP BY id)
+      |${OracleCc.cc("SELECT doc_id AS id, doc_id AS label FROM sigs", "und")}
       |SELECT c.id AS doc_id, c.cluster_id, s.cluster_size
       |FROM comp c JOIN (
       |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
@@ -3946,11 +3918,7 @@ object TextOps {
       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
       |    AND a.doc_id < b.doc_id),
       |und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
-      |lbl(id, label) AS (
-      |  SELECT doc_id, doc_id FROM sigs
-      |  UNION
-      |  SELECT u.dst, l.label FROM lbl l JOIN und u ON u.src = l.id),
-      |comp AS (SELECT id, MIN(label) AS cluster_id FROM lbl GROUP BY id),
+      |${OracleCc.cc("SELECT doc_id AS id, doc_id AS label FROM sigs", "und")},
       |shq AS ($shingledSql),
       |exq AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM shq),
       |nshq AS (SELECT doc_id, CAST(LEN(shingles) AS BIGINT) AS n_sh FROM shq),
