@@ -33,15 +33,19 @@ object GlobalIndex {
     // Persist the sorted rows across the two passes: without this the
     // count job and the index job each re-run the within-partition sort
     // (the range-exchange shuffle files are reused, but the sort is
-    // not) — at 100 TB that is a full redundant sort pass. DISK_ONLY:
-    // the data just came off a shuffle, so memory residency buys
-    // nothing the OS page cache doesn't already provide, and it can't
-    // evict working memory under pressure. The blocks are released by
-    // the ContextCleaner once the returned frame's RDD lineage becomes
-    // unreachable (there is no sound place to unpersist eagerly — the
-    // result is lazy and the caller may evaluate it any number of
-    // times).
-    val sortedRdd = sorted.rdd.persist(StorageLevel.DISK_ONLY)
+    // not) — at 100 TB that is a full redundant sort pass.
+    // MEMORY_AND_DISK, chosen by same-boot A/B on the lineitem bench
+    // entry (7-rep mins at sf0.1: no-persist 0.64 s, MEMORY_AND_DISK
+    // 0.70 s, DISK_ONLY 0.85 s): forcing disk pays serialization for
+    // rows that fit memory, while MEMORY_AND_DISK keeps the no-persist
+    // economics at small scale (+8%) and degrades to disk blocks —
+    // evictable under the unified memory manager, so it cannot starve
+    // execution memory — exactly when the data outgrows storage
+    // memory. The blocks are released by the ContextCleaner once the
+    // returned frame's RDD lineage becomes unreachable (there is no
+    // sound place to unpersist eagerly — the result is lazy and the
+    // caller may evaluate it any number of times).
+    val sortedRdd = sorted.rdd.persist(StorageLevel.MEMORY_AND_DISK)
     val counts = sortedRdd.mapPartitionsWithIndex { (i, it) =>
       Iterator((i, it.size.toLong))
       // collect-scale: metadata — numPartitions longs, never data rows

@@ -1616,30 +1616,34 @@ object EventsOps {
   // Spark-side; the oracle states the expected verdict (TRUE), so a
   // sketch drifting out of tolerance flips the boolean and FAILS the
   // hash gate. Tolerances are the QueryCatalogSpec bands, now
-  // gate-enforced: HLL++ within 5% relative error (exact integer
-  // permille arithmetic on two BIGINTs), GK at accuracy 1000 within
+  // gate-enforced: HLL++ within 10% relative error (exact integer
+  // permille arithmetic on two BIGINTs; 5σ at rsd .02 — see the
+  // precision-vs-band note below), GK at accuracy 1000 within
   // 10% of the exact disc percentile. The raw estimates stay pinned by
   // the spec via [[q72raw]].
   // Sketch precision vs gate band (the round-10 sf0.1 catch): the HLL
-  // is configured at rsd = 0.01 so the 5% gate band is a 5σ margin.
-  // The ORIGINAL form used the 0.05 default — making the band exactly
-  // 1σ, which held at sf0.01 by luck and flipped at sf0.1: every
-  // event_type shares the same 1500-user universe there, and the
-  // default sketch read 1400 for all five — 6.7% off, all five booleans
-  // False (rsd 0.01 reads 1507, 0.47%). The first silent-wrong-at-scale
-  // defect the sf0.1 oracle run exists to catch.
-  // A tolerance gate is only sound when the band is several σ of the
-  // estimator it audits.
+  // runs at rsd = 0.02 and the gate band is 10% — a 5σ margin. The
+  // ORIGINAL form gated the 0.05-default sketch at 5%: exactly 1σ,
+  // which held at sf0.01 by luck and flipped at sf0.1 (every
+  // event_type shares the same 1500-user universe there; the default
+  // sketch read 1400 for all five — 6.7% off, all five booleans
+  // False). The first silent-wrong-at-scale defect the sf0.1 oracle
+  // run exists to catch: a tolerance gate is only sound when the band
+  // is several σ of the estimator it audits. rsd/band sizing is a
+  // measured trade — Spark's HLL++ per-row update cost grows with
+  // register count (sf0.1 noop-timed: 0.35 s at rsd .05, 0.56 at .02,
+  // 1.61 at .01), so .02/10% buys 5σ at ~⅓ the .01/5% cost; the
+  // fixtures measure 0.4% actual error at sf0.1 (25× headroom).
   // Shape at 100 TB: sketches are THE cardinality tool — fixed-size
   // partial state, partial-agg mergeable, one small shuffle regardless
-  // of input size (rsd 0.01 = 2¹⁴ registers ≈ 16 KB per group, still
-  // fixed); the exact twins here are the audit's cost, not the
-  // production path's.
+  // of input size (rsd 0.02 ≈ 2¹² registers per group, still fixed);
+  // the exact twins here are the audit's cost, not the production
+  // path's.
   private[graft] def q72raw(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id"), 0.01).as("users_hll"),
+        approx_count_distinct(col("user_id"), 0.02).as("users_hll"),
         countDistinct(col("user_id")).as("users_exact"),
         expr("approx_percentile(value, 0.5, 1000)").as("p50_approx"),
         expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50_exact"))
@@ -1649,7 +1653,7 @@ object EventsOps {
         col("event_type"),
         col("users_exact"),
         (abs(col("users_hll") - col("users_exact")) * lit(1000L) <=
-          col("users_exact") * lit(50L)).as("hll_within_tol"),
+          col("users_exact") * lit(100L)).as("hll_within_tol"),
         col("p50_exact"),
         (abs(col("p50_approx") - col("p50_exact")) <=
           greatest(abs(col("p50_exact")) * lit(0.1), lit(1e-6)))

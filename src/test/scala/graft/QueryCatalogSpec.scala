@@ -1626,7 +1626,8 @@ class QueryCatalogSpec extends AnyFunSuite {
     rows.foreach { r =>
       val exact = r.getAs[Long]("users_exact").toDouble
       val hll = r.getAs[Long]("users_hll").toDouble
-      assert(math.abs(hll - exact) / exact < 0.05,
+      // 10% = 5σ at the query's rsd 0.02 (see q72raw's precision note)
+      assert(math.abs(hll - exact) / exact < 0.10,
         s"HLL off by ${math.abs(hll - exact) / exact}")
       // the GK quantile summary at accuracy 1000 on this cardinality is
       // near-exact;
