@@ -57,6 +57,8 @@ object VectorExpressions {
       "count_in", exprs =>
         CountInExpr(exprs.head, exprs.tail.map(literalString)), "built-in")
     reg.createOrReplaceTempFunction(
+      "minhash_sigs", exprs => MinHashSigsExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
       "subword_count", exprs =>
         SubwordCountExpr(exprs.head, SubwordVocab.Default), "built-in")
     reg.createOrReplaceTempFunction(

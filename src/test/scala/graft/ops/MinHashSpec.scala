@@ -50,4 +50,34 @@ class MinHashSpec extends AnyFunSuite {
     val h = out(1L).getAs[Long]("sig0")
     assert(h >= 0 && h < MinHash.P)
   }
+
+  test("fused expression runs once per row by plan shape") {
+    // withBands extracts 9 fields from the minhash_sigs struct; the
+    // struct must be materialized in its own Project (CollapseProject
+    // refuses to clone a non-cheap expression referenced 9 times), so
+    // the fused call appears exactly once in the executed plan. (A
+    // literal Seq frame would be constant-folded to LocalTableScan, so
+    // this reads the real parquet fixture.)
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val plan = MinHash.withBands(docs).queryExecution.executedPlan.toString
+    val hits = "minhash_sigs\\(".r.findAllIn(plan).length
+    assert(hits == 1, s"expected one minhash_sigs call in plan, got $hits:\n$plan")
+  }
+
+  test("minhash_sigs returns null below 3 words and exact distinct counts") {
+    graft.functions.VectorExpressions.register(spark)
+    import spark.implicits._
+    val out = Seq(
+      (1L, "a b"),                 // 2 words -> null struct
+      (2L, "a b c a b c a b c"),   // 7 shingle positions, 3 distinct
+      (3L, "x y z")
+    ).toDF("doc_id", "text")
+      .selectExpr("doc_id", "minhash_sigs(split(text, ' ')) AS mh")
+      .collect() // collect-scale: test assertion, 3 synthetic rows
+      .map(r => r.getLong(0) -> r.getAs[org.apache.spark.sql.Row]("mh")).toMap
+    assert(out(1L) == null)
+    assert(out(2L).getAs[Long]("n_shingles") == 3L)
+    assert(out(3L).getAs[Long]("n_shingles") == 1L)
+  }
 }
