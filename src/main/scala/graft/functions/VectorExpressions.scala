@@ -59,6 +59,8 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction(
       "minhash_sigs", exprs => MinHashSigsExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "simhash60", exprs => SimHash60Expr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
       "subword_count", exprs =>
         SubwordCountExpr(exprs.head, SubwordVocab.Default), "built-in")
     reg.createOrReplaceTempFunction(

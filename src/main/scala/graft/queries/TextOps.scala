@@ -390,18 +390,32 @@ object TextOps {
   private def simhashed(s: SparkSession, dir: String): DataFrame =
     simhashOf(docs(s, dir))
 
-  /** SimHash signatures for any (doc_id, text) frame (q18's pipeline).
+  /** SimHash signatures for any one-row-per-document (doc_id, text)
+    * frame (q18's pipeline).
     *
-    * The per-bit ±1 vote sums run as 60 SUM columns in ONE
-    * groupBy(doc_id) — partial-aggregated map-side, so the exchange
-    * carries n_docs rows of 60 longs, not the tokens×60 row explosion
-    * a per-bit unnest would shuffle (the previous formulation; 5×
-    * slower at sf0.1 and strictly worse at 100 TB, where tokens×60 is
-    * ~3 orders of magnitude more exchange rows than docs). Bit b of
-    * the signature is set iff its vote sum is positive — identical
-    * semantics, bit-identical output.
+    * A document's signature depends only on its own tokens, so the
+    * whole pipeline — tokenize, per-occurrence h60, 60 ±1 bit votes,
+    * majority pack — runs as ONE per-row native codegen expression
+    * ([[graft.functions.SimHash60Expr]]): no explode, no 60-column
+    * partial aggregate, no exchange at all. (That groupBy form was
+    * itself the tuned variant over a per-bit unnest; this removes the
+    * remaining docs×60-long shuffle entirely — at 100 TB the signature
+    * step becomes a pure map stage that fuses into the scan.) The
+    * isNotNull filter is the per-row analog of explode dropping
+    * null/empty token arrays. Bit-parity with the exploded form is
+    * pinned in SimHashSpec; value-parity with DuckDB by every q18-family
+    * oracle.
     */
-  def simhashOf(d: DataFrame): DataFrame = {
+  def simhashOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+        graft.functions.SimHash60Expr.column(words(col("text"))).as("simhash"))
+      .where(col("simhash").isNotNull)
+
+  /** The superseded explode→groupBy(60 SUMs) formulation, kept ONLY as
+    * the parity twin SimHashSpec checks the fused expression against
+    * (same role as q17's gated chain for minhash_sigs).
+    */
+  private[graft] def simhashOfExploded(d: DataFrame): DataFrame = {
     val tok = d.select(col("doc_id"), explode(words(col("text"))).as("token"))
       .withColumn("h", h60(col("token")))
     val votes = (0 to 59).map { b =>
@@ -1449,6 +1463,11 @@ object TextOps {
       .filter(col("common") * 10 >= (col("n_a") + col("n_b") - col("common")) * 8)
       .select(col("doc_a"), col("doc_b")).cache()
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    // sigs stay in the agg form here deliberately: the per-row fused
+    // minhash_sigs was A/B'd (r10) and measured 1.3× SLOWER for this
+    // query — the truth side already pays for (and caches) the
+    // exploded shingle stream, so the agg form's marginal cost is one
+    // docs×8-long exchange, cheaper than re-shingling every doc
     val permCols = As.indices.map(i => ((col("h") * As(i) + Bs(i)) % P).as(s"h$i"))
     val sigs = ex
       .withColumn("h", h60(col("shingle")) % P)
