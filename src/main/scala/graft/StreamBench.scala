@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQueryListener
+import scala.jdk.CollectionConverters._
 
 /** Streaming-throughput benchmark for the document-ingest paths — the
   * measured half of the "bounded state" claim (VERDICT r09 item 5).
@@ -79,21 +80,28 @@ object StreamBench {
     // flatten the partition dirs into plain files (the file source does
     // read partitioned layouts, but partition-column recovery would
     // change the schema; DocStreams expects the documents schema)
+    // Sort the partition dirs by their NUMERIC chunk value (and files
+    // by name) before renaming: Files.list's iteration order is
+    // filesystem-dependent, and the whole point of range-chunking is a
+    // deterministic arrival sequence — unsorted renaming would assign
+    // chunk0000.. in readdir order and silently break it.
     val flat = java.nio.file.Files.createTempDirectory("stream_bench_flat")
-    val chunkDirs = java.nio.file.Files.list(arrivals).iterator()
+    def listSorted(p: java.nio.file.Path,
+        key: java.nio.file.Path => String): Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala.toSeq.sortBy(key)
+      finally s.close()
+    }
     var ci = 0
-    while (chunkDirs.hasNext) {
-      val d = chunkDirs.next()
-      if (java.nio.file.Files.isDirectory(d)) {
-        val fs = java.nio.file.Files.list(d).iterator()
-        while (fs.hasNext) {
-          val f = fs.next()
-          if (f.toString.endsWith(".parquet")) {
-            java.nio.file.Files.copy(f, flat.resolve(f"chunk$ci%04d.parquet"))
-            ci += 1
-          }
-        }
-      }
+    val byChunk = listSorted(arrivals, p => {
+      val n = p.getFileName.toString
+      f"${n.dropWhile(_ != '=').drop(1).toIntOption.getOrElse(Int.MaxValue)}%010d"
+    })
+    for (d <- byChunk if java.nio.file.Files.isDirectory(d);
+         f <- listSorted(d, _.getFileName.toString)
+         if f.toString.endsWith(".parquet")) {
+      java.nio.file.Files.copy(f, flat.resolve(f"chunk$ci%04d.parquet"))
+      ci += 1
     }
 
     def source(): DataFrame = spark.readStream
@@ -137,17 +145,24 @@ object StreamBench {
       val q = frame.writeStream.format("noop").queryName(qname)
         .option("checkpointLocation", ckpt.toString)
         .outputMode("append").start()
+      // secs measures start → source-drained, NOT teardown: q.stop()
+      // blocks on the streaming thread (TTL'd queries may be mid-
+      // housekeeping-batch), which would bias rows/s low by a per-config
+      // stop-latency term — and differently between the TTL'd and
+      // untimed twins.
+      var t1 = 0L
       try {
         val deadline = System.currentTimeMillis() + 30L * 60 * 1000
         while (consumed.get() < nDocs && System.currentTimeMillis() < deadline)
           Thread.sleep(50)
+        t1 = System.nanoTime()
         require(consumed.get() >= nDocs,
           s"$name drained ${consumed.get()} of $nDocs rows within the deadline")
       } finally {
         q.stop()
         spark.streams.removeListener(listener)
       }
-      val secs = (System.nanoTime() - t0) / 1e9
+      val secs = (t1 - t0) / 1e9
       ConfigResult(name, consumed.get(), secs, batches.get(), outRows.get(),
         stateRows, stateBytes, ttlRemoved,
         acc.map(_.value.longValue()).getOrElse(-1L))

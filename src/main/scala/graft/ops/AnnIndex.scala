@@ -94,6 +94,9 @@ object AnnIndex {
     */
   def planeCountSql(nExpr: String, minPlanes: Int, maxPlanes: Int,
       targetDepth: Long): String = {
+    // min == max degenerates to the constant — a zero-WHEN CASE is a
+    // parse error in DuckDB, not a constant
+    if (minPlanes >= maxPlanes) return s"($maxPlanes)"
     val whens = (minPlanes until maxPlanes).map { p =>
       s"WHEN ($nExpr) <= ${targetDepth << p} THEN $p"
     }

@@ -1126,7 +1126,7 @@ object SimilarityOps {
 
   /** Scale twin of q39, catalog-gated as q205 (bench id
     * `x_ann_multiprobe_scaled`): the hyperplane count is sized
-    * ⌈log₂(n/125)⌉ (clamped to [AnnPlanes, MaxScaledPlanes]), so
+    * ⌈log₂(n/25)⌉ (clamped to [AnnPlanes, MaxScaledPlanes]), so
     * expected bucket depth stays ~constant as the corpus grows and the
     * bucket-join's pair volume stays ~linear in n. With FIXED planes
     * the bucket count is fixed and depth ∝ n, making the join
@@ -1139,8 +1139,15 @@ object SimilarityOps {
     * planes = f(count) is pure-integer (`AnnIndex.scaledPlaneCount`)
     * and the oracle replays the identical thresholds as a CASE chain
     * (q205Sql), so the result is deterministic cross-engine at every
-    * scale factor — sf0.01 lands on 4 planes (= q39), sf0.1 on 6,
-    * sf1 on 9.
+    * scale factor. Target depth is 25 so the DYNAMIC arm is actually
+    * exercised by the fixtures' EMBEDDINGS counts (500 / 2 000 /
+    * 20 000 at sf0.01 / sf0.1 / derived-sf1 → planes 5 / 7 / 10, all
+    * past the minPlanes=4 clamp where the gated SQL degenerates to
+    * q39's fixed form). The original depth of 125 made every tested
+    * scale land AT or below the 4-plane threshold — a review caught
+    * that the "dynamic path verified" claim had conflated the
+    * documents counts (5 000 / 50 000) with the embeddings counts, so
+    * the gated bits had never run under an oracle.
     */
   private[graft] def q39ScaledPlanes(s: SparkSession, dir: String): DataFrame = {
     val n = load(s, dir, "embeddings").count() // metadata-only count
@@ -1152,12 +1159,12 @@ object SimilarityOps {
   }
 
   /** Oracle cap on the unrolled signature bits: 16 planes cover corpora
-    * up to 125·2¹⁶ ≈ 8.2M embeddings — far past any fixture scale; the
+    * up to 25·2¹⁶ ≈ 1.6M embeddings — far past any fixture scale; the
     * Spark side requires() the same bound so a breach fails loudly on
     * both engines rather than silently disagreeing.
     */
   private val MaxScaledPlanes = 16
-  private val ScaledTargetDepth = 125L
+  private val ScaledTargetDepth = 25L
 
   private def q39Impl(s: SparkSession, dir: String, probe: Column,
       planes: Int = AnnPlanes): DataFrame = {

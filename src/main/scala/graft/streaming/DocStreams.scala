@@ -240,23 +240,22 @@ object DocStreams {
       // deterministic, and (earlier, later) matches cross-batch order
       val arrivals = inputRows.map(_.doc_id).toArray.distinct.sorted
       val out = Array.newBuilder[CandidatePair]
-      var appended = false
       for (id <- arrivals if !seen.contains(id)) {
         for (m <- seen)
           out += CandidatePair(math.min(m, id), math.max(m, id), key)
         if (admitted < cap) {
           if (!refreshOnSighting) members.appendValue(id)
-          appended = true
           admitted += 1
           seen += id
         } else overflows.foreach(_.add(1L))
       }
       // TTL'd path: one put() covers both the new admits and the clock
       // refresh of every existing member (put overwrites the list, so
-      // each element gets a fresh expiry). Fires on every batch with
-      // arrivals for this key — a suppressed duplicate is still a
-      // sighting. The untimed path keeps the cheaper appendValue.
-      if (refreshOnSighting && (appended || arrivals.nonEmpty) && seen.nonEmpty)
+      // each element gets a fresh expiry). handleInputRows only runs
+      // for keys WITH arrivals, so every invocation is a sighting — a
+      // suppressed duplicate included. The untimed path keeps the
+      // cheaper appendValue.
+      if (refreshOnSighting && seen.nonEmpty)
         members.put(seen.toArray)
       out.result().iterator
     }

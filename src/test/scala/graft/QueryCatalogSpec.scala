@@ -1693,14 +1693,30 @@ class QueryCatalogSpec extends AnyFunSuite {
   }
 
   test("q205 coincides with fixed-planes q39 exactly when the corpus sizes to 4 planes") {
-    // sf0.001 has 500 embeddings → scaledPlaneCount = 4 = AnnPlanes, so
-    // the scaled form must be row-identical to q39 (the dynamic-planes
-    // machinery is exercised at sf0.1 where planes=6, under the oracle)
-    val scaled = SparkEntry.queries("q205_ann_scaled_planes")(spark, dir)
+    // At target depth 25 the 4-plane clamp engages only for corpora of
+    // <= 400 embeddings — smaller than ANY fixture (a review caught the
+    // original depth of 125 putting EVERY tested scale on the clamp, so
+    // the dynamic arm had never run under an oracle; the fixture labels
+    // had conflated documents counts with embeddings counts). Pin the
+    // clamp's q39-degeneracy on a purpose-built 300-row corpus instead.
+    import org.apache.spark.sql.functions.col
+    val tiny = java.nio.file.Files.createTempDirectory("q205tiny").toString
+    Tables.load(spark, dir, "embeddings").orderBy(col("vec_id")).limit(300)
+      .write.mode("overwrite").parquet(s"$tiny/embeddings.parquet")
+    val scaled = SparkEntry.queries("q205_ann_scaled_planes")(spark, tiny)
       .collect().map(_.toSeq).toSet
-    val fixed = SparkEntry.queries("q39_ann_multiprobe")(spark, dir)
+    val fixed = SparkEntry.queries("q39_ann_multiprobe")(spark, tiny)
       .collect().map(_.toSeq).toSet
-    assert(scaled == fixed)
+    assert(scaled.nonEmpty && scaled == fixed)
+  }
+
+  test("q205's dynamic arm engages on every fixture scale (planes > clamp)") {
+    // the catalog gate (sf0.01/sf0.1 oracle runs) now exercises the
+    // gated signature bits: 500 embeddings → 5 planes, 2000 → 7
+    import graft.ops.AnnIndex.scaledPlaneCount
+    val n = Tables.load(spark, dir, "embeddings").count()
+    assert(scaledPlaneCount(n, 4, 25L) > 4,
+      s"fixture at $dir has $n embeddings — dynamic arm NOT exercised")
   }
 
   test("q206 reduces to q164's table when no type exceeds the sampling cap") {

@@ -51,24 +51,32 @@ class AnnIndexSpec extends AnyFunSuite {
   }
 
   test("scaledPlaneCount is the integer ceil-log form, exact at the thresholds") {
-    // smallest p >= min with 125·2^p >= n — matches ceil(log2(n/125))
+    // smallest p >= min with depth·2^p >= n — matches ceil(log2(n/depth))
     // clamped below at min, WITHOUT floating log (a float log2 can land
     // on either side of an exact power of two; the DuckDB oracle replays
     // the same integer thresholds, so both engines must agree exactly).
-    assert(AnnIndex.scaledPlaneCount(1L, 4, 125L) == 4)
-    assert(AnnIndex.scaledPlaneCount(500L, 4, 125L) == 4)   // sf0.01
-    assert(AnnIndex.scaledPlaneCount(2000L, 4, 125L) == 4)  // 125·2^4 exactly
-    assert(AnnIndex.scaledPlaneCount(2001L, 4, 125L) == 5)
-    assert(AnnIndex.scaledPlaneCount(5000L, 4, 125L) == 6)  // sf0.1
-    assert(AnnIndex.scaledPlaneCount(50000L, 4, 125L) == 9) // sf1
+    // The labeled counts are the fixtures' EMBEDDINGS cardinalities
+    // (500 / 2000 / 20000) — NOT the documents counts (5000 / 50000);
+    // conflating the two is exactly how q205's original depth of 125
+    // shipped with the dynamic arm untested (every tested scale landed
+    // at or below the 4-plane clamp). At the shipped depth of 25 all
+    // three scales exercise the dynamic arm, each on a different count.
+    assert(AnnIndex.scaledPlaneCount(1L, 4, 25L) == 4)
+    assert(AnnIndex.scaledPlaneCount(400L, 4, 25L) == 4)    // 25·2^4 exactly
+    assert(AnnIndex.scaledPlaneCount(401L, 4, 25L) == 5)
+    assert(AnnIndex.scaledPlaneCount(500L, 4, 25L) == 5)    // sf0.01 embeddings
+    assert(AnnIndex.scaledPlaneCount(2000L, 4, 25L) == 7)   // sf0.1 embeddings
+    assert(AnnIndex.scaledPlaneCount(3200L, 4, 25L) == 7)   // 25·2^7 exactly
+    assert(AnnIndex.scaledPlaneCount(3201L, 4, 25L) == 8)
+    assert(AnnIndex.scaledPlaneCount(20000L, 4, 25L) == 10) // derived-sf1 embeddings
     // cross-check against the mathematical definition over a dense range
     for (n <- 1L to 70000L by 7L) {
       val ref = math.max(4,
-        math.ceil(math.log(n.toDouble / 125.0) / math.log(2.0)).toInt)
-      val got = AnnIndex.scaledPlaneCount(n, 4, 125L)
+        math.ceil(math.log(n.toDouble / 25.0) / math.log(2.0)).toInt)
+      val got = AnnIndex.scaledPlaneCount(n, 4, 25L)
       // allow the float form to be off by the known last-bit hazard only
       // AT exact powers of two; elsewhere they must agree
-      assert(got == ref || (125L << (got min ref)) * 2 == (125L << (got max ref)),
+      assert(got == ref || (25L << (got min ref)) * 2 == (25L << (got max ref)),
         s"n=$n got=$got ref=$ref")
     }
   }
@@ -76,13 +84,24 @@ class AnnIndexSpec extends AnyFunSuite {
   test("planeCountSql replays scaledPlaneCount bit-for-bit in Spark SQL") {
     // The CASE chain is engine-neutral SQL; evaluate it in Spark against
     // the Scala function across the threshold neighborhood.
-    val sqlExpr = AnnIndex.planeCountSql("n", 4, 16, 125L)
-    val ns = Seq(1L, 124L, 125L, 126L, 500L, 1999L, 2000L, 2001L, 4000L,
-      4001L, 5000L, 50000L, 63999L, 64000L, 64001L, 8192000L, 8192001L)
+    val sqlExpr = AnnIndex.planeCountSql("n", 4, 16, 25L)
+    val ns = Seq(1L, 24L, 25L, 26L, 400L, 401L, 500L, 2000L, 3200L,
+      3201L, 20000L, 51199L, 51200L, 51201L, 1638400L, 1638401L)
     import spark.implicits._
     val got = ns.toDF("n").selectExpr(s"$sqlExpr AS p")
       .collect().map(_.getInt(0)).toSeq
-    val want = ns.map(n => math.min(16, AnnIndex.scaledPlaneCount(n, 4, 125L)))
+    val want = ns.map(n => math.min(16, AnnIndex.scaledPlaneCount(n, 4, 25L)))
     assert(got == want, s"sql=$got scala=$want")
+  }
+
+  test("planeCountSql with min == max is the constant, not an empty CASE") {
+    // a zero-WHEN CASE is a parse error in DuckDB; the degenerate form
+    // must render as a plain constant
+    assert(AnnIndex.planeCountSql("n", 4, 4, 25L) == "(4)")
+    import spark.implicits._
+    val got = Seq(1L, 1000000L).toDF("n")
+      .selectExpr(s"${AnnIndex.planeCountSql("n", 4, 4, 25L)} AS p")
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(4, 4))
   }
 }

@@ -21,7 +21,8 @@ class GlobalIndexSpec extends AnyFunSuite {
   }
 
   test("sorted rows are computed once across the two passes (persist bracket)") {
-    // Without the DISK_ONLY persist in withDenseIndex, the count job and
+    // Without the MEMORY_AND_DISK persist in withDenseIndex (level
+    // chosen by the same-boot A/B recorded there), the count job and
     // the index job EACH read the range-exchange shuffle and re-run the
     // within-partition sort: total shuffle records read = 2n. With the
     // persist, the count pass materializes the sorted blocks and the

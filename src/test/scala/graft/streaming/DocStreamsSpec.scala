@@ -351,11 +351,20 @@ class DocStreamsSpec extends AnyFunSuite {
     // processor's re-put-on-arrival, champions in a continuously-active
     // bucket would expire `ttl` after their OWN admission even while the
     // bucket keeps seeing traffic. Pin the refresh: admit at t0, sight
-    // (a suppressed replay) at ~t0+8s, read again at ~t0+16s. With
-    // TTL=15s the admission clock HAS lapsed by sweep 3, but the sweep-2
-    // sighting restarted it — so sweep 3 must re-admit NOTHING. On the
-    // pre-fix code (append-time clocks only) sweep 3 re-pairs from
-    // scratch and this test fails.
+    // (a suppressed replay) at ~t0+24s, read again at ~t0+48s. With
+    // TTL=40s the admission clock HAS lapsed by sweep 3 (24+24 > 40),
+    // but the sweep-2 sighting restarted it — so sweep 3 must re-admit
+    // NOTHING. On the pre-fix code (append-time clocks only) sweep 3
+    // re-pairs from scratch and this test fails.
+    //
+    // Margin note: this test is constrained on BOTH sides — the sighting
+    // must land within the admission horizon (sleep1 < TTL) AND sweep 3
+    // within the refreshed one (sleep2 < TTL) while their SUM must
+    // exceed TTL to discriminate pre-fix behavior — so the 5x one-sided
+    // margins of the eviction tests are unreachable. sleep = 0.6*TTL
+    // maximizes the symmetric slack: ~16s on each side for
+    // checkpoint-resumed query startup (observed: single-digit seconds
+    // on a loaded host).
     val d2 = java.nio.file.Files.createTempDirectory("band_hot_stream")
     val ckpt = java.nio.file.Files.createTempDirectory("band_hot_ckpt").toString
     val out = java.nio.file.Files.createTempDirectory("band_hot_out")
@@ -364,7 +373,7 @@ class DocStreamsSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$dir/documents.parquet"),
       d2.resolve("a.parquet"))
     val docRows = spark.read.parquet(s"$dir/documents.parquet").count()
-    val ttl = java.time.Duration.ofSeconds(15)
+    val ttl = java.time.Duration.ofSeconds(40)
     def mk(d: org.apache.spark.sql.DataFrame) =
       DocStreams.nearDupCandidates(spark, d, cap = 100000, ttl = Some(ttl))
     ttlSweep(d2.toString, ckpt, out, ttl, "band_hot_w1", docRows, mk)
@@ -373,7 +382,7 @@ class DocStreamsSpec extends AnyFunSuite {
       if (files.isEmpty) 0L
       else spark.read.parquet(files.toSeq: _*).count()
     assert(pairCount(files1) > 0L)
-    Thread.sleep(8000) // within the horizon: the replay is a SIGHTING
+    Thread.sleep(24000) // within the horizon: the replay is a SIGHTING
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/documents.parquet"),
       d2.resolve("b.parquet"))
@@ -383,7 +392,7 @@ class DocStreamsSpec extends AnyFunSuite {
     // must have refreshed every champion's clock
     assert(pairCount(files2 -- files1) == 0L,
       "within-horizon replay must be suppressed")
-    Thread.sleep(8000) // past the ADMISSION clock, within the refreshed one
+    Thread.sleep(24000) // past the ADMISSION clock, within the refreshed one
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/documents.parquet"),
       d2.resolve("c.parquet"))
