@@ -11,6 +11,7 @@ columns.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -33,6 +34,17 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # Sharded sf0.1/sf1 sweeps run many of these processes concurrently;
+    # unbounded each one claims every core and 80% of RAM, and two
+    # spilling shards sharing a cwd race on .tmp/duckdb_temp_storage
+    # (observed: IO "Could not remove file" aborts). Callers bound each
+    # shard and give it its own working directory.
+    threads = os.environ.get("DUCKDB_THREADS")
+    if threads:
+        con.execute(f"SET threads={int(threads)}")
+    mem = os.environ.get("DUCKDB_MEMORY")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
