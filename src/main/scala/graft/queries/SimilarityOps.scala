@@ -58,20 +58,28 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
   }
-  private val q20Sql =
-    """WITH e AS (
+  // The probe predicate (over `a.vec_id`) is pushed into the pair join —
+  // the SQL twin of q20Impl's `probe` argument. Audit oracles (q87/q101/
+  // q177) used to apply their 1-in-k sample OUTSIDE the composed query;
+  // provably the same rows, but the ROW_NUMBER window then materializes
+  // the FULL n² pair set first — at sf1 (20k vecs → 400M pairs) that
+  // OOM'd DuckDB at a 110 GB limit. Pushing the sample in costs 1/k of
+  // the pair volume AND 1/k of the window, matching the engine's shape.
+  private def q20SqlProbe(probe: String) =
+    s"""WITH e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
       |    SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
       |  FROM embeddings),
       |pairs AS (
       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
       |    LIST_DOT_PRODUCT(a.v, b.v) / (a.norm * b.norm) AS cos_sim
-      |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      |  FROM e a JOIN e b ON a.vec_id <> b.vec_id AND ($probe)),
       |ranked AS (
       |  SELECT vec_id, neighbor_id, cos_sim,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
       |  FROM pairs)
       |SELECT vec_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin
+  private val q20Sql = q20SqlProbe("TRUE")
 
   // q21 — per-label centroid in micro-units: posexplode to (label, dim),
   // floor(x*1e6) → exact integer sums → deterministic mean.
@@ -134,7 +142,8 @@ object SimilarityOps {
     graft.ops.TopK.perGroup(pairs, Seq("vec_id"),
       Seq(col("cos_sim").desc, col("neighbor_id").asc), 3, "rank")
   }
-  private val q23Sql = {
+  // probe: see q20SqlProbe — same pushdown, over `a.vec_id`
+  private def q23SqlProbe(probe: String) = {
     val b = graft.ops.AnnIndex.bucketSql("v", AnnPlanes, Dims)
     s"""WITH e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -144,13 +153,15 @@ object SimilarityOps {
       |pairs AS (
       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, a.bucket AS bucket,
       |    LIST_DOT_PRODUCT(a.v, b.v) / (a.norm * b.norm) AS cos_sim
-      |  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+      |  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      |    AND ($probe)),
       |ranked AS (
       |  SELECT vec_id, neighbor_id, bucket, cos_sim,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
       |  FROM pairs)
       |SELECT vec_id, neighbor_id, bucket, cos_sim, rank FROM ranked WHERE rank <= 3""".stripMargin
   }
+  private val q23Sql = q23SqlProbe("TRUE")
 
   // q31 — IVF coarse quantizer: per-label micro-unit centroids become the
   // cell table; every vector is assigned to its nearest cell (squared
@@ -254,7 +265,8 @@ object SimilarityOps {
     graft.ops.TopK.perGroup(pairs, Seq("vec_id"),
       Seq(col("cos_sim").desc, col("neighbor_id").asc), 3, "rank")
   }
-  private val q62Sql =
+  // probe: see q20SqlProbe — same pushdown, over `a.vec_id`
+  private def q62SqlProbe(probe: String) =
     s"""WITH $ivfSqlCtes,
       |cellmap AS (SELECT vec_id, cell_id FROM assigned WHERE rn = 1),
       |e AS (
@@ -267,13 +279,15 @@ object SimilarityOps {
       |pairs AS (
       |  SELECT a.vec_id, b.vec_id AS neighbor_id, a.cell_id,
       |    LIST_DOT_PRODUCT(a.v, b.v) / (a.norm * b.norm) AS cos_sim
-      |  FROM av a JOIN av b ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id),
+      |  FROM av a JOIN av b ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+      |    AND ($probe)),
       |rankedq AS (
       |  SELECT vec_id, neighbor_id, cell_id, cos_sim,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
       |  FROM pairs)
       |SELECT vec_id, neighbor_id, cell_id, cos_sim, rank
       |FROM rankedq WHERE rank <= 3""".stripMargin
+  private val q62Sql = q62SqlProbe("TRUE")
 
   // q32 — embedding-cosine near-dup: all pairs above a similarity
   // threshold (the dedup-family form of q20; at scale the candidate set
@@ -368,21 +382,23 @@ object SimilarityOps {
       .unionByName(audit("multiprobe_q39", q39Impl(s, dir, AuditSample)))
       .orderBy(col("method"))
   }
-  // Oracle: the sample filter sits OUTSIDE each composed query — for the
-  // surviving vec_ids that is provably the same result as pushing it
-  // into the probe side (the index side is untouched), and it keeps the
-  // component SQL strings shared verbatim with q20/q23/q39/q62.
+  // Oracle: the 1-in-5 sample is pushed into each component's probe side
+  // (the `*SqlProbe` builders), exactly like the engine's `AuditSample`
+  // argument — the index side is untouched so each sampled query still
+  // ranks against everything, and the result is provably the rows the
+  // old outside-filter form kept. The outside-filter form materialized
+  // all four FULL n² window pipelines first and OOM'd DuckDB at sf1.
   private lazy val q87Sql = {
     def hits(cte: String) =
       s"""(SELECT COUNT(*) FROM exact3 e
          |     WHERE EXISTS (SELECT 1 FROM $cte a
          |       WHERE a.vec_id = e.vec_id AND a.neighbor_id = e.neighbor_id))""".stripMargin
     s"""WITH exact3 AS (
-      |  SELECT vec_id, neighbor_id FROM ($q20Sql) t
-      |  WHERE rank <= 3 AND vec_id % 5 = 0),
-      |a_lsh AS (SELECT vec_id, neighbor_id FROM ($q23Sql) t WHERE vec_id % 5 = 0),
-      |a_mp AS (SELECT vec_id, neighbor_id FROM ($q39Sql) t WHERE vec_id % 5 = 0),
-      |a_ivf AS (SELECT vec_id, neighbor_id FROM ($q62Sql) t WHERE vec_id % 5 = 0),
+      |  SELECT vec_id, neighbor_id FROM (${q20SqlProbe("a.vec_id % 5 = 0")}) t
+      |  WHERE rank <= 3),
+      |a_lsh AS (SELECT vec_id, neighbor_id FROM (${q23SqlProbe("a.vec_id % 5 = 0")}) t),
+      |a_mp AS (SELECT vec_id, neighbor_id FROM (${q39SqlProbe("vec_id % 5 = 0")}) t),
+      |a_ivf AS (SELECT vec_id, neighbor_id FROM (${q62SqlProbe("a.vec_id % 5 = 0")}) t),
       |n AS (SELECT COUNT(*) AS n_exact FROM exact3)
       |SELECT method, n_exact, n_hit,
       |  CAST(n_hit AS DOUBLE) / n_exact AS recall_at_3
@@ -550,8 +566,8 @@ object SimilarityOps {
       |  SELECT query_id AS vec_id, vec_id AS neighbor_id
       |  FROM adc_ranked WHERE rank <= 3),
       |exact3 AS (
-      |  SELECT vec_id, neighbor_id FROM ($q20Sql) t
-      |  WHERE rank <= 3 AND vec_id % 50 = 0),
+      |  SELECT vec_id, neighbor_id FROM (${q20SqlProbe("a.vec_id % 50 = 0")}) t
+      |  WHERE rank <= 3),
       |n AS (SELECT COUNT(*) AS n_exact FROM exact3)
       |SELECT 'pq_adc' AS method, n_exact,
       |  (SELECT COUNT(*) FROM exact3 e
@@ -980,7 +996,7 @@ object SimilarityOps {
   }
   private lazy val q177Sql =
     s"""WITH cand AS (
-      |  SELECT * FROM ($q20Sql) WHERE vec_id % 20 = 0),
+      |  SELECT * FROM (${q20SqlProbe("a.vec_id % 20 = 0")})),
       |cum AS (
       |  SELECT c.vec_id, c.rank, d.doc_id, d.n_chars,
       |    SUM(d.n_chars) OVER (PARTITION BY c.vec_id ORDER BY c.rank
@@ -1182,7 +1198,9 @@ object SimilarityOps {
     graft.ops.TopK.perGroup(pairs, Seq("vec_id"),
       Seq(col("cos_sim").desc, col("neighbor_id").asc), 3, "rank")
   }
-  private val q39Sql = {
+  // probe: see q20SqlProbe — pushed into the probes CTE (the query
+  // side), so the 5× probe fan-out is also sampled, over `vec_id`
+  private def q39SqlProbe(probe: String) = {
     val bsql = graft.ops.AnnIndex.bucketSql("v", AnnPlanes, Dims)
     val probeList = ("bucket" +: (0 until AnnPlanes).map(p => s"XOR(bucket, ${1L << p})"))
       .mkString(", ")
@@ -1193,7 +1211,7 @@ object SimilarityOps {
       |bucketed AS (SELECT vec_id, v, norm, $bsql AS bucket FROM e),
       |probes AS (
       |  SELECT vec_id, v, norm, UNNEST(LIST_VALUE($probeList)) AS probe_bucket
-      |  FROM bucketed),
+      |  FROM bucketed WHERE ($probe)),
       |pairs AS (
       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
       |    LIST_DOT_PRODUCT(a.v, b.v) / (a.norm * b.norm) AS cos_sim
@@ -1205,6 +1223,7 @@ object SimilarityOps {
       |  FROM pairs)
       |SELECT vec_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 3""".stripMargin
   }
+  private val q39Sql = q39SqlProbe("TRUE")
 
   // q205 — the SQL twin of q39ScaledPlanes. One static string serves any
   // corpus size: `params` derives the plane count from COUNT(*) via the
