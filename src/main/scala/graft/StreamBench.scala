@@ -184,13 +184,87 @@ object StreamBench {
           overflows = Some(acc), ttl = Some(oneHour)), Some(acc))
       }))
 
+    // Opt-in parity pass (SPARK_GRAFT_STREAM_PARITY=1): re-drive the two
+    // ingest operators into a REAL parquet sink and prove the streamed
+    // result SET equals the batch truth at this corpus scale — the
+    // correctness half the throughput table can't show. The spec pins
+    // this at sf0.001; this pass extends the same gate to whatever
+    // corpus the bench is pointed at (sf0.1 / derived sf1). Compares are
+    // distributed (except() both ways + counts), no driver-side collect.
+    val parityJson: Option[String] =
+      if (!sys.env.get("SPARK_GRAFT_STREAM_PARITY").contains("1")) None
+      else {
+        import org.apache.spark.sql.functions.{array, concat_ws, explode, lit}
+        def drainTo(name: String, frame: DataFrame, path: String): Unit = {
+          val consumed = new java.util.concurrent.atomic.AtomicLong(0L)
+          val qname = s"stream_parity_$name"
+          val listener = new StreamingQueryListener {
+            override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+            override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+              if (e.progress.name == qname) consumed.addAndGet(e.progress.numInputRows)
+            override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+          }
+          spark.streams.addListener(listener)
+          val ckpt = java.nio.file.Files.createTempDirectory(s"sbp_ckpt_$name")
+          val q = frame.writeStream.format("parquet").option("path", path)
+            .queryName(qname).option("checkpointLocation", ckpt.toString)
+            .outputMode("append").start()
+          try {
+            val deadline = System.currentTimeMillis() + 30L * 60 * 1000
+            while (consumed.get() < nDocs && System.currentTimeMillis() < deadline)
+              Thread.sleep(50)
+            require(consumed.get() >= nDocs,
+              s"parity $name drained ${consumed.get()} of $nDocs rows within the deadline")
+          } finally {
+            q.stop()
+            spark.streams.removeListener(listener)
+          }
+        }
+        // fingerprint: streamed kept SET == batch q58 kept set (ids may
+        // differ — first-arrival vs min-id — the documented delta; the
+        // SET is the contract, same as the spec)
+        val fpDir = java.nio.file.Files.createTempDirectory("sbp_fp").toString
+        drainTo("fp", streaming.DocStreams.dedupByFingerprint(spark, source()), fpDir)
+        val streamedFp = spark.read.parquet(fpDir).select(col("fingerprint")).distinct()
+        val batchFp = SparkEntry.queries("q58_dedup_fingerprint")(spark, sfDir)
+          .select(col("fingerprint")).distinct()
+        val fpStream = streamedFp.count(); val fpBatch = batchFp.count()
+        val fpMiss = batchFp.except(streamedFp).count()
+        val fpExtra = streamedFp.except(batchFp).count()
+        // near-dup: streamed distinct candidate pairs == the batch
+        // band-join candidate set (q17's banding over the same
+        // MinHash.withBands signatures); cap high enough that no bucket
+        // truncates — the capped twin is the throughput configs' job
+        val ndDir = java.nio.file.Files.createTempDirectory("sbp_nd").toString
+        drainTo("nd", streaming.DocStreams.nearDupCandidates(
+          spark, source(), cap = 1000000), ndDir)
+        val streamedNd = spark.read.parquet(ndDir)
+          .select(col("doc_a"), col("doc_b")).distinct()
+        graft.functions.VectorExpressions.register(spark)
+        val ex = graft.ops.MinHash.withBands(
+            Tables.load(spark, sfDir, "documents").select(col("doc_id"), col("text")))
+          .select(col("doc_id"), explode(array((0 until graft.ops.MinHash.NumBands)
+            .map(i => concat_ws(":", lit(i), col(s"band$i"))): _*)).as("bk"))
+        val batchNd = ex.as("a").join(ex.as("b"),
+            col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+        val ndStream = streamedNd.count(); val ndBatch = batchNd.count()
+        val ndMiss = batchNd.except(streamedNd).count()
+        val ndExtra = streamedNd.except(batchNd).count()
+        Some(
+          s""""parity":{"fp_streamed":$fpStream,"fp_batch":$fpBatch,""" +
+            s""""fp_equal":${fpMiss == 0 && fpExtra == 0 && fpStream == fpBatch},""" +
+            s""""nd_streamed_distinct":$ndStream,"nd_batch":$ndBatch,""" +
+            s""""nd_equal":${ndMiss == 0 && ndExtra == 0 && ndStream == ndBatch}}""")
+      }
+
     def j(r: ConfigResult): String =
       f"""{"rows":${r.rows},"secs":${r.secs}%.3f,""" +
         f""""rows_per_sec":${r.rows / r.secs}%.1f,"batches":${r.batches},""" +
         s""""output_rows":${r.outputRows},"state_rows":${r.stateRows},""" +
         s""""state_bytes":${r.stateBytes},"ttl_removed":${r.ttlRemoved}""" +
         (if (r.overflows >= 0) s""","band_overflows":${r.overflows}}""" else "}")
-    val body = results.map(r => s""""${r.name}":${j(r)}""").mkString(",")
+    val body = (results.map(r => s""""${r.name}":${j(r)}""") ++ parityJson).mkString(",")
     val line =
       s"""{"metric":"stream_bench","unit":"rows_per_sec","sf":"$sfDir",""" +
         s""""n_docs":$nDocs,"chunks":$chunks,"cpus":"$cpus",$body}"""
