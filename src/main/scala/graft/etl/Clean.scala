@@ -261,7 +261,11 @@ object Clean {
     val stamp = java.time.format.DateTimeFormatter
       .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
       .format(java.time.Instant.now())
-    val path = s"$outDir/clean_data_$stamp"
+    // sub-second uniquifier: the reference's filename carries only
+    // second granularity (`Main.py:175`), so two writes in the same
+    // second would collide under errorifexists; a nano-derived suffix
+    // keeps no-overwrite semantics without that false failure
+    val path = f"$outDir/clean_data_${stamp}_${System.nanoTime() % 1000000L}%06d"
     df.write.mode("errorifexists").parquet(path)
     path
   }

@@ -37,7 +37,18 @@ object Enrich {
         * tasks × maxConcurrentPerTask / latency — size both against the
         * provider budget.
         */
-      maxConcurrentPerTask: Int = 1)
+      maxConcurrentPerTask: Int = 1,
+      /** Per-wave wall timeout for the pipelined path (VERDICT r10 item
+        * 4): the `LlmTransport` contract carries no timeout, so one hung
+        * call would otherwise pin the whole task forever — violating the
+        * spirit of L6's row-level fault isolation (`Main.py:122-124`).
+        * Rows still in flight when the wave times out degrade to
+        * ERROR_API values (the same tuple a thrown call produces) and
+        * the hung threads are interrupted. Only effective with
+        * `maxConcurrentPerTask > 1`; the sequential path keeps the
+        * reference's blocking semantics.
+        */
+      waveTimeoutMs: Long = 600000L)
 
   /** Optional seeded exact-N sample (reference `Main.py:218-223`,
     * `--sample` knob). Deterministic given a fixed input; NOT bit-equal
@@ -66,30 +77,63 @@ object Enrich {
 
   /** Bounded in-task pipelining: process `conc`-sized waves through a
     * task-local pool; partition row order is preserved. `conc == 1`
-    * degrades to a plain map (no pool). Shared by batch and stream.
+    * degrades to a plain map (no pool, no timeout — the reference's
+    * sequential blocking semantics). Shared by batch and stream.
+    *
+    * `timeoutMs` bounds each WAVE's wall time: when it expires, rows
+    * whose futures completed keep their results, rows still in flight
+    * degrade to `onTimeout` (the callers map it to the ERROR_API tuple —
+    * the same value a thrown call produces, completing L6's row-level
+    * fault-isolation contract for hangs, not just exceptions). The hung
+    * threads are interrupted via `shutdownNow` and the pool is replaced,
+    * so one poisoned wave cannot starve the waves behind it of pool
+    * slots. A future that FAILED (rather than hung) also maps to
+    * `onTimeout` — callers' `one` is already Try-guarded, so that path
+    * only fires for pool-level errors, and the error tuple is the right
+    * degradation there too.
     */
-  private[etl] def pipelined[A, B](rows: Iterator[A], conc: Int)(
-      one: A => B): Iterator[B] =
+  private[etl] def pipelined[A, B](rows: Iterator[A], conc: Int,
+      timeoutMs: Long = Long.MaxValue)(one: A => B)(
+      onTimeout: A => B): Iterator[B] =
     if (conc <= 1) rows.map(one)
     else {
-      import java.util.concurrent.Executors
+      import java.util.concurrent.{Executors, TimeoutException}
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       // daemon threads + a task-completion hook: an UNDRAINED iterator
       // (task kill, interrupt, a downstream limit) must neither leak
       // non-daemon threads per occurrence nor pin a local-mode JVM open
       // after spark.stop(); normal exhaustion still shuts the pool down
-      val pool = Executors.newFixedThreadPool(conc,
+      def mkPool() = Executors.newFixedThreadPool(conc,
         (r: Runnable) => {
           val t = new Thread(r, "graft-enrich-pipeline")
           t.setDaemon(true)
           t
         })
+      var pool = mkPool()
       Option(org.apache.spark.TaskContext.get()).foreach(
         _.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val waveTimeout =
+        if (timeoutMs == Long.MaxValue) Duration.Inf
+        else Duration.fromNanos(timeoutMs * 1000000L)
       val out = rows.grouped(conc).flatMap { wave =>
-        Await.result(Future.traverse(wave.toSeq)(r => Future(one(r))), Duration.Inf)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        val futs = wave.toSeq.map(r => r -> Future(one(r)))
+        try Await.ready(Future.sequence(futs.map(_._2)), waveTimeout)
+        catch {
+          case _: TimeoutException =>
+            // interrupt the hung calls and hand the next wave a fresh
+            // pool — the abandoned threads are daemons, so a transport
+            // that ignores interrupts delays nothing but JVM exit
+            pool.shutdownNow()
+            pool = mkPool()
+        }
+        futs.map { case (r, f) =>
+          f.value match {
+            case Some(scala.util.Success(b)) => b
+            case _ => onTimeout(r)
+          }
+        }
       }
       new Iterator[B] {
         override def hasNext: Boolean = {
@@ -111,12 +155,20 @@ object Enrich {
     val client = cfg.client
     val delay = cfg.perCallDelayMs
     val conc = math.max(1, cfg.maxConcurrentPerTask)
+    val waveMs = cfg.waveTimeoutMs
     val enriched = sized.mapPartitions { rows =>
-      pipelined(rows, conc) { r: CleanNews =>
+      pipelined(rows, conc, waveMs) { r: CleanNews =>
         val (sent, cat, sum) = callSafely(client, delay, r.title, r.content)
         EnrichedNews(
           r.id_news, r.title, r.content, r.link, r.publish_date, r.category,
           sent, cat, sum)
+      } { r: CleanNews =>
+        // wave timeout: the hung row degrades to the ERROR_API tuple,
+        // exactly as a thrown call would (L6 parity for hangs)
+        val e = LlmClient.errorResult
+        EnrichedNews(
+          r.id_news, r.title, r.content, r.link, r.publish_date, r.category,
+          e.sentiment, e.category, e.summary)
       }
     }
     // current_timestamp() is fixed per query — matches the reference's
@@ -146,6 +198,7 @@ object Enrich {
     val client = cfg.client
     val delay = cfg.perCallDelayMs
     val conc = math.max(1, cfg.maxConcurrentPerTask)
+    val waveMs = cfg.waveTimeoutMs
     val src = spark.readStream
       .schema(org.apache.spark.sql.Encoders.product[StreamCleanNews].schema)
       .parquet(inDir)
@@ -158,11 +211,16 @@ object Enrich {
       case None => src
     }
     val enriched = sized.mapPartitions { rows =>
-      pipelined(rows, conc) { r: StreamCleanNews =>
+      pipelined(rows, conc, waveMs) { r: StreamCleanNews =>
         val (sent, cat, sum) = callSafely(client, delay, r.title, r.content)
         StreamEnrichedNews(
           r.fingerprint, r.title, r.content, r.link, r.publish_date,
           r.category, sent, cat, sum)
+      } { r: StreamCleanNews =>
+        val e = LlmClient.errorResult
+        StreamEnrichedNews(
+          r.fingerprint, r.title, r.content, r.link, r.publish_date,
+          r.category, e.sentiment, e.category, e.summary)
       }
     }
     enriched.toDF().withColumn("etl_processing_time", current_timestamp())
@@ -208,7 +266,11 @@ object Enrich {
     val stamp = java.time.format.DateTimeFormatter
       .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
       .format(java.time.Instant.now())
-    val path = s"$outDir/final_enriched_data_$stamp"
+    // sub-second uniquifier — same rationale as Clean.write: the
+    // reference's second-granularity name (`Main.py:263`) makes two
+    // same-second writes collide under errorifexists
+    val path =
+      f"$outDir/final_enriched_data_${stamp}_${System.nanoTime() % 1000000L}%06d"
     df.write.mode("errorifexists").parquet(path)
     path
   }

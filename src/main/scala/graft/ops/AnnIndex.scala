@@ -89,8 +89,12 @@ object AnnIndex {
 
   /** DuckDB rendering of scaledPlaneCount over a BIGINT count expression:
     * a CASE chain on the exact integer thresholds targetDepth·2^p for
-    * p in [minPlanes, maxPlanes]. Inputs beyond the last threshold get
-    * maxPlanes (callers assert n fits — see SimilarityOps q205).
+    * p in [minPlanes, maxPlanes]. Engine-neutral saturating form: inputs
+    * beyond the last threshold get maxPlanes, mirroring the Spark
+    * require() only when the caller asserts n fits. Oracle-only SQL
+    * should use [[planeCountSqlGuarded]] so an out-of-range corpus fails
+    * the DuckDB run as loudly as the Spark side (ADVICE r10) instead of
+    * silently testing a smaller plane count.
     */
   def planeCountSql(nExpr: String, minPlanes: Int, maxPlanes: Int,
       targetDepth: Long): String = {
@@ -101,6 +105,27 @@ object AnnIndex {
       s"WHEN ($nExpr) <= ${targetDepth << p} THEN $p"
     }
     s"(CASE ${whens.mkString(" ")} ELSE $maxPlanes END)"
+  }
+
+  /** [[planeCountSql]] with the ELSE branch rendered as a DuckDB
+    * `error()` guard (the OracleCc pattern): past the last threshold the
+    * oracle RAISES instead of saturating, matching the Spark side's
+    * require(). DuckDB-only SQL — `error()` is not a Spark function, so
+    * the engine-neutral saturating form stays separate for SQL that both
+    * engines evaluate.
+    */
+  def planeCountSqlGuarded(nExpr: String, minPlanes: Int, maxPlanes: Int,
+      targetDepth: Long): String = {
+    val whens = (minPlanes until maxPlanes).map { p =>
+      s"WHEN ($nExpr) <= ${targetDepth << p} THEN $p"
+    }
+    val guard = s"CAST(error('plane count saturated: n > " +
+      s"${targetDepth << maxPlanes} exceeds maxPlanes=$maxPlanes') AS INTEGER)"
+    // maxPlanes itself is still a legitimate answer — n in
+    // (targetDepth·2^(maxPlanes-1), targetDepth·2^maxPlanes] maps to it;
+    // only n PAST the maxPlanes threshold raises
+    val top = s"WHEN ($nExpr) <= ${targetDepth << maxPlanes} THEN $maxPlanes"
+    s"(CASE ${(whens :+ top).mkString(" ")} ELSE $guard END)"
   }
 
   /** DuckDB rendering of the signature with a RUNTIME plane count: bit p

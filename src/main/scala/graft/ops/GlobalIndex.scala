@@ -60,4 +60,41 @@ object GlobalIndex {
       StructField(idCol, LongType, nullable = false) +: sorted.schema.fields)
     spark.createDataFrame(withId, schema)
   }
+
+  /** Eager variant (ADVICE r10): [[withDenseIndex]]'s MEMORY_AND_DISK
+    * persist of the sorted pass is released only by the ContextCleaner
+    * once the returned frame's lineage becomes unreachable — fine for
+    * the ETL's write-once use, but a long-lived session that keeps many
+    * indexed frames reachable can pin storage blocks indefinitely. This
+    * form materializes the RESULT as a local checkpoint (lineage
+    * truncated to the stored blocks, MEMORY_AND_DISK with replay from
+    * disk) and then eagerly unpersists the intermediate sorted pass, so
+    * the only storage held is the result the caller asked for. Use when
+    * the indexed frame will be consumed more than once in a session
+    * that outlives it; `withDenseIndex` remains the lazy default.
+    */
+  def withDenseIndexEager(df: DataFrame, idCol: String, sortCols: Seq[Column]): DataFrame = {
+    val sorted = df
+      .repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val sortedRdd = sorted.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = sortedRdd.mapPartitionsWithIndex { (i, it) =>
+        Iterator((i, it.size.toLong))
+        // collect-scale: metadata — numPartitions longs, never data rows
+      }.collect().sortBy(_._1)
+      val offsets = counts.map(_._2).scanLeft(1L)(_ + _)
+      val spark = df.sparkSession
+      val offsetsBc = spark.sparkContext.broadcast(offsets)
+      val withId = sortedRdd.mapPartitionsWithIndex { (i, it) =>
+        var id = offsetsBc.value(i)
+        it.map { r => val out = Row.fromSeq(id +: r.toSeq); id += 1; out }
+      }
+      val schema = StructType(
+        StructField(idCol, LongType, nullable = false) +: sorted.schema.fields)
+      // eager localCheckpoint: computes and stores the indexed rows NOW,
+      // so the unpersist below cannot force a recompute of the sort
+      spark.createDataFrame(withId, schema).localCheckpoint(eager = true)
+    } finally sortedRdd.unpersist(blocking = false)
+  }
 }

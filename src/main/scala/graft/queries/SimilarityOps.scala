@@ -1234,7 +1234,10 @@ object SimilarityOps {
   private val q205Sql = {
     val bsql = graft.ops.AnnIndex.bucketSqlGated(
       "v", MaxScaledPlanes, Dims, "planes")
-    val psql = graft.ops.AnnIndex.planeCountSql(
+    // guarded form: past the maxPlanes threshold the oracle raises via
+    // error() — matching the Spark side's require — instead of silently
+    // testing a smaller plane count (ADVICE r10)
+    val psql = graft.ops.AnnIndex.planeCountSqlGuarded(
       "n", AnnPlanes, MaxScaledPlanes, ScaledTargetDepth)
     s"""WITH e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -124,10 +124,14 @@ object Formats {
     // re-derives session state from builder-time confs only, so a
     // runtime-adjusted session timezone or ANSI toggle would otherwise
     // silently not govern the salvage read. Static/immutable entries
-    // reject the set — they are shared with the caller already.
+    // reject the set with AnalysisException — they are shared with the
+    // caller already, so ONLY that rejection is swallowed; any other
+    // failure to copy a modifiable conf would leave the salvage scan
+    // running under different semantics (the exact bug class this copy
+    // exists to prevent) and must propagate.
     s.conf.getAll.foreach { case (k, v) =>
       try if (!fine.conf.getOption(k).contains(v)) fine.conf.set(k, v)
-      catch { case _: Exception => () }
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
     }
     fine.conf.set("spark.sql.files.maxPartitionBytes", splitBytes.toString)
     // openCostInBytes pads each file's size when packing splits; zero it

@@ -112,4 +112,19 @@ class CleanSpec extends AnyFunSuite {
     val b = Clean.runScalable(spark, path).collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
     assert(a.toSeq == b.toSeq)
   }
+
+  test("two writes in the same second do not collide (sub-second uniquifier)") {
+    // second-granularity names (the reference's `Main.py:175` pattern)
+    // + errorifexists made the second same-second write fail; the
+    // nano-derived suffix keeps no-overwrite semantics without that
+    val df = Clean.run(spark, fixture())
+    val dir = Files.createTempDirectory("clean-double-write").toString
+    val p1 = Clean.write(df, dir)
+    val p2 = Clean.write(df, dir) // same wall second, must not throw
+    assert(p1 != p2)
+    assert(spark.read.parquet(p1).count() == spark.read.parquet(p2).count())
+    val p3 = Enrich.write(df.limit(1), dir)
+    val p4 = Enrich.write(df.limit(1), dir)
+    assert(p3 != p4)
+  }
 }

@@ -120,6 +120,58 @@ class EnrichSpec extends AnyFunSuite {
     assert(tConc < tSeq, f"concurrent $tConc%.2f s not faster than sequential $tSeq%.2f s")
   }
 
+  test("a hanging client degrades to ERROR_API at the wave timeout (L6 for hangs)") {
+    // VERDICT r10 item 4: LlmTransport carries no timeout contract, so a
+    // transport that never returns would pin the task forever under
+    // Await(Inf). The per-wave timeout must complete with the hung rows
+    // mapped to the ERROR_API tuple while COMPLETED rows keep their
+    // results. The hang is deliberately uninterruptible (re-sleeps
+    // through InterruptedException) so the test is deterministic: the
+    // future can never complete before the wave deadline.
+    val hang = new LlmClient {
+      override def enrich(t: String, c: String): LlmResult = {
+        if (t == "Tech layoffs") {
+          val end = System.nanoTime() + 30L * 1000000000L
+          while (System.nanoTime() < end) {
+            try Thread.sleep(1000)
+            catch { case _: InterruptedException => () }
+          }
+        }
+        HashingStubClient.enrich(t, c)
+      }
+    }
+    val t0 = System.nanoTime()
+    val out = Enrich.run(spark, cleanDf().coalesce(1), Enrich.Config(
+      client = hang, maxConcurrentPerTask = 4, waveTimeoutMs = 1500L)).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 20.0, f"wave timeout did not fire: took $secs%.1f s")
+    assert(out.length == 3)
+    val byTitle = out.map(r =>
+      r.getAs[String]("title") -> r.getAs[String]("sentiment_llm")).toMap
+    assert(byTitle("Tech layoffs") == "ERROR_API")
+    val want = Set("Markets rally", "Rates rise")
+    assert(want.forall(t =>
+      byTitle(t) == HashingStubClient.enrich(t, "").sentiment ||
+        byTitle(t) != "ERROR_API"),
+      s"completed rows lost their results: $byTitle")
+  }
+
+  test("pipelined wave timeout keeps completed rows, falls back for hung ones") {
+    val out = Enrich.pipelined(Iterator(1, 2, 3, 4), 2, 300L) { i =>
+      if (i == 2) {
+        val end = System.nanoTime() + 10L * 1000000000L
+        while (System.nanoTime() < end) {
+          try Thread.sleep(200) catch { case _: InterruptedException => () }
+        }
+      }
+      i * 10
+    }(i => -i).toList
+    // wave 1 = (1,2): 1 completed, 2 hung past the 300 ms deadline;
+    // wave 2 = (3,4): runs on the REPLACEMENT pool (the hung thread
+    // still occupies the old one) and completes normally
+    assert(out == List(10, -2, 30, 40))
+  }
+
   test("seeded sample returns exactly N deterministic rows") {
     val df = cleanDf()
     val s1 = Enrich.sample(df, Some(2)).collect().map(_.getLong(0)).toSeq

@@ -94,6 +94,28 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(got == want, s"sql=$got scala=$want")
   }
 
+  test("planeCountSqlGuarded raises past the last threshold instead of saturating") {
+    // ADVICE r10: oracle-only SQL must fail as loudly as the Spark
+    // require() when the corpus outgrows maxPlanes. DuckDB's error() is
+    // not a Spark function, so evaluate the guard behaviorally by
+    // substituting Spark's raise_error (same raise-on-branch-taken
+    // semantics); the WHEN chain itself is engine-neutral.
+    val ducky = AnnIndex.planeCountSqlGuarded("n", 4, 8, 25L)
+    assert(ducky.contains("error('plane count saturated"))
+    val sparky = ducky.replace("CAST(error(", "CAST(raise_error(")
+    import spark.implicits._
+    // in-range values (n <= 25·2^8) agree with the Scala function…
+    val ns = Seq(1L, 400L, 401L, 3200L, 6400L)
+    val got = ns.toDF("n").selectExpr(s"$sparky AS p")
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == ns.map(n => AnnIndex.scaledPlaneCount(n, 4, 25L)))
+    // …and the first out-of-range value raises
+    val ex = intercept[Exception] {
+      Seq(6401L).toDF("n").selectExpr(s"$sparky AS p").collect()
+    }
+    assert(ex.getMessage.contains("plane count saturated"))
+  }
+
   test("planeCountSql with min == max is the constant, not an empty CASE") {
     // a zero-WHEN CASE is a parse error in DuckDB; the degenerate form
     // must render as a plain constant

@@ -50,6 +50,27 @@ class GlobalIndexSpec extends AnyFunSuite {
     assert(reads.get() == n, s"shuffle records read ${reads.get()} != $n — sorted pass re-executed")
   }
 
+  test("eager variant matches the lazy form and frees the intermediate persist") {
+    // ADVICE r10: withDenseIndex's persist is released only by GC +
+    // ContextCleaner; the eager form localCheckpoints the RESULT and
+    // unpersists the sorted pass immediately, so long-lived sessions
+    // hold only the frame the caller asked for.
+    import spark.implicits._
+    val base = (1L to 500L).map(i => (i, i % 11)).toDF("k", "grp")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val eager = GlobalIndex.withDenseIndexEager(base, "idx", Seq(col("grp"), col("k")))
+    // unpersist of the sorted pass happens before return (map removal is
+    // synchronous even with blocking=false), so at most the checkpointed
+    // RESULT may remain persisted
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size <= 1, s"intermediate persist leaked: $added")
+    val lazyForm = GlobalIndex.withDenseIndex(base, "idx", Seq(col("grp"), col("k")))
+      .collect().map(_.toSeq).toSet
+    // result is identical and still evaluable AFTER the unpersist
+    assert(eager.collect().map(_.toSeq).toSet == lazyForm)
+    assert(eager.collect().map(_.toSeq).toSet == lazyForm) // re-evaluable
+  }
+
   test("index is dense 1..n and stable across input partitioning") {
     import spark.implicits._
     val base = (1L to 1000L).map(i => (i, i % 7)).toDF("k", "grp")

@@ -17,8 +17,12 @@ oracle-cost statement, not an engine-correctness one.
 
 Writes <verifyOutDir>_compare.json: {name: "PASS"|"FAIL"|"TIMEOUT"}
 plus per-query wall seconds, and prints the FAIL/TIMEOUT names.
-Exit 0 iff no FAIL (timeouts reported but don't fail the gate — the
-caller decides what a timeout means for each query).
+Exit 0 iff no FAIL (timeouts reported but don't fail the gate by
+default — the caller decides what a timeout means for each query).
+Pass --fail-on-timeout to make timeouts visible to exit-status-only
+callers: any TIMEOUT then exits 2 (FAIL still wins with exit 1), so
+a gate can distinguish a hung oracle from a wrong answer without
+parsing the JSON (ADVICE r10).
 """
 import json
 import os
@@ -53,6 +57,10 @@ def run_one(sf_dir, out_dir, name, timeout):
 def main():
     args = [a for a in sys.argv[1:]]
     pool, timeout = 8, 2700
+    fail_on_timeout = False
+    if "--fail-on-timeout" in args:
+        fail_on_timeout = True
+        args.remove("--fail-on-timeout")
     if "--pool" in args:
         i = args.index("--pool"); pool = int(args[i + 1]); del args[i:i + 2]
     if "--timeout" in args:
@@ -77,7 +85,7 @@ def main():
     n_fail = sum(1 for r in results.values() if r["status"] == "FAIL")
     n_to = sum(1 for r in results.values() if r["status"] == "TIMEOUT")
     print(f"{n_pass} pass, {n_fail} fail, {n_to} timeout / {len(results)}")
-    sys.exit(1 if n_fail else 0)
+    sys.exit(1 if n_fail else (2 if (fail_on_timeout and n_to) else 0))
 
 
 if __name__ == "__main__":
