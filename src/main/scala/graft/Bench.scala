@@ -164,12 +164,40 @@ object Bench {
           .as("h")))
       (System.nanoTime() - t0) / 1e9
     }
-    calibrate(); calibrate2()
+    // THIRD anchor (r11, VERDICT r10 item 1): a WORKLOAD-SHAPED job —
+    // md5-keyed string generation, a 100k-key hash-aggregate exchange,
+    // and a join back, all at full parallelism through the same noop
+    // sink the timed queries use. The r10 boot pair proved the first
+    // two anchors ANTI-correlate with the 32-way catalog (same-HEAD
+    // boots read 115.0 vs 145.4 s raw while arith/md5 moved 0.59x/0.45x
+    // the OTHER way), because neither exercises a shuffle exchange or
+    // concurrent aggregation. This one does; it is FROZEN code (never
+    // derived from catalog queries, whose edits would silently move the
+    // anchor), synthetic (no I/O — page-cache state is a separate,
+    // smaller drift axis), and sized ~1-2 s. bench_diff's default gate
+    // is per-query median self-normalization with this anchor as the
+    // cross-check for suite-wide code shifts (see tools/bench_diff.py).
+    def calibrate3(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      val base = spark.range(0L, 3000000L, 1L, cpus.toInt)
+        .select(col("id"),
+          md5(concat(lit("anchor:"), (col("id") % 100000L).cast("string")))
+            .as("k"))
+      val agg = base.groupBy("k")
+        .agg(count(lit(1)).as("c"), sum("id").as("s"))
+      Bench.exhaust(base.join(agg, "k")
+        .select(sum(col("id") + col("c") + (col("s") % 1000L)).as("t")))
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate(); calibrate2(); calibrate3()
     val calibs = scala.collection.mutable.ArrayBuffer[Double]()
     val calibs2 = scala.collection.mutable.ArrayBuffer[Double]()
+    val calibs3 = scala.collection.mutable.ArrayBuffer[Double]()
     for (_ <- 1 to reps) {
       calibs += calibrate()
       calibs2 += calibrate2()
+      calibs3 += calibrate3()
       for ((name, fn) <- entries) {
         val t0 = System.nanoTime()
         try { exhaust(fn(spark, sfDir)) } catch { case e: Throwable =>
@@ -197,11 +225,14 @@ object Bench {
     val calibJson = calibs.map(c => f"$c%.4f").mkString("[", ",", "]")
     val calib2Med = median(calibs2.toSeq)
     val calib2Json = calibs2.map(c => f"$c%.4f").mkString("[", ",", "]")
+    val calib3Med = median(calibs3.toSeq)
+    val calib3Json = calibs3.map(c => f"$c%.4f").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
         s""""n_ok":${ok.size},"n_errored":${errors.size},"errors":$errJson,""" +
         s""""calib_sec":$calibMed,"calib_series":$calibJson,""" +
         s""""calib2_sec":$calib2Med,"calib2_series":$calib2Json,""" +
+        s""""calib3_sec":$calib3Med,"calib3_series":$calib3Json,""" +
         s""""queries":${renderMap(med)},""" +
         s""""total_min":$totalMin,"queries_min":${renderMap(mins)},"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
