@@ -3655,13 +3655,32 @@ object TextOps {
   // posting lists; the truth side explodes only the 1-in-20 probe
   // sample against the shingle index; ranks come from one
   // (q, doc)-grouped count — no window over the corpus.
+  // Storage strategy is conf-switchable for same-boot A/B (r11: the
+  // query's 1.65/3.59/4.12 s same-code spread across three boots was
+  // the catalog's largest, and the suspect was cache thrash under the
+  // full suite's memory pressure — VERDICT r10 item 2):
+  //   cache — the r10 form: sh/ex/tf/scored all cached.
+  //   lean  — cache only the two frames with 3+ distinct consumers
+  //           (sh, ex); tf and scored recompute, letting ReuseExchange
+  //           dedupe their shuffles inside the one final plan.
+  //   none  — no storage at all; pure exchange-reuse.
+  // Default NONE, chosen by a 7-vs-7 fine-interleaved BenchOne A/B at
+  // sf0.1/local[32] (r11): per-run mins, none median 6.44 s vs cache
+  // 10.75 s (-40%), equal best case (5.35 vs 5.41) — and with zero
+  // storage the query CANNOT thrash under suite memory pressure, which
+  // was the variance mechanism. All three variants return identical
+  // rows (checked at sf0.01). ARCHITECTURE §8.5 has the full table.
   private def q194(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingled(s, dir).cache()
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle")).cache()
+    val variant = s.conf.get("spark.graft.q194.storage", "none")
+    def keep(df: DataFrame, tiers: Set[String]): DataFrame =
+      if (tiers.contains(variant)) df.cache() else df
+    val sh = keep(shingled(s, dir), Set("cache", "lean"))
+    val ex = keep(sh.select(col("doc_id"), explode(col("shingles")).as("shingle")),
+      Set("cache", "lean"))
     val nsh = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
-    val tf = ex.groupBy(col("doc_id"), col("shingle"))
-      .agg(count(lit(1)).as("tf")).cache()
+    val tf = keep(ex.groupBy(col("doc_id"), col("shingle"))
+      .agg(count(lit(1)).as("tf")), Set("cache"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       expr("sum(dl) div count(1)").as("avgdl"))
@@ -3690,7 +3709,7 @@ object TextOps {
         Window.partitionBy(col("q")).orderBy(col("df").asc, col("shingle").asc)))
       .filter(col("r") <= 5)
       .select(col("q"), col("shingle"))
-    val scored = tf.join(qterms, Seq("shingle"))
+    val scored = keep(tf.join(qterms, Seq("shingle"))
       .filter(col("doc_id") =!= col("q"))
       .join(dfreq, Seq("shingle")).join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
@@ -3699,7 +3718,7 @@ object TextOps {
           "* 22 * tf * avgdl div (10 * tf * avgdl + 3 * avgdl + 9 * dl)")
           .as("contrib"))
       .groupBy(col("q"), col("doc_id"))
-      .agg(sum(col("contrib")).as("score")).cache()
+      .agg(sum(col("contrib")).as("score")), Set("cache"))
     val tscore = scored.join(truth,
         scored("q") === truth("q") && col("doc_id") === col("truth_id"))
       .select(scored("q"), col("truth_id"), col("score").as("ts"))
