@@ -37,11 +37,17 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 def run_one(sf_dir, out_dir, name, timeout):
     t0 = time.time()
+    # each subprocess gets its OWN working directory: DuckDB spills to
+    # cwd .tmp/duckdb_temp_storage*, and two spilling shards sharing a
+    # cwd abort each other with IO "Could not remove file" (the r10
+    # recipe ran shards from separate dirs by hand; this bakes it in)
+    cwd = os.path.abspath(f"{out_dir}_cwd/{name}")
+    os.makedirs(cwd, exist_ok=True)
     p = subprocess.Popen(
         [sys.executable, os.path.join(HERE, "local_verify.py"),
-         sf_dir, out_dir, name],
+         os.path.abspath(sf_dir), os.path.abspath(out_dir), name],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        start_new_session=True, text=True)
+        start_new_session=True, text=True, cwd=cwd)
     try:
         out, _ = p.communicate(timeout=timeout)
         status = "PASS" if (p.returncode == 0 and f"PASS {name}" in out) \
