@@ -205,10 +205,24 @@ object Bench {
             (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
               .replaceAll("""[^ -!#-\[\]-~]""", " ").take(160))
         }
-        // queries cache intermediate frames per invocation; drop them so
-        // every rep pays the same (full) cost and memory stays bounded
-        spark.catalog.clearCache()
         samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+        // queries cache intermediate frames per invocation; drop them so
+        // every rep pays the same (full) cost and memory stays bounded.
+        // (r12: recorded BEFORE cleanup — the sample is the query, not
+        // the harness's bookkeeping.)
+        spark.catalog.clearCache()
+        // ... and RDD-LEVEL storage too: catalog.clearCache() drops only
+        // SQL-cache entries, but GlobalIndex's sorted-pass persist
+        // (q192/q163/q111, the x_ dense-id twins) and the CC fixpoint's
+        // localCheckpoints are raw RDD blocks that the ContextCleaner
+        // releases only after a JVM GC notices the frames are garbage —
+        // on a 128 GiB heap that can lag many queries behind, so storage
+        // blocks ACCUMULATED across the suite and squeezed every
+        // cache-using query that followed (the r10/r11 suite-pressure
+        // variance mechanism, seen from the producer side). Nothing
+        // re-reads a finished query's RDDs, so eager unpersist is safe.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     val ok = entries.filterNot { case (name, _) => errors.contains(name) }

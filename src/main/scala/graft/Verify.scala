@@ -26,6 +26,12 @@ object Verify {
       // signatures); drop them so one query's cache doesn't pin
       // executor memory across the remaining ~85
       spark.catalog.clearCache()
+      // raw RDD persists too (GlobalIndex's sorted pass, CC fixpoint
+      // localCheckpoints) — clearCache misses them and the
+      // ContextCleaner only sweeps after a JVM GC, so they'd otherwise
+      // accumulate across the 206-query session (same hygiene as Bench)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

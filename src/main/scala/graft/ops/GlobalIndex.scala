@@ -24,8 +24,17 @@ import org.apache.spark.storage.StorageLevel
   */
 object GlobalIndex {
 
-  /** Prepend `idCol` (dense, 1-based, in `sortCols` order) to `df`. */
-  def withDenseIndex(df: DataFrame, idCol: String, sortCols: Seq[Column]): DataFrame = {
+  /** Prepend `idCol` (dense, 1-based, in `sortCols` order) to `df`.
+    *
+    * `storage` NONE skips the sorted-pass persist entirely: the count
+    * job and the index job then each re-run the within-partition sort
+    * (the range-exchange shuffle files are still reused). That arm
+    * exists for same-boot A/B by in-session multi-pass consumers
+    * (ScaleOps.distributedNtile) — at write-once ETL scale the persist
+    * is the right default per the measured table below.
+    */
+  def withDenseIndex(df: DataFrame, idCol: String, sortCols: Seq[Column],
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val spark = df.sparkSession
     val sorted = df
       .repartitionByRange(sortCols: _*)
@@ -45,7 +54,9 @@ object GlobalIndex {
     // returned frame's RDD lineage becomes unreachable (there is no
     // sound place to unpersist eagerly — the result is lazy and the
     // caller may evaluate it any number of times).
-    val sortedRdd = sorted.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    val sortedRdd =
+      if (storage == StorageLevel.NONE) sorted.rdd
+      else sorted.rdd.persist(storage)
     val counts = sortedRdd.mapPartitionsWithIndex { (i, it) =>
       Iterator((i, it.size.toLong))
       // collect-scale: metadata — numPartitions longs, never data rows

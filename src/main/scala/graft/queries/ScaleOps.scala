@@ -853,7 +853,17 @@ object ScaleOps {
       order: Seq[Column]): DataFrame = {
     val q = rows / buckets
     val r = rows % buckets
-    val ranked = graft.ops.GlobalIndex.withDenseIndex(df, "_g_rank", order)
+    // storage of the sorted pass is conf-switchable for same-boot A/B
+    // (VERDICT r11 item 7 — q192 runs this three times per invocation):
+    // "persist" = GlobalIndex's MEMORY_AND_DISK default, "none" = no
+    // storage, the second pass re-sorts over the reused shuffle files
+    val arm = df.sparkSession.conf.get("spark.graft.ntile.storage", "persist")
+    require(Set("persist", "none").contains(arm),
+      s"spark.graft.ntile.storage must be persist|none, got '$arm'")
+    val level =
+      if (arm == "persist") org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      else org.apache.spark.storage.StorageLevel.NONE
+    val ranked = graft.ops.GlobalIndex.withDenseIndex(df, "_g_rank", order, level)
     val chunk =
       if (q == 0) col("_g_rank") // fewer rows than buckets: one row each
       else when(col("_g_rank") <= lit(r * (q + 1)),

@@ -46,6 +46,24 @@ object TextOps {
 
   private def words(c: Column): Column = split(c, " ")
 
+  /** Conf-switchable storage for a hot query's multi-consumer
+    * intermediate (VERDICT r11 item 7, extending q194's r11 experiment):
+    * "cache" persists the frame, "none" recomputes it and leans on
+    * ReuseExchange deduping its shuffles inside the one final plan —
+    * zero storage means nothing to thrash under suite memory pressure,
+    * which the q194 A/B proved can beat caching. Each query's `default`
+    * is its same-boot BenchOne A/B winner (ARCHITECTURE §8.5); the
+    * require fails loud on a typo'd arm so an A/B invocation cannot
+    * silently measure the wrong variant.
+    */
+  private def keepArm(s: SparkSession, conf: String, default: String)(
+      df: DataFrame): DataFrame = {
+    val v = s.conf.get(conf, default)
+    require(Set("cache", "none").contains(v),
+      s"$conf must be cache|none, got '$v'")
+    if (v == "cache") df.cache() else df
+  }
+
   /** documents arrives as a single parquet file → one input partition,
     * which serializes all per-row shingle/hash work onto one task.
     * Spread it across the session's shuffle parallelism first — one
@@ -1578,7 +1596,10 @@ object TextOps {
       .drop("text")
     val reps = base.filter(col("doc_id") === col("cluster_id"))
       .select(col("cluster_id"), col("naive_split").as("group_split"))
-    val a = base.join(reps, "cluster_id").cache()
+    // consumed twice (straddle agg + split rollup); cache-vs-none is
+    // conf-switchable for same-boot A/B — see keepArm
+    val a = keepArm(s, "spark.graft.q147.storage", "cache")(
+      base.join(reps, "cluster_id"))
     val strad = a.groupBy(col("cluster_id"))
       .agg(countDistinct(col("naive_split")).as("ns"),
         countDistinct(col("group_split")).as("gs"))
@@ -2411,10 +2432,16 @@ object TextOps {
         min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
       .filter(col("doc_id") === col("mk")).drop("mk")
     val cl = s2.join(q67(s, dir).select(col("doc_id"), col("cluster_id")), "doc_id")
-    val keep3 = cl.withColumn("rn", row_number().over(
+    // the funnel's most expensive intermediate (downstream of the CC
+    // fixpoint), consumed by the decontamination join, the s4 filter,
+    // and its own stage count; historically uncached (the CC labels are
+    // already localCheckpointed, so recompute is join-cheap) — the
+    // cache arm exists for the same-boot A/B, default = measured winner
+    val keep3 = keepArm(s, "spark.graft.q171.storage", "none")(
+      cl.withColumn("rn", row_number().over(
         Window.partitionBy(col("cluster_id"))
           .orderBy(col("ttr").desc, col("n_chars").desc, col("doc_id").asc)))
-      .filter(col("rn") === 1).drop("rn")
+      .filter(col("rn") === 1).drop("rn"))
     val sh = docs(s, dir)
       .select(col("doc_id"), (h60(col("text")) % 100).as("bucket"),
         words(col("text")).as("w"))
@@ -3673,6 +3700,11 @@ object TextOps {
   private def q194(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val variant = s.conf.get("spark.graft.q194.storage", "none")
+    // fail loud on a typo'd arm (ADVICE r11): a BenchOne A/B that asks
+    // for "Cache" must not silently measure the no-storage behavior
+    // while appearing to measure the cache arm
+    require(Set("cache", "lean", "none").contains(variant),
+      s"spark.graft.q194.storage must be cache|lean|none, got '$variant'")
     def keep(df: DataFrame, tiers: Set[String]): DataFrame =
       if (tiers.contains(variant)) df.cache() else df
     val sh = keep(shingled(s, dir), Set("cache", "lean"))
@@ -3918,7 +3950,9 @@ object TextOps {
       .select(col("doc_id").as("id"),
         (col("band_idx").cast("long") * 32768L + col("band_val")).as("bucket"))
     val labeled = graft.ops.ConnectedComponents.labelViaBuckets(memberships)
-    val sh = shingled(s, dir).cache()
+    // consumed by both sides of the audit self-join and the length
+    // table; cache-vs-none conf-switchable for same-boot A/B (keepArm)
+    val sh = keepArm(s, "spark.graft.q196.storage", "cache")(shingled(s, dir))
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val nsh = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
     ex.filter(col("doc_id") % 5 === 0).as("a")

@@ -172,6 +172,36 @@ class EnrichSpec extends AnyFunSuite {
     assert(out == List(10, -2, 30, 40))
   }
 
+  test("partition budget converges a multi-wave hang (every wave poisoned)") {
+    // VERDICT r11 item 4: the wave timeout alone lets a transport that
+    // hangs EVERY wave stretch a partition by waveTimeout × waves. The
+    // cumulative partition budget must cap total wall time — each wave
+    // gets min(waveTimeout, remaining budget) and once the budget is
+    // spent the remaining rows degrade immediately, without touching
+    // the pool. Every call here hangs uninterruptibly, so without the
+    // budget this would run 10 waves × 400 ms = 4 s minimum.
+    def hang(i: Int): Int = {
+      val end = System.nanoTime() + 30L * 1000000000L
+      while (System.nanoTime() < end) {
+        try Thread.sleep(200) catch { case _: InterruptedException => () }
+      }
+      i * 10
+    }
+    val t0 = System.nanoTime()
+    val out = Enrich.pipelined((1 to 20).iterator, 2, 400L, 900L)(hang)(
+      i => -i).toList
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out == (1 to 20).map(-_).toList,
+      s"every row of a fully-poisoned partition must degrade: $out")
+    assert(secs < 3.0, f"partition budget did not converge the hang: $secs%.1f s")
+  }
+
+  test("partition budget leaves a healthy pipelined transport untouched") {
+    val out = Enrich.pipelined((1 to 8).iterator, 2, 400L, 60000L)(_ * 10)(
+      i => -i).toList
+    assert(out == (1 to 8).map(_ * 10).toList)
+  }
+
   test("seeded sample returns exactly N deterministic rows") {
     val df = cleanDf()
     val s1 = Enrich.sample(df, Some(2)).collect().map(_.getLong(0)).toSeq

@@ -105,6 +105,19 @@ def ts_us_from_days(days):
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "tmp/sf1_organic"
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 4242
+    # Optional third arg (r12, VERDICT r11 item 6): DOC/VEC scale
+    # multiplier for the second-decade dedup/ANN slope probe. Scales
+    # documents and embeddings only — the heavy dedup/ANN queries
+    # (q132/q136/q67/q105/q205) read nothing else, and tripling the
+    # TPC-H facts would just burn disk for tables the probe never
+    # touches. Defaults to 1, which reproduces the exact r11 corpus for
+    # a given seed. (At scale != 1 the shared RNG stream advances
+    # differently, so the fact tables differ from the scale-1 corpus
+    # too — fine for the probe, which only reads docs/vecs.)
+    doc_scale = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    global N_DOCS, N_VECS
+    N_DOCS *= doc_scale
+    N_VECS *= doc_scale
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(seed)
 

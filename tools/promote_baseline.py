@@ -21,6 +21,9 @@ def main():
     run = json.load(open(src))
     assert run.get("n_errored") == 0, f"refusing: {run.get('n_errored')} errored queries"
     assert run.get("reps", 0) >= 5, "refusing: baseline needs >= 5 reps"
+    # r12 (VERDICT r11 item 1): a baseline without the workload-shaped
+    # anchor leaves bench_diff's suite-wide cross-check inert on one side
+    assert "calib3_sec" in run, "refusing: baseline must carry calib3_sec"
     cpu = ""
     for line in open("/proc/cpuinfo"):
         if line.startswith("model name"):
@@ -36,7 +39,11 @@ def main():
         "methodology": (
             "noop-sink full materialization, 5 reps, per-query median "
             "(queries) and minimum (queries_min); calib_sec (fixed arith "
-            "anchor) and calib2_sec (string-md5 anchor) timed each rep round"),
+            "anchor), calib2_sec (string-md5 anchor), and calib3_sec "
+            "(frozen workload-shaped anchor: md5-keyed generation + 100k-"
+            "key hash-agg exchange + join — arms bench_diff's suite-wide "
+            "cross-check) timed each rep round; per-query sample recorded "
+            "before cache/RDD-storage cleanup (r12)"),
         "promoted_at": datetime.date.today().isoformat(),
         "host": {
             "cpu": cpu,

@@ -26,6 +26,7 @@ parsing the JSON (ADVICE r10).
 """
 import json
 import os
+import shutil
 import signal
 import subprocess
 import sys
@@ -42,6 +43,9 @@ def run_one(sf_dir, out_dir, name, timeout):
     # cwd abort each other with IO "Could not remove file" (the r10
     # recipe ran shards from separate dirs by hand; this bakes it in)
     cwd = os.path.abspath(f"{out_dir}_cwd/{name}")
+    # makedirs(exist_ok=True) reuses the dir across sweeps, so clear any
+    # stale spill a previous SIGKILLed run left behind before starting
+    shutil.rmtree(cwd, ignore_errors=True)
     os.makedirs(cwd, exist_ok=True)
     p = subprocess.Popen(
         [sys.executable, os.path.join(HERE, "local_verify.py"),
@@ -57,6 +61,12 @@ def run_one(sf_dir, out_dir, name, timeout):
         os.killpg(os.getpgid(p.pid), signal.SIGKILL)
         p.wait()
         status, detail = "TIMEOUT", []
+    # ADVICE r11: the heavy oracles spill >60GB each into cwd
+    # (.tmp/duckdb_temp_storage*); a SIGKILLed timeout leaves it all
+    # behind, and repeated sweeps would accumulate enough stale spill to
+    # exhaust disk. The subprocess (and its whole process group) is dead
+    # on both paths here, so the dir is removable.
+    shutil.rmtree(cwd, ignore_errors=True)
     return name, status, round(time.time() - t0, 1), detail
 
 
