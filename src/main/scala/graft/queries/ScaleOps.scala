@@ -855,9 +855,16 @@ object ScaleOps {
     val r = rows % buckets
     // storage of the sorted pass is conf-switchable for same-boot A/B
     // (VERDICT r11 item 7 — q192 runs this three times per invocation):
-    // "persist" = GlobalIndex's MEMORY_AND_DISK default, "none" = no
-    // storage, the second pass re-sorts over the reused shuffle files
-    val arm = df.sparkSession.conf.get("spark.graft.ntile.storage", "persist")
+    // "persist" = GlobalIndex's MEMORY_AND_DISK level, "none" = no
+    // storage, the second pass re-sorts over the reused shuffle files.
+    // Default `none` by the r12 7-vs-7 interleaved A/B on q192 (per-rep
+    // mins 3.347 s vs persist 3.934 s, −15%; medians −8%): at audit
+    // scale the re-sort over reused shuffle files is cheaper than
+    // holding three lineitem-sized sorted passes in storage memory, and
+    // zero storage is immune to suite cache pressure (ARCHITECTURE
+    // §8.7). The write-once ETL path keeps GlobalIndex's persist — one
+    // sorted pass, immediately consumed, no in-session accumulation.
+    val arm = df.sparkSession.conf.get("spark.graft.ntile.storage", "none")
     require(Set("persist", "none").contains(arm),
       s"spark.graft.ntile.storage must be persist|none, got '$arm'")
     val level =

@@ -1597,8 +1597,13 @@ object TextOps {
     val reps = base.filter(col("doc_id") === col("cluster_id"))
       .select(col("cluster_id"), col("naive_split").as("group_split"))
     // consumed twice (straddle agg + split rollup); cache-vs-none is
-    // conf-switchable for same-boot A/B — see keepArm
-    val a = keepArm(s, "spark.graft.q147.storage", "cache")(
+    // conf-switchable for same-boot A/B — see keepArm. Default `none`:
+    // the r12 7-vs-7 interleaved A/B read a dead heat on per-rep mins
+    // (cache 3.214 s vs none 3.218 s, medians 3.48 vs 3.42 — the CC
+    // labels both consumers share are already localCheckpointed, so the
+    // recompute is join-cheap), and zero storage cannot thrash under
+    // suite memory pressure (ARCHITECTURE §8.7).
+    val a = keepArm(s, "spark.graft.q147.storage", "none")(
       base.join(reps, "cluster_id"))
     val strad = a.groupBy(col("cluster_id"))
       .agg(countDistinct(col("naive_split")).as("ns"),
@@ -2435,8 +2440,10 @@ object TextOps {
     // the funnel's most expensive intermediate (downstream of the CC
     // fixpoint), consumed by the decontamination join, the s4 filter,
     // and its own stage count; historically uncached (the CC labels are
-    // already localCheckpointed, so recompute is join-cheap) — the
-    // cache arm exists for the same-boot A/B, default = measured winner
+    // already localCheckpointed, so recompute is join-cheap). The r12
+    // 7-vs-7 interleaved A/B confirms: none 4.237 s vs cache 4.362 s on
+    // per-rep mins, −5% on medians — `none` stays the default
+    // (ARCHITECTURE §8.7).
     val keep3 = keepArm(s, "spark.graft.q171.storage", "none")(
       cl.withColumn("rn", row_number().over(
         Window.partitionBy(col("cluster_id"))
@@ -3951,7 +3958,12 @@ object TextOps {
         (col("band_idx").cast("long") * 32768L + col("band_val")).as("bucket"))
     val labeled = graft.ops.ConnectedComponents.labelViaBuckets(memberships)
     // consumed by both sides of the audit self-join and the length
-    // table; cache-vs-none conf-switchable for same-boot A/B (keepArm)
+    // table; cache-vs-none conf-switchable for same-boot A/B (keepArm).
+    // Default stays `cache`: the r12 7-vs-7 interleaved A/B read per-rep
+    // mins cache 3.663 s vs none 3.928 s (+7% for none) — unlike q194,
+    // the shingle stream here feeds a SELF-join, and recomputing both
+    // sides costs more than the cached frame's storage risk
+    // (ARCHITECTURE §8.7).
     val sh = keepArm(s, "spark.graft.q196.storage", "cache")(shingled(s, dir))
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val nsh = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
