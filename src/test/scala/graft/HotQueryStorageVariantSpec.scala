@@ -53,6 +53,43 @@ class HotQueryStorageVariantSpec extends AnyFunSuite {
     pinArms("q196_cluster_separation", "spark.graft.q196.storage", Seq("cache", "none"))
   }
 
+  // Structural default pins (the q194 lesson: a row-compare between
+  // arms can never catch a silently flipped default, because the arms
+  // are row-equal by design). With the conf unset, the cache-defaulted
+  // query must carry an InMemoryRelation and the none-defaulted ones
+  // must not.
+  test("defaults are pinned structurally: q147/q171 store nothing, q196 caches") {
+    def planOf(name: String): String = {
+      spark.catalog.clearCache()
+      SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan.toString
+    }
+    Seq("spark.graft.q147.storage", "spark.graft.q171.storage",
+      "spark.graft.q196.storage").foreach(spark.conf.unset)
+    try {
+      assert(!planOf("q147_split_leakage").contains("InMemoryRelation"),
+        "q147's A/B-chosen default is none")
+      assert(!planOf("q171_training_funnel").contains("InMemoryRelation"),
+        "q171's A/B-chosen default is none")
+      assert(planOf("q196_cluster_separation").contains("InMemoryRelation"),
+        "q196's A/B-chosen default is cache")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("ntile default is pinned structurally: no persisted RDD remains") {
+    // q192's sorted pass is RDD-level storage (invisible to the SQL
+    // plan), so the pin is on the session's persistent-RDD registry:
+    // with the conf unset the `none` default must leave it empty after
+    // a full evaluation. (q192's lineage has no other persist/
+    // localCheckpoint site.)
+    spark.conf.unset("spark.graft.ntile.storage")
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    assert(SparkEntry.queries("q192_hilbert_layout")(spark, dir).collect().nonEmpty)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "q192's ntile default must be the no-persist arm")
+  }
+
   test("q192 ntile persist/none arms return identical rows; typo fails loud") {
     val conf = "spark.graft.ntile.storage"
     val default = rows("q192_hilbert_layout", conf, None)
