@@ -727,6 +727,35 @@ object TextOps {
       |SELECT doc_id, bm25_scaled, n_terms FROM lex
       |ORDER BY bm25_scaled DESC, doc_id LIMIT 20""".stripMargin
 
+  /** PPJoin positional-filter switch for the exact-join family
+    * (q132/q136). `on` (default) prunes each prefix-collision row whose
+    * colliding ranks make the overlap threshold unreachable; `off` is
+    * the r11 prefix-only shape, kept as the A/B arm.
+    * PpJoinPositionalSpec pins on == off row sets and the default. */
+  private def ppjoinPositionalOn(s: SparkSession): Boolean = {
+    val v = s.conf.get("spark.graft.ppjoin.positional", "on")
+    require(Set("on", "off").contains(v),
+      s"spark.graft.ppjoin.positional must be on|off, got '$v'")
+    v == "on"
+  }
+
+  /** Rarity-ranked df≥2 token stream shared by the exact-join family:
+    * one row per (doc, df≥2 shingle) with `r` = the shingle's 1-based
+    * rank in the doc under the GLOBAL (df asc, shingle asc) order and
+    * `m` = the doc's df≥2 token count. Both window functions share the
+    * doc_id partitioning (one exchange). The (df, shingle) sort key is
+    * unique per doc (shingles() dedups), so ranks are deterministic. */
+  private def rankedDfTokens(sh: DataFrame): DataFrame = {
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    ex.join(dfreq, Seq("shingle"))
+      .filter(col("df") >= 2)
+      .withColumn("r", row_number().over(
+        byDoc.orderBy(col("df"), col("shingle"))).cast("long"))
+      .withColumn("m", count(lit(1)).over(byDoc).cast("long"))
+  }
+
   // q132 — PREFIX-FILTERED exact similarity join (the PPJoin/AllPairs
   // prefix principle, Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08):
   // all document pairs with Jaccard ≥ 0.5, found WITHOUT the all-pairs
@@ -748,27 +777,38 @@ object TextOps {
   // candidates.
   private def q132(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(s, dir).cache()
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val nsh = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
-    val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val ordered = ex.join(dfreq, Seq("shingle"))
-      // df = 1 shingles exist in exactly one doc — they can never
-      // collide, and since every df=1 shingle of a doc is missing from
-      // its partner, ranking the prefix among df≥2 shingles leaves the
-      // pigeonhole argument intact (missing-among-df≥2 shrinks by
-      // exactly the dropped count; the oracle still proves the
-      // composed filter lossless on real data)
-      .filter(col("df") >= 2)
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))).cast("long"))
-      .join(nsh, Seq("doc_id"))
+    // df = 1 shingles exist in exactly one doc — they can never
+    // collide, and since every df=1 shingle of a doc is missing from
+    // its partner, ranking the prefix among df≥2 shingles leaves the
+    // pigeonhole argument intact (missing-among-df≥2 shrinks by
+    // exactly the dropped count; the oracle still proves the
+    // composed filter lossless on real data)
+    val ordered = rankedDfTokens(sh).join(nsh, Seq("doc_id"))
     val prefix = ordered.filter(col("r") <= expr("n_sh div 2 + 1"))
-      .select(col("doc_id"), col("shingle"), col("n_sh"))
+      .select(col("doc_id"), col("shingle"), col("n_sh"), col("r"), col("m"))
+    // POSITIONAL filter (PPJoin proper, Xiao et al. WWW'08 §3.2):
+    // common tokens of a pair appear at increasing ranks in BOTH docs
+    // under the shared global order, so after colliding at ranks
+    // (r_a, r_b) at most min(m_a−r_a, m_b−r_b) further matches exist:
+    // overlap ≤ 1 + min(m_a−r_a, m_b−r_b) at the pair's FIRST common
+    // token. Jaccard ≥ 1/2 needs overlap ≥ ⌈(n_a+n_b)/3⌉, and the
+    // first common token is provably inside both prefixes (it precedes
+    // ≥ overlap−1 matches, so its rank ≤ m−overlap+1), so a qualifying
+    // pair always keeps its first-collision row — dropping rows where
+    // even the bound can't reach the threshold is LOSSLESS per row.
+    // Integer-exact: bound ≥ ⌈x/3⌉ ⟺ 3·bound ≥ x.
+    val positional =
+      if (ppjoinPositionalOn(s))
+        (least(col("a.m") - col("a.r"), col("b.m") - col("b.r")) + 1) * 3 >=
+          col("a.n_sh") + col("b.n_sh")
+      else lit(true)
     // PPJoin length filter, exact for t = 1/2: jaccard >= 1/2 and
     // common <= min imply 2*min(|a|,|b|) >= max(|a|,|b|)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
-        least(col("a.n_sh"), col("b.n_sh")) * 2 >= greatest(col("a.n_sh"), col("b.n_sh")))
+        least(col("a.n_sh"), col("b.n_sh")) * 2 >= greatest(col("a.n_sh"), col("b.n_sh")) &&
+        positional)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // Verification: the shingle arrays are DISTINCT per doc (shingles()
@@ -986,25 +1026,38 @@ object TextOps {
   // asymmetric similarity-join layout.
   private def q136(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(s, dir).cache()
-    // the exploded token stream is read three times (df count, prefix
-    // ranking, index side) — cache it once
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle")).cache()
     val nsh = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
-    val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val prefixA = ex.join(dfreq, Seq("shingle"))
-      // df = 1 means only one doc carries the shingle — it cannot
-      // produce a cross-doc collision on either side of the join
-      .filter(col("df") >= 2)
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))).cast("long"))
-      .join(nsh, Seq("doc_id"))
+    // the ranked df≥2 token stream feeds BOTH join sides (df = 1 means
+    // only one doc carries the shingle — it cannot produce a cross-doc
+    // collision on either side) — cache it once
+    val ranked = rankedDfTokens(sh).join(nsh, Seq("doc_id")).cache()
+    val prefixA = ranked
       .filter(col("r") <= expr("n_sh div 5 + 1"))
-      .select(col("doc_id").as("doc_a"), col("shingle"), col("n_sh").as("pn_a"))
-    val indexB = ex.join(dfreq.filter(col("df") >= 2), Seq("shingle"))
-      .join(nsh, Seq("doc_id"))
-      .select(col("doc_id").as("doc_b"), col("shingle"), col("n_sh").as("pn_b"))
+      .select(col("doc_id").as("doc_a"), col("shingle"),
+        col("n_sh").as("pn_a"), col("r").as("r_a"), col("m").as("m_a"))
+    val indexB = ranked
+      .select(col("doc_id").as("doc_b"), col("shingle"),
+        col("n_sh").as("pn_b"), col("r").as("r_b"), col("m").as("m_b"))
+    // POSITIONAL filter (PPJoin, Xiao et al. WWW'08 §3.2; losslessness
+    // argument at q132): containment ≥ 0.8 needs overlap ≥ ⌈4·n_a/5⌉,
+    // a collision at ranks (r_a, r_b) bounds overlap by
+    // 1 + min(m_a−r_a, m_b−r_b), and a qualifying pair's first common
+    // token is inside a's prefix AND (trivially) in b's full index, so
+    // its row always survives. On b's side this acts as a DYNAMIC
+    // prefix: late-rank index tokens only survive for small partners —
+    // the asymmetric-containment case where no static index prefix
+    // exists (a tiny doc can be contained in a huge one, forcing the
+    // index to keep every token; the positional bound recovers the
+    // pruning per collision instead). Integer-exact:
+    // bound ≥ ⌈4·n_a/5⌉ ⟺ 5·bound ≥ 4·n_a.
+    val positional =
+      if (ppjoinPositionalOn(s))
+        (least(col("m_a") - col("r_a"), col("m_b") - col("r_b")) + 1) * 5 >=
+          col("pn_a") * 4
+      else lit(true)
     val cand = prefixA.join(indexB, Seq("shingle"))
-      .filter(col("doc_a") =!= col("doc_b") && col("pn_b") * 5 >= col("pn_a") * 4)
+      .filter(col("doc_a") =!= col("doc_b") && col("pn_b") * 5 >= col("pn_a") * 4 &&
+        positional)
       .select(col("doc_a"), col("doc_b")).distinct()
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
