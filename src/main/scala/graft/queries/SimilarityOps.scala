@@ -902,6 +902,7 @@ object SimilarityOps {
     QueryDef("q177_rag_context", q177, Some(q177Sql)),
     QueryDef("q180_comoment_matrix", q180, Some(q180Sql)),
     QueryDef("q205_ann_scaled_planes", q39ScaledPlanes, Some(q205Sql)),
+    QueryDef("q207_semdedup_scaled", q207, Some(q207Sql)),
   )
 
   // q180 — embedding CO-MOMENT matrix (the second-moment statistics a
@@ -1263,6 +1264,74 @@ object SimilarityOps {
       |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
       |  FROM pairs)
       |SELECT vec_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 3""".stripMargin
+  }
+
+  // q207 — SCALED semantic dedup: the q205 pattern applied to q105.
+  // q105's cells are label centroids — a FIXED cell count — so cell
+  // occupancy grows linearly with the corpus and the within-cell pair
+  // join quadratically: the r12 third-decade measurement read 9.5× wall
+  // for 3.33× rows (sf3→sf10 organic, tools/slope_r12_sf10org.txt),
+  // the same defect q39 had before q205. The scale twin replaces the
+  // centroid cells with ⌈log₂(n/25)⌉-plane hyperplane buckets
+  // (AnnIndex.scaledPlaneCount — the identical integer thresholds as
+  // q205, replayed by the oracle as a gated CASE chain), so expected
+  // occupancy stays ~25 as n grows and the pair volume stays ~linear.
+  // Clustering semantics are unchanged (cosine ≥ 0.35 edges, per-cell
+  // local union-find, min-label components, keep = cluster min);
+  // what changes is the candidate CELL definition — the standard
+  // scalable SemDeDup trade (random-projection cells instead of
+  // learned centroids), with q105 kept as the learned-cell baseline.
+  private def q207(s: SparkSession, dir: String): DataFrame = {
+    val n = load(s, dir, "embeddings").count() // metadata-only count
+    val planes = graft.ops.AnnIndex.scaledPlaneCount(n, AnnPlanes, ScaledTargetDepth)
+    require(planes <= MaxScaledPlanes,
+      s"corpus of $n embeddings needs $planes planes > MaxScaledPlanes=" +
+        s"$MaxScaledPlanes — raise the cap (and the oracle's unrolled bits)")
+    val e = withNorm(s, load(s, dir, "embeddings"))
+    val bucketed = graft.ops.AnnIndex.withBucket(e, "v", planes, Dims).cache()
+    val a = bucketed.select(col("vec_id").as("src"), col("v").as("va"),
+      col("norm").as("na"), col("bucket"))
+    val edges = a.join(
+        bucketed.select(col("vec_id").as("dst"), col("v").as("vb"),
+          col("norm").as("nb"), col("bucket")), Seq("bucket"))
+      .filter(col("src") < col("dst"))
+      .filter((expr("dot_product(va, vb)") / (col("na") * col("nb"))) >= 0.35)
+      .select(col("bucket").as("cell_id"), col("src"), col("dst"))
+    val members = bucketed.select(col("bucket").as("cell_id"), col("vec_id"))
+    val labeled = graft.ops.ConnectedComponents.labelWithinGroups(members, edges)
+    val sizes = labeled.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "label")
+      .select(col("id").as("vec_id"), col("label").as("cluster_id"),
+        col("cluster_size"), (col("id") === col("label")).as("keep"))
+  }
+  private val q207Sql = {
+    val bsql = graft.ops.AnnIndex.bucketSqlGated(
+      "v", MaxScaledPlanes, Dims, "planes")
+    val psql = graft.ops.AnnIndex.planeCountSqlGuarded(
+      "n", AnnPlanes, MaxScaledPlanes, ScaledTargetDepth)
+    s"""WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+      |  FROM embeddings),
+      |params AS (
+      |  SELECT $psql AS planes
+      |  FROM (SELECT COUNT(*) AS n FROM embeddings)),
+      |bucketed AS (
+      |  SELECT vec_id, v, norm, $bsql AS bucket FROM e CROSS JOIN params),
+      |sem_edges AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst
+      |  FROM bucketed a JOIN bucketed b
+      |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |  WHERE LIST_DOT_PRODUCT(a.v, b.v) / (a.norm * b.norm) >= 0.35),
+      |und AS (SELECT src, dst FROM sem_edges
+      |  UNION ALL SELECT dst, src FROM sem_edges),
+      |${OracleCc.cc("SELECT vec_id AS id, vec_id AS label FROM embeddings", "und")},
+      |sizes AS (
+      |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      |  FROM comp GROUP BY 1)
+      |SELECT c.id AS vec_id, c.cluster_id, s.cluster_size,
+      |  (c.id = c.cluster_id) AS keep
+      |FROM comp c JOIN sizes s USING (cluster_id)""".stripMargin
   }
 
   // q37 — array/higher-order-function battery over embeddings:
