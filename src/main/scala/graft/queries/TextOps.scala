@@ -728,12 +728,21 @@ object TextOps {
       |ORDER BY bm25_scaled DESC, doc_id LIMIT 20""".stripMargin
 
   /** PPJoin positional-filter switch for the exact-join family
-    * (q132/q136). `on` (default) prunes each prefix-collision row whose
-    * colliding ranks make the overlap threshold unreachable; `off` is
-    * the r11 prefix-only shape, kept as the A/B arm.
-    * PpJoinPositionalSpec pins on == off row sets and the default. */
-  private def ppjoinPositionalOn(s: SparkSession): Boolean = {
-    val v = s.conf.get("spark.graft.ppjoin.positional", "on")
+    * (q132/q136). `on` prunes each prefix-collision row whose colliding
+    * ranks make the overlap threshold unreachable; `off` is the r11
+    * prefix-only shape, kept as the A/B arm. The DEFAULT is per-query,
+    * decided by same-boot interleaved A/B plus an old-vs-new BenchOne
+    * pair (tools/bench_ab_r12_ppjoin.txt, ARCHITECTURE §8.9): q132
+    * defaults ON (its symmetric threshold binds both prefix sides:
+    * −50%/−52% mins at sf1/sf3-organic, −29% in-suite at sf0.1);
+    * q136 defaults OFF (its filter needs ranks on the INDEX side,
+    * whose window+cache materialization costs ~2× at sf0.1 — old-shape
+    * min 3.75 s vs 7.21 s same boot — while buying only −14% mins on
+    * the saturated sf3 corpus; `on` is the documented arm for corpora
+    * dense enough that the collision stream dominates the index pass).
+    * PpJoinPositionalSpec pins on == off row sets and both defaults. */
+  private def ppjoinPositionalOn(s: SparkSession, default: String): Boolean = {
+    val v = s.conf.get("spark.graft.ppjoin.positional", default)
     require(Set("on", "off").contains(v),
       s"spark.graft.ppjoin.positional must be on|off, got '$v'")
     v == "on"
@@ -799,7 +808,7 @@ object TextOps {
     // even the bound can't reach the threshold is LOSSLESS per row.
     // Integer-exact: bound ≥ ⌈x/3⌉ ⟺ 3·bound ≥ x.
     val positional =
-      if (ppjoinPositionalOn(s))
+      if (ppjoinPositionalOn(s, default = "on"))
         (least(col("a.m") - col("a.r"), col("b.m") - col("b.r")) + 1) * 3 >=
           col("a.n_sh") + col("b.n_sh")
       else lit(true)
@@ -1027,38 +1036,58 @@ object TextOps {
   private def q136(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(s, dir).cache()
     val nsh = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
-    // the ranked df≥2 token stream feeds BOTH join sides (df = 1 means
-    // only one doc carries the shingle — it cannot produce a cross-doc
-    // collision on either side) — cache it once
-    val ranked = rankedDfTokens(sh).join(nsh, Seq("doc_id")).cache()
-    val prefixA = ranked
-      .filter(col("r") <= expr("n_sh div 5 + 1"))
-      .select(col("doc_id").as("doc_a"), col("shingle"),
-        col("n_sh").as("pn_a"), col("r").as("r_a"), col("m").as("m_a"))
-    val indexB = ranked
-      .select(col("doc_id").as("doc_b"), col("shingle"),
-        col("n_sh").as("pn_b"), col("r").as("r_b"), col("m").as("m_b"))
-    // POSITIONAL filter (PPJoin, Xiao et al. WWW'08 §3.2; losslessness
-    // argument at q132): containment ≥ 0.8 needs overlap ≥ ⌈4·n_a/5⌉,
-    // a collision at ranks (r_a, r_b) bounds overlap by
-    // 1 + min(m_a−r_a, m_b−r_b), and a qualifying pair's first common
-    // token is inside a's prefix AND (trivially) in b's full index, so
-    // its row always survives. On b's side this acts as a DYNAMIC
-    // prefix: late-rank index tokens only survive for small partners —
-    // the asymmetric-containment case where no static index prefix
-    // exists (a tiny doc can be contained in a huge one, forcing the
-    // index to keep every token; the positional bound recovers the
-    // pruning per collision instead). Integer-exact:
-    // bound ≥ ⌈4·n_a/5⌉ ⟺ 5·bound ≥ 4·n_a.
-    val positional =
-      if (ppjoinPositionalOn(s))
-        (least(col("m_a") - col("r_a"), col("m_b") - col("r_b")) + 1) * 5 >=
-          col("pn_a") * 4
-      else lit(true)
-    val cand = prefixA.join(indexB, Seq("shingle"))
-      .filter(col("doc_a") =!= col("doc_b") && col("pn_b") * 5 >= col("pn_a") * 4 &&
-        positional)
-      .select(col("doc_a"), col("doc_b")).distinct()
+    // POSITIONAL arm (conf on; losslessness argument at q132):
+    // containment ≥ 0.8 needs overlap ≥ ⌈4·n_a/5⌉, a collision at
+    // ranks (r_a, r_b) bounds overlap by 1 + min(m_a−r_a, m_b−r_b),
+    // and a qualifying pair's first common token is inside a's prefix
+    // AND (trivially) in b's full index, so its row always survives.
+    // On b's side this acts as a DYNAMIC prefix: late-rank index
+    // tokens only survive for small partners — the asymmetric-
+    // containment case where no static index prefix exists (a tiny
+    // doc can be contained in a huge one, forcing the index to keep
+    // every token). Integer-exact: bound ≥ ⌈4·n_a/5⌉ ⟺ 5·bound ≥ 4·n_a.
+    // The arm's PRICE is structural, which is why the arms are two
+    // lineages and off is the default: the index side must carry
+    // ranks, i.e. the whole df≥2 stream flows through the per-doc
+    // window and a cache materializes it — ~2× q136's sf0.1 wall for
+    // a −14% min at the saturated sf3 corpus (ARCHITECTURE §8.9).
+    val cand = if (ppjoinPositionalOn(s, default = "off")) {
+      val ranked = rankedDfTokens(sh).join(nsh, Seq("doc_id")).cache()
+      val prefixA = ranked
+        .filter(col("r") <= expr("n_sh div 5 + 1"))
+        .select(col("doc_id").as("doc_a"), col("shingle"),
+          col("n_sh").as("pn_a"), col("r").as("r_a"), col("m").as("m_a"))
+      val indexB = ranked
+        .select(col("doc_id").as("doc_b"), col("shingle"),
+          col("n_sh").as("pn_b"), col("r").as("r_b"), col("m").as("m_b"))
+      prefixA.join(indexB, Seq("shingle"))
+        .filter(col("doc_a") =!= col("doc_b") &&
+          col("pn_b") * 5 >= col("pn_a") * 4 &&
+          (least(col("m_a") - col("r_a"), col("m_b") - col("r_b")) + 1) * 5 >=
+            col("pn_a") * 4)
+        .select(col("doc_a"), col("doc_b")).distinct()
+    } else {
+      // default arm — the r11 shape: the exploded token stream is read
+      // three times (df count, prefix ranking, index side) — cache it
+      // once; the index side never touches a window
+      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle")).cache()
+      val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      val prefixA = ex.join(dfreq, Seq("shingle"))
+        // df = 1 means only one doc carries the shingle — it cannot
+        // produce a cross-doc collision on either side of the join
+        .filter(col("df") >= 2)
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))).cast("long"))
+        .join(nsh, Seq("doc_id"))
+        .filter(col("r") <= expr("n_sh div 5 + 1"))
+        .select(col("doc_id").as("doc_a"), col("shingle"), col("n_sh").as("pn_a"))
+      val indexB = ex.join(dfreq.filter(col("df") >= 2), Seq("shingle"))
+        .join(nsh, Seq("doc_id"))
+        .select(col("doc_id").as("doc_b"), col("shingle"), col("n_sh").as("pn_b"))
+      prefixA.join(indexB, Seq("shingle"))
+        .filter(col("doc_a") =!= col("doc_b") && col("pn_b") * 5 >= col("pn_a") * 4)
+        .select(col("doc_a"), col("doc_b")).distinct()
+    }
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))

@@ -40,25 +40,47 @@ class PpJoinPositionalSpec extends AnyFunSuite {
     }
   }
 
-  test("default arm is positional-on: the q136 join carries the rank bound") {
-    // the off arm's q136 join has no least() anywhere (its length filter
-    // is pure multiplication); the positional bound introduces one — so
-    // presence of least() in the optimized plan pins the default
-    // structurally, the way Q194StorageVariantSpec pins its no-cache
-    // default (a silent flip to "off" cannot pass this)
+  // The defaults are PER-QUERY, decided by measurement (TextOps
+  // rationale at ppjoinPositionalOn): q132 on, q136 off. Pin both
+  // structurally, the way Q194StorageVariantSpec pins its no-cache
+  // default — a silent default flip cannot pass these.
+  test("q136 default arm is positional-OFF: no rank bound, no window cache") {
+    // the off arm's q136 join has no least() anywhere (its length
+    // filter is pure multiplication); the positional bound introduces
+    // one, and its ranked lineage also caches the windowed stream
     spark.conf.unset(conf)
     spark.catalog.clearCache()
     val plan = SparkEntry.queries("q136_containment_join")(spark, dir)
       .queryExecution.optimizedPlan.toString
-    assert(plan.contains("least("),
-      "default q136 plan lost the positional rank bound — default must be on")
+    assert(!plan.contains("least("),
+      "default q136 plan carries the positional rank bound — default must be off")
+    spark.conf.set(conf, "on")
+    try {
+      spark.catalog.clearCache()
+      val on = SparkEntry.queries("q136_containment_join")(spark, dir)
+        .queryExecution.optimizedPlan.toString
+      assert(on.contains("least("),
+        "on arm lost the positional bound — the structural pin above is unsound")
+    } finally { spark.conf.unset(conf); spark.catalog.clearCache() }
+  }
+
+  test("q132 default arm is positional-ON: the join carries the rank bound") {
+    // q132's length filter also uses least(), so pin on the BOUND's
+    // operands instead: the positional predicate is the only place a
+    // least() is applied over the m/r rank attributes
+    spark.conf.unset(conf)
+    spark.catalog.clearCache()
+    val plan = SparkEntry.queries("q132_prefix_join")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("least((m#"),
+      "default q132 plan lost the positional rank bound — default must be on")
     spark.conf.set(conf, "off")
     try {
       spark.catalog.clearCache()
-      val off = SparkEntry.queries("q136_containment_join")(spark, dir)
+      val off = SparkEntry.queries("q132_prefix_join")(spark, dir)
         .queryExecution.optimizedPlan.toString
-      assert(!off.contains("least("),
-        "off arm unexpectedly contains least() — the structural pin above is unsound")
+      assert(!off.contains("least((m#"),
+        "off arm unexpectedly carries the rank bound — the structural pin above is unsound")
     } finally { spark.conf.unset(conf); spark.catalog.clearCache() }
   }
 
