@@ -629,11 +629,23 @@ object SimilarityOps {
   // thing in different words but land close in embedding space. The
   // scale shape is exactly the paper's: cluster the corpus coarsely
   // (q31's IVF cells stand in for their k-means), compare only WITHIN a
-  // cell (candidate pairs ∝ n·cellsize, never n²), connect pairs above
-  // the cosine threshold, and keep one canonical representative
-  // (min vec_id) per semantic cluster. Components via the same
-  // ConnectedComponents operator as q67; the oracle replays closure
-  // with a recursive CTE — two more independent formulations agreeing.
+  // cell, connect pairs above the cosine threshold, and keep one
+  // canonical representative (min vec_id) per semantic cluster.
+  //
+  // SCALE BOUND (measured, r12 §8.10): this is the LEARNED-CELL
+  // BASELINE, and it is QUADRATIC in n. The cell count is FIXED (label
+  // centroids), so cellsize ∝ n and the within-cell pair join is
+  // ∝ n·cellsize = n²/cells — the sf3→sf10 organic probe read 9.5×
+  // wall for 3.33× rows (tools/slope_r12_sf10org.txt). Do NOT ship
+  // this form at 100 TB: the scale path is q207_semdedup_scaled, whose
+  // ⌈log₂(n/25)⌉ hyperplane cells hold occupancy (~25) as n grows and
+  // keep the pair volume ~linear (measured 2.1× at the same decade
+  // step), with identical clustering semantics. q105 stays in the
+  // catalog as the labeled baseline, the role q16 plays for MinHash.
+  //
+  // Components via the same ConnectedComponents operator as q67; the
+  // oracle replays closure with a recursive CTE — two more independent
+  // formulations agreeing.
   // Cross-cell paraphrase pairs are missed by construction (the paper's
   // stated trade); raising recall = probing neighbor cells, multiplying
   // candidates by nprobe, never by n.
@@ -692,9 +704,12 @@ object SimilarityOps {
   // generation keep? Exact side = all-pairs cosine ≥ 0.35 (the same
   // brute-force shape as q20, run as an audit on a bounded sample);
   // kept side = the subset of those pairs whose endpoints share an IVF
-  // cell — by construction EXACTLY the edges q105 can see, computed by
-  // joining the exact pairs to the assignment instead of re-running any
-  // dot products. Completes the audit family: q73 (MinHash vs exact
+  // cell — by construction EXACTLY the edges q105's learned-cell
+  // baseline can see (fixed cell count, so the candidate volume it
+  // audits is the quadratic form — see q105's scale bound; at scale
+  // the same audit shape applies verbatim to q207's hyperplane cells),
+  // computed by joining the exact pairs to the assignment instead of
+  // re-running any dot products. Completes the audit family: q73 (MinHash vs exact
   // Jaccard), q87 (ANN recall@k), q101 (PQ recall), and now the dedup
   // candidate graph itself — the number that tells a pipeline owner how
   // much semantic-dup mass cell-bounding trades away (the SemDeDup
@@ -816,7 +831,10 @@ object SimilarityOps {
   // from whatever supervision exists (labels here), so the query emits
   // the negative side. Singleton cells yield NULL hard negatives (kept
   // — the dataloader falls back to easy-only).
-  // Shape at 100 TB: in-cell pairs ∝ n·cellsize (never n²), best-per-
+  // Shape at 100 TB: in-cell pairs ∝ n·cellsize — and because IVF
+  // cells here are a FIXED count, cellsize ∝ n, so this carries q105's
+  // quadratic bound (r12 §8.10); at corpus scale swap the candidate
+  // cells for q207's occupancy-held hyperplane buckets. Best-per-
   // anchor via the native TopKPerGroup scan; the rank ring uses one
   // global ROW_NUMBER at audit scale — the production form assigns
   // ranks with ops/GlobalIndex (range exchange, no single-partition

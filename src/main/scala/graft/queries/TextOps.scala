@@ -783,7 +783,9 @@ object TextOps {
   // tokens are each doc's rarest → candidate fan-out per token is
   // tiny by construction (a high-df token never lands in a prefix
   // unless the doc is short); the verification join touches only
-  // candidates.
+  // candidates. PPJoin positional filter: default ON here (symmetric
+  // threshold binds both prefix sides; −50%/−52% organic mins, §8.9)
+  // — q136 defaults OFF; switch: spark.graft.ppjoin.positional.
   private def q132(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(s, dir).cache()
     val nsh = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
@@ -1032,7 +1034,10 @@ object TextOps {
   // construction), like q132. Shape at 100 TB: probe side carries only
   // prefix tokens (rare by construction → tiny fan-out), index side is
   // the full exploded corpus partitioned by shingle — the standard
-  // asymmetric similarity-join layout.
+  // asymmetric similarity-join layout. PPJoin positional filter:
+  // default OFF here (unlike q132's ON — the index-side rank window
+  // costs ~2× at sf0.1 for −14% at saturation, §8.9); switch:
+  // spark.graft.ppjoin.positional.
   private def q136(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(s, dir).cache()
     val nsh = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
@@ -1052,6 +1057,11 @@ object TextOps {
     // window and a cache materializes it — ~2× q136's sf0.1 wall for
     // a −14% min at the saturated sf3 corpus (ARCHITECTURE §8.9).
     val cand = if (ppjoinPositionalOn(s, default = "off")) {
+      // Cache lifetime: the result is lazy, so there is no sound place
+      // to unpersist inside the builder — like every per-query cache
+      // in this file, cleanup is the harness's catalog.clearCache()
+      // between queries (Bench/Verify/BenchOne/BenchAB); tests that
+      // run both arms in one session must clearCache() between them.
       val ranked = rankedDfTokens(sh).join(nsh, Seq("doc_id")).cache()
       val prefixA = ranked
         .filter(col("r") <= expr("n_sh div 5 + 1"))

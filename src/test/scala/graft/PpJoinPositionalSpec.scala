@@ -41,47 +41,44 @@ class PpJoinPositionalSpec extends AnyFunSuite {
   }
 
   // The defaults are PER-QUERY, decided by measurement (TextOps
-  // rationale at ppjoinPositionalOn): q132 on, q136 off. Pin both
-  // structurally, the way Q194StorageVariantSpec pins its no-cache
-  // default — a silent default flip cannot pass these.
-  test("q136 default arm is positional-OFF: no rank bound, no window cache") {
-    // the off arm's q136 join has no least() anywhere (its length
-    // filter is pure multiplication); the positional bound introduces
-    // one, and its ranked lineage also caches the windowed stream
-    spark.conf.unset(conf)
-    spark.catalog.clearCache()
-    val plan = SparkEntry.queries("q136_containment_join")(spark, dir)
-      .queryExecution.optimizedPlan.toString
-    assert(!plan.contains("least("),
-      "default q136 plan carries the positional rank bound — default must be off")
-    spark.conf.set(conf, "on")
+  // rationale at ppjoinPositionalOn): q132 on, q136 off. Pin both by
+  // PLAN EQUALITY against the explicitly-set arms (ADVICE r12: raw
+  // substring pins like "least((m#" are brittle against attribute-id
+  // formatting and optimizer rewrites): the default-arm plan must
+  // equal one explicit arm's plan and differ from the other's, after
+  // normalizing the per-analysis expression ids (#123 → #) that
+  // legitimately differ between two builds of the same query.
+  private def normalizedPlan(name: String, arm: Option[String]): String = {
+    arm match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
     try {
       spark.catalog.clearCache()
-      val on = SparkEntry.queries("q136_containment_join")(spark, dir)
+      SparkEntry.queries(name)(spark, dir)
         .queryExecution.optimizedPlan.toString
-      assert(on.contains("least("),
-        "on arm lost the positional bound — the structural pin above is unsound")
+        .replaceAll("#\\d+", "#")
+        .replaceAll("plan_id=\\d+", "plan_id=")
+        .replaceAll("\\bid = #?\\d+", "id = ")
     } finally { spark.conf.unset(conf); spark.catalog.clearCache() }
   }
 
-  test("q132 default arm is positional-ON: the join carries the rank bound") {
-    // q132's length filter also uses least(), so pin on the BOUND's
-    // operands instead: the positional predicate is the only place a
-    // least() is applied over the m/r rank attributes
-    spark.conf.unset(conf)
-    spark.catalog.clearCache()
-    val plan = SparkEntry.queries("q132_prefix_join")(spark, dir)
-      .queryExecution.optimizedPlan.toString
-    assert(plan.contains("least((m#"),
-      "default q132 plan lost the positional rank bound — default must be on")
-    spark.conf.set(conf, "off")
-    try {
-      spark.catalog.clearCache()
-      val off = SparkEntry.queries("q132_prefix_join")(spark, dir)
-        .queryExecution.optimizedPlan.toString
-      assert(!off.contains("least((m#"),
-        "off arm unexpectedly carries the rank bound — the structural pin above is unsound")
-    } finally { spark.conf.unset(conf); spark.catalog.clearCache() }
+  for ((name, defaultArm, otherArm) <- Seq(
+      ("q132_prefix_join", "on", "off"),
+      ("q136_containment_join", "off", "on"))) {
+    test(s"$name default arm is positional-${defaultArm.toUpperCase}: " +
+        "default plan == explicit arm's plan") {
+      val dflt = normalizedPlan(name, None)
+      val same = normalizedPlan(name, Some(defaultArm))
+      val other = normalizedPlan(name, Some(otherArm))
+      assert(same != other,
+        s"$name: the two arms optimized to identical plans — this pin " +
+          "can no longer distinguish the default (arms merged?)")
+      assert(dflt == same,
+        s"$name: default plan != explicit-$defaultArm plan — default flipped")
+      assert(dflt != other,
+        s"$name: default plan == explicit-$otherArm plan — default flipped")
+    }
   }
 
   test("an unrecognized arm fails loud, not as a silent default") {

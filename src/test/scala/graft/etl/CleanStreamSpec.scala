@@ -82,6 +82,53 @@ class CleanStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming enrich: partition budget converges a fully-hung transport to ERROR_API") {
+    // VERDICT r12 item 8: runStream reuses `pipelined` with the
+    // per-partition cumulative budget — prove the STREAMING verb (not
+    // just batch EnrichSpec) degrades a transport that hangs every
+    // call to the ERROR_API tuple within budget. 463 rows / conc 2 =
+    // ~232 waves; without the budget this microbatch would take
+    // 232 × 400 ms ≈ 93 s — with it, ≤ budget + one wave's drain.
+    object HangingClient extends LlmClient {
+      override def enrich(title: String, content: String): LlmResult = {
+        val end = System.nanoTime() + 30L * 1000000000L
+        while (System.nanoTime() < end) {
+          try Thread.sleep(200) catch { case _: InterruptedException => () }
+        }
+        LlmResult("NEVER", "NEVER", "NEVER")
+      }
+    }
+    val in = Files.createTempDirectory("budget_stream_in")
+    Files.copy(java.nio.file.Paths.get(jsonl), in.resolve("all.jsonl"))
+    val cleanOut = Files.createTempDirectory("budget_stream_clean").toString
+    val q1 = Clean.runStream(spark, in.toString, cleanOut,
+      Files.createTempDirectory("budget_ckpt1").toString)
+    q1.processAllAvailable(); q1.stop()
+
+    val enrichOut = Files.createTempDirectory("budget_stream_enrich").toString
+    val t0 = System.nanoTime()
+    val q2 = Enrich.runStream(spark, cleanOut, enrichOut,
+      Files.createTempDirectory("budget_ckpt2").toString,
+      Enrich.Config(client = HangingClient, maxConcurrentPerTask = 2,
+        waveTimeoutMs = 400L, partitionTimeoutMs = 900L,
+        maxPartitions = Some(1)))
+    q2.processAllAvailable(); q2.stop()
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    val rows = spark.read.parquet(enrichOut)
+      .collect() // collect-scale: test assertion, 463-row fixture
+    assert(rows.length == spark.read.parquet(cleanOut).count(),
+      "budget degradation must not lose rows")
+    rows.foreach { r =>
+      assert(r.getAs[String]("sentiment_llm") == "ERROR_API" &&
+        r.getAs[String]("category_llm") == "ERROR_API" &&
+        r.getAs[String]("market_impact_summary") == "ERROR_API",
+        s"hung call must degrade to the ERROR_API tuple, got $r")
+    }
+    assert(secs < 30.0,
+      f"stream-side partition budget did not converge the hang: $secs%.1f s")
+  }
+
   test("quarantine stream routes corrupt lines to the side sink, clean rows forward") {
     val in = Files.createTempDirectory("q_stream_in")
     val corrupt = """{"link":"http://a/8","headline":"Broken"""
