@@ -454,7 +454,7 @@ object TextOps {
       |  SELECT doc_id, bit, SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
       |  FROM tok CROSS JOIN GENERATE_SERIES(0, 59) g(bit)
       |  GROUP BY doc_id, bit),
-      |sigs AS (
+      |sigs AS MATERIALIZED (
       |  SELECT doc_id,
       |    CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
       |  FROM bits GROUP BY doc_id)""".stripMargin
@@ -2249,18 +2249,43 @@ object TextOps {
         (col("n_members") - 1).as("n_dropped"),
         (col("best.quality") - col("min_quality")).as("quality_margin"))
   }
-  private lazy val q161Sql =
-    s"""WITH RECURSIVE $simhashSql,
-      |banded AS (
+  // Oracle edges: STAR CONTRACTION, not the pairwise clique (VERDICT
+  // r12 item 3). A band bucket's members are all mutually reachable
+  // through the bucket, so linking each member to the bucket's MIN
+  // member yields identical components at O(Σk) edges instead of
+  // O(Σk²) clique pairs — at sf3-organic that is 569k rows vs 245M,
+  // the difference between a 40 s oracle and an 80 GB spill death
+  // inside the 24-round materialized CC. Star paths are at most 2×
+  // the clique paths, so the propagation gets 48 rounds (cheap at
+  // linear edge count; OracleCc still hard-errors if unconverged).
+  // The clique-closure formulation REMAINS the gate's independence
+  // check where it is affordable (q67/q126/q86's own oracles at
+  // sf≤0.1); this restructuring is only for the funnel composites
+  // whose oracle must also survive decade-2 corpora.
+  // MATERIALIZED on `und` is as load-bearing as on OracleCc's rounds:
+  // every one of the 48 propagation rounds references `und`, and DuckDB
+  // inlines plain CTEs per reference — un-materialized, each round
+  // re-expands und → banded → sigs → the 495M-row simhash bit
+  // aggregation, which is how the first r13 attempt spilled 33 GB on
+  // LINEAR edges. `sigs` is marked MATERIALIZED in simhashSql for the
+  // same reason (referenced by both the bands and the CC seed).
+  private val starUndSql =
+    """banded AS MATERIALIZED (
       |  SELECT doc_id, i AS band_idx, (simhash >> CAST(i * 15 AS INT)) & 32767 AS band_val
       |  FROM sigs CROSS JOIN GENERATE_SERIES(0, 3) g(i)),
+      |bmin AS (
+      |  SELECT band_idx, band_val, MIN(doc_id) AS mdoc
+      |  FROM banded GROUP BY 1, 2),
       |edges AS (
-      |  SELECT a.doc_id AS src, b.doc_id AS dst
-      |  FROM banded a JOIN banded b
-      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-      |    AND a.doc_id < b.doc_id),
-      |und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
-      |${OracleCc.cc("SELECT doc_id AS id, doc_id AS label FROM sigs", "und", idAlias = "doc_id")},
+      |  SELECT DISTINCT b.doc_id AS src, m.mdoc AS dst
+      |  FROM banded b JOIN bmin m USING (band_idx, band_val)
+      |  WHERE b.doc_id <> m.mdoc),
+      |und AS MATERIALIZED (
+      |  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)""".stripMargin
+  private lazy val q161Sql =
+    s"""WITH RECURSIVE $simhashSql,
+      |$starUndSql,
+      |${OracleCc.cc("SELECT doc_id AS id, doc_id AS label FROM sigs", "und", idAlias = "doc_id", rounds = 48)},
       |scored AS (
       |  SELECT c.doc_id, c.cluster_id, d.n_chars,
       |    (CAST(LEN(LIST_DISTINCT(STRING_SPLIT(d.text, ' '))) AS BIGINT) * 1000)
@@ -2386,13 +2411,26 @@ object TextOps {
     counts.join(stats, Seq("hamming"), "left")
       .orderBy(col("hamming"))
   }
+  // Oracle's exact-Jaccard side is SPILL-LEAN (VERDICT r12 item 3): a
+  // per-pair LIST_INTERSECT over two shipped shingle lists measured
+  // ~57 µs/pair at sf3-organic — ~3,450 s for its 60.7M probe pairs,
+  // the 5400 s oracle timeout. `pcom` instead counts common shingles
+  // through the exploded (doc, shingle) relation: the probe stream
+  // flows through two hash joins whose build sides are the narrow
+  // 7.2M-row shingle relation, and no row ever carries a list. Pairs
+  // with zero common shingles fall out of `pcom` and are restored by
+  // the LEFT JOIN + COALESCE; the inner `sz` joins reproduce the
+  // original's exclusion of <3-word endpoints. The multi-referenced
+  // CTEs (cand, shd, exsh, probe) are MATERIALIZED — DuckDB inlines
+  // plain CTEs per reference, so without it `counts` and `probe` would
+  // each recompute the 53 s / 242M-row candidate build.
   private lazy val q168Sql =
     s"""WITH $simhashSql,
       |banded AS (
       |  SELECT doc_id, simhash, i AS band_idx,
       |    (simhash >> CAST(i * 15 AS INT)) & 32767 AS band_val
       |  FROM sigs CROSS JOIN GENERATE_SERIES(0, 3) g(i)),
-      |cand AS (
+      |cand AS MATERIALIZED (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    CAST(BIT_COUNT(XOR(MIN(a.simhash), MIN(b.simhash))) AS BIGINT)
       |      AS hamming
@@ -2400,7 +2438,7 @@ object TextOps {
       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
       |    AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
-      |shd AS (
+      |shd AS MATERIALIZED (
       |  SELECT doc_id,
       |    LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 2),
       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
@@ -2408,14 +2446,22 @@ object TextOps {
       |  WHERE LEN(w) >= 3),
       |counts AS (
       |  SELECT hamming, COUNT(*) AS n_pairs FROM cand GROUP BY hamming),
+      |sz AS (SELECT doc_id, CAST(LEN(sh) AS BIGINT) AS nsh FROM shd),
+      |exsh AS MATERIALIZED (SELECT doc_id, UNNEST(sh) AS s FROM shd),
+      |probe AS MATERIALIZED (SELECT doc_a, doc_b, hamming FROM cand WHERE doc_a % 4 = 0),
+      |pcom AS (
+      |  SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS common
+      |  FROM probe p JOIN exsh x ON x.doc_id = p.doc_a
+      |               JOIN exsh y ON y.doc_id = p.doc_b AND y.s = x.s
+      |  GROUP BY 1, 2),
       |jc AS (
-      |  SELECT c.hamming,
-      |    CAST(LEN(LIST_INTERSECT(x.sh, y.sh)) AS BIGINT) * 1000
-      |      // (LEN(x.sh) + LEN(y.sh) - LEN(LIST_INTERSECT(x.sh, y.sh)))
-      |      AS jac_permille
-      |  FROM cand c JOIN shd x ON c.doc_a = x.doc_id
-      |              JOIN shd y ON c.doc_b = y.doc_id
-      |  WHERE c.doc_a % 4 = 0),
+      |  SELECT p.hamming,
+      |    COALESCE(c.common, 0) * 1000
+      |      // (za.nsh + zb.nsh - COALESCE(c.common, 0)) AS jac_permille
+      |  FROM probe p
+      |  JOIN sz za ON za.doc_id = p.doc_a
+      |  JOIN sz zb ON zb.doc_id = p.doc_b
+      |  LEFT JOIN pcom c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b),
       |stats AS (
       |  SELECT hamming, COUNT(*) AS n_probe,
       |    CAST(SUM(jac_permille) AS BIGINT) // COUNT(*) AS avg_jac_permille,
@@ -2574,18 +2620,11 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs")))
       .orderBy(col("stage"))
   }
+  // Star-contracted CC edges, like q161Sql (rationale at starUndSql).
   private lazy val q171Sql =
     s"""WITH RECURSIVE $simhashSql,
-      |banded AS (
-      |  SELECT doc_id, i AS band_idx, (simhash >> CAST(i * 15 AS INT)) & 32767 AS band_val
-      |  FROM sigs CROSS JOIN GENERATE_SERIES(0, 3) g(i)),
-      |edges AS (
-      |  SELECT a.doc_id AS src, b.doc_id AS dst
-      |  FROM banded a JOIN banded b
-      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-      |    AND a.doc_id < b.doc_id),
-      |und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
-      |${OracleCc.cc("SELECT doc_id AS id, doc_id AS label FROM sigs", "und", idAlias = "doc_id")},
+      |$starUndSql,
+      |${OracleCc.cc("SELECT doc_id AS id, doc_id AS label FROM sigs", "und", idAlias = "doc_id", rounds = 48)},
       |q AS (
       |  SELECT doc_id, text, n_chars,
       |    (CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT) * 1000)
