@@ -2411,19 +2411,26 @@ object TextOps {
     counts.join(stats, Seq("hamming"), "left")
       .orderBy(col("hamming"))
   }
-  // Oracle's exact-Jaccard side is SPILL-LEAN (VERDICT r12 item 3): a
-  // per-pair LIST_INTERSECT over two shipped shingle lists measured
-  // ~57 µs/pair at sf3-organic — ~3,450 s for its 60.7M probe pairs,
-  // the 5400 s oracle timeout. `pcom` instead counts common shingles
-  // through the exploded (doc, shingle) relation: the probe stream
-  // flows through two hash joins whose build sides are the narrow
-  // 7.2M-row shingle relation, and no row ever carries a list. Pairs
-  // with zero common shingles fall out of `pcom` and are restored by
-  // the LEFT JOIN + COALESCE; the inner `sz` joins reproduce the
+  // Oracle's exact-Jaccard side is SPILL-LEAN, v3 (VERDICT r12 item 3).
+  // Two prior forms died at sf3-organic: (v1) a per-pair LIST_INTERSECT
+  // over STRING shingle lists — ~57 µs/pair × 60.7M probe pairs ≈ the
+  // 5400 s timeout; (v2) an exploded (doc, shingle) co-occurrence join
+  // — no row carried a list, but the probe × exploded-shingle stream
+  // (60.7M pairs × ~60 common rows each) plus the 242M-row candidate
+  // materialization spilled past the sandbox's ~75 GB free disk even
+  // at 28 threads / 80 GB memory (measured twice, r13). v3 keeps the
+  // per-pair intersect shape but on DENSE INTEGER ids: `dict` numbers
+  // the ~29k distinct shingles once (ROW_NUMBER over a sorted scan —
+  // a bijection, so intersect cardinalities are bit-identical), and
+  // each doc ships one ~60-element INT list instead of a string list.
+  // Int-list LIST_INTERSECT measures ~25× cheaper than string-list
+  // (no per-element string compare/alloc), so the probe stream is
+  // pure CPU with zero join fan-out and zero spill beyond `cand`'s
+  // own materialization. The inner `ilist` joins reproduce the
   // original's exclusion of <3-word endpoints. The multi-referenced
-  // CTEs (cand, shd, exsh, probe) are MATERIALIZED — DuckDB inlines
-  // plain CTEs per reference, so without it `counts` and `probe` would
-  // each recompute the 53 s / 242M-row candidate build.
+  // CTEs (cand, shd, probe, dict, ilist) are MATERIALIZED — DuckDB
+  // inlines plain CTEs per reference, so without it `counts` and
+  // `probe` would each recompute the 53 s / 242M-row candidate build.
   private lazy val q168Sql =
     s"""WITH $simhashSql,
       |banded AS (
@@ -2446,22 +2453,24 @@ object TextOps {
       |  WHERE LEN(w) >= 3),
       |counts AS (
       |  SELECT hamming, COUNT(*) AS n_pairs FROM cand GROUP BY hamming),
-      |sz AS (SELECT doc_id, CAST(LEN(sh) AS BIGINT) AS nsh FROM shd),
-      |exsh AS MATERIALIZED (SELECT doc_id, UNNEST(sh) AS s FROM shd),
       |probe AS MATERIALIZED (SELECT doc_a, doc_b, hamming FROM cand WHERE doc_a % 4 = 0),
-      |pcom AS (
-      |  SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS common
-      |  FROM probe p JOIN exsh x ON x.doc_id = p.doc_a
-      |               JOIN exsh y ON y.doc_id = p.doc_b AND y.s = x.s
-      |  GROUP BY 1, 2),
+      |dict AS MATERIALIZED (
+      |  SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS sid
+      |  FROM (SELECT DISTINCT UNNEST(sh) AS s FROM shd)),
+      |ilist AS MATERIALIZED (
+      |  SELECT e.doc_id, LIST(d.sid) AS l
+      |  FROM (SELECT doc_id, UNNEST(sh) AS s FROM shd) e
+      |  JOIN dict d USING (s)
+      |  GROUP BY e.doc_id),
       |jc AS (
-      |  SELECT p.hamming,
-      |    COALESCE(c.common, 0) * 1000
-      |      // (za.nsh + zb.nsh - COALESCE(c.common, 0)) AS jac_permille
-      |  FROM probe p
-      |  JOIN sz za ON za.doc_id = p.doc_a
-      |  JOIN sz zb ON zb.doc_id = p.doc_b
-      |  LEFT JOIN pcom c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b),
+      |  SELECT hamming,
+      |    common * 1000 // (la + lb - common) AS jac_permille
+      |  FROM (
+      |    SELECT p.hamming,
+      |      CAST(LEN(LIST_INTERSECT(x.l, y.l)) AS BIGINT) AS common,
+      |      CAST(LEN(x.l) AS BIGINT) AS la, CAST(LEN(y.l) AS BIGINT) AS lb
+      |    FROM probe p JOIN ilist x ON p.doc_a = x.doc_id
+      |                 JOIN ilist y ON p.doc_b = y.doc_id)),
       |stats AS (
       |  SELECT hamming, COUNT(*) AS n_probe,
       |    CAST(SUM(jac_permille) AS BIGINT) // COUNT(*) AS avg_jac_permille,
