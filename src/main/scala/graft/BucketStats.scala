@@ -49,12 +49,18 @@ object BucketStats {
       expr("percentile_approx(c, 0.5, 10000)").as("p50"),
       expr("percentile_approx(c, 0.95, 10000)").as("p95"),
       max(col("c")).as("max"),
-      avg(col("c")).as("mean")).collect()(0) // collect-scale: 1-row agg
+      avg(col("c")).as("mean"),
+      // Σc² is the bucket-join's pair-volume core: q205's candidate
+      // count is ≈ (planes+1)·Σc² (each vector probes its own bucket
+      // plus one per flipped plane), so cross-decade wall ratios should
+      // track (planes+1)·Σc² ratios — if wall grows FASTER than that,
+      // the algorithm (not the data's bucket skew) is super-linear
+      sum(col("c") * col("c")).as("sum_c2")).collect()(0) // collect-scale: 1-row agg
     f"""{"dir":"$dir","n_vecs":$n,"planes":$planes,""" +
       f""""expected_occ":${n.toDouble / (1L << planes)}%.1f,""" +
       f""""n_buckets":${row.getAs[Long]("n_buckets")},""" +
       f""""mean":${row.getAs[Double]("mean")}%.1f,""" +
       f""""p50":${row.getAs[Long]("p50")},"p95":${row.getAs[Long]("p95")},""" +
-      f""""max":${row.getAs[Long]("max")}}"""
+      f""""max":${row.getAs[Long]("max")},"sum_c2":${row.getAs[Long]("sum_c2")}}"""
   }
 }

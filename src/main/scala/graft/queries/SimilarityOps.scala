@@ -1193,12 +1193,16 @@ object SimilarityOps {
     q39Impl(s, dir, lit(true), planes)
   }
 
-  /** Oracle cap on the unrolled signature bits: 16 planes cover corpora
-    * up to 25·2¹⁶ ≈ 1.6M embeddings — far past any fixture scale; the
-    * Spark side requires() the same bound so a breach fails loudly on
-    * both engines rather than silently disagreeing.
+  /** Oracle cap on the unrolled signature bits: 20 planes cover corpora
+    * up to 25·2²⁰ ≈ 26M embeddings; the Spark side requires() the same
+    * bound so a breach fails loudly on both engines rather than
+    * silently disagreeing. Was 16 (≈1.6M) through r12 — the r13
+    * decade-5 slope probe (sf100-organic, 2M vecs → 17 planes) tripped
+    * the require exactly as designed, and the only cost of headroom is
+    * four more gated WHEN branches per signature bit in the oracle
+    * (the Spark side always computes just the ACTIVE planes).
     */
-  private val MaxScaledPlanes = 16
+  private val MaxScaledPlanes = 20
   private val ScaledTargetDepth = 25L
 
   private def q39Impl(s: SparkSession, dir: String, probe: Column,
