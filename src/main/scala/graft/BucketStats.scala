@@ -29,20 +29,33 @@ object BucketStats {
   private val TargetDepth = 25L
   private val Dims = 64
 
+  // q208/q209's cap parameters (same drift-cannot-hide argument: pinned
+  // by the capped queries' oracle SQL and CappedBucketSpec)
+  private val BucketCap = 25L
+  private val MaxExtraPlanes = 6
+
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: BucketStats <sfDir> [<sfDir> ...]")
+    val (capped, dirs) = args.partition(_ == "--capped")
+    require(dirs.nonEmpty,
+      "usage: BucketStats [--capped] <sfDir> [<sfDir> ...]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark: SparkSession = GraftSession.localSession(cpus, Bench.benchConfs)
-    try args.foreach { dir => println(statsJson(spark, dir)) }
+    try dirs.foreach { dir =>
+      println(statsJson(spark, dir, capped = capped.nonEmpty))
+    }
     finally spark.stop()
   }
 
-  def statsJson(spark: SparkSession, dir: String): String = {
+  def statsJson(spark: SparkSession, dir: String, capped: Boolean = false): String = {
     val e = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val n = e.count()
     val planes = ops.AnnIndex.scaledPlaneCount(n, MinPlanes, TargetDepth)
-    val sizes = ops.AnnIndex.withBucket(e, "v", planes, Dims)
+    val bucketed =
+      if (capped) ops.AnnIndex.withCappedBucket(
+        e, "v", planes, Dims, BucketCap, 20, MaxExtraPlanes)
+      else ops.AnnIndex.withBucket(e, "v", planes, Dims)
+    val sizes = bucketed
       .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
     val row = sizes.agg(
       count(lit(1)).as("n_buckets"),
@@ -56,7 +69,7 @@ object BucketStats {
       // track (planes+1)·Σc² ratios — if wall grows FASTER than that,
       // the algorithm (not the data's bucket skew) is super-linear
       sum(col("c") * col("c")).as("sum_c2")).collect()(0) // collect-scale: 1-row agg
-    f"""{"dir":"$dir","n_vecs":$n,"planes":$planes,""" +
+    f"""{"dir":"$dir","capped":$capped,"n_vecs":$n,"planes":$planes,""" +
       f""""expected_occ":${n.toDouble / (1L << planes)}%.1f,""" +
       f""""n_buckets":${row.getAs[Long]("n_buckets")},""" +
       f""""mean":${row.getAs[Double]("mean")}%.1f,""" +

@@ -921,6 +921,8 @@ object SimilarityOps {
     QueryDef("q180_comoment_matrix", q180, Some(q180Sql)),
     QueryDef("q205_ann_scaled_planes", q39ScaledPlanes, Some(q205Sql)),
     QueryDef("q207_semdedup_scaled", q207, Some(q207Sql)),
+    QueryDef("q208_semdedup_capped", q208, Some(q208Sql)),
+    QueryDef("q209_ann_capped", q209, Some(q209Sql)),
   )
 
   // q180 — embedding CO-MOMENT matrix (the second-moment statistics a
@@ -1199,7 +1201,8 @@ object SimilarityOps {
     * silently disagreeing. Was 16 (≈1.6M) through r12 — the r13
     * decade-5 slope probe (sf100-organic, 2M vecs → 17 planes) tripped
     * the require exactly as designed, and the only cost of headroom is
-    * four more gated WHEN branches per signature bit in the oracle
+    * four more gated signature-bit branches in the oracle (one per
+    * added plane — bits 16–19)
     * (the Spark side always computes just the ACTIVE planes).
     */
   private val MaxScaledPlanes = 20
@@ -1355,6 +1358,171 @@ object SimilarityOps {
       |  (c.id = c.cluster_id) AS keep
       |FROM comp c JOIN sizes s USING (cluster_id)""".stripMargin
   }
+
+  // q208/q209 — the CAPPED twins of q207/q205: bound the bucket-size
+  // tail (VERDICT r13 item 1). scaledPlaneCount holds EXPECTED
+  // occupancy, but the measured realized tail ran max/mean 12-18×
+  // across five organic decades (max 291 vs mean 15.7 at 2M vectors,
+  // tools/slope_r13_occupancy.txt) — and pair work rides Σc², i.e. the
+  // tail QUADRATICALLY. A real-world embedding corpus with dense
+  // semantic clusters could concentrate pair volume in ways the global
+  // plane-count formula cannot see. AnnIndex.withCappedBucket splits
+  // any base bucket over BucketCap with count-derived extra signature
+  // bits (expected sub-bucket size in (cap/2, cap]); the cap equals the
+  // occupancy target so the refinement branch is ACTUALLY exercised at
+  // the sf0.01 oracle gate (measured max bucket 29 > 25 there — the
+  // same conflation trap q205's depth constant once hit, avoided by
+  // measurement this time). Semantics: candidates/edges restrict to the
+  // refined cell — the standard LSH granularity/recall trade, identical
+  // in kind to raising the plane count; q205/q207 stay as the uncapped
+  // baselines.
+  private val BucketCap = ScaledTargetDepth // 25 — see exercise note above
+  private val MaxExtraPlanes = 6 // cap·2^6 = 1600 per-base-bucket ceiling
+
+  private def cappedBuckets(s: SparkSession, dir: String): DataFrame = {
+    val n = load(s, dir, "embeddings").count() // metadata-only count
+    val planes = graft.ops.AnnIndex.scaledPlaneCount(n, AnnPlanes, ScaledTargetDepth)
+    require(planes <= MaxScaledPlanes,
+      s"corpus of $n embeddings needs $planes planes > MaxScaledPlanes=" +
+        s"$MaxScaledPlanes — raise the cap (and the oracle's unrolled bits)")
+    graft.ops.AnnIndex.withCappedBucket(withNorm(s, load(s, dir, "embeddings")),
+      "v", planes, Dims, BucketCap, MaxScaledPlanes, MaxExtraPlanes)
+  }
+
+  private def q208(s: SparkSession, dir: String): DataFrame = {
+    val bucketed = cappedBuckets(s, dir).cache()
+    val a = bucketed.select(col("vec_id").as("src"), col("v").as("va"),
+      col("norm").as("na"), col("bucket"))
+    val edges = a.join(
+        bucketed.select(col("vec_id").as("dst"), col("v").as("vb"),
+          col("norm").as("nb"), col("bucket")), Seq("bucket"))
+      .filter(col("src") < col("dst"))
+      .filter((expr("dot_product(va, vb)") / (col("na") * col("nb"))) >= 0.35)
+      .select(col("bucket").as("cell_id"), col("src"), col("dst"))
+    val members = bucketed.select(col("bucket").as("cell_id"), col("vec_id"))
+    val labeled = graft.ops.ConnectedComponents.labelWithinGroups(members, edges)
+    val sizes = labeled.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "label")
+      .select(col("id").as("vec_id"), col("label").as("cluster_id"),
+        col("cluster_size"), (col("id") === col("label")).as("keep"))
+  }
+
+  /** Multi-probe ANN over capped buckets. Probing stays in BASE space
+    * (home + 1-flip over the ACTIVE base planes); each base probe is
+    * then mapped to ONE refined key using the TARGET bucket's split
+    * depth (from the bucket-size table — n/cap rows, NOT broadcastable
+    * at 100 TB, so an equi-join) and the probing vector's OWN extra
+    * signature: the extra family is one shared hash family, so a vector
+    * near a refined bucket selects the sub-bucket its own extra bits
+    * hash to — the same near-boundary recall argument as base-plane
+    * LSH. Each (a,b) pair still matches through AT MOST one probe
+    * (refined keys inherit distinctness from the pairwise-distinct base
+    * probes), so no pair dedup is needed.
+    */
+  private def q209(s: SparkSession, dir: String): DataFrame = {
+    val planes = graft.ops.AnnIndex.scaledPlaneCount(
+      load(s, dir, "embeddings").count(), AnnPlanes, ScaledTargetDepth)
+    val capped = cappedBuckets(s, dir).cache()
+    val index = capped.select(col("vec_id").as("b_id"), col("v").as("vb"),
+      col("norm").as("nb"), col("bucket").as("b_bucket"))
+    // per-base-bucket split depth; x_extra is constant within a bucket
+    val extras = capped.groupBy(col("base_bucket").as("pb"))
+      .agg(max(col("x_extra")).as("p_extra"))
+    val probes = graft.ops.AnnIndex.withProbeBuckets(
+        capped.select(col("vec_id").as("a_id"), col("v").as("va"),
+          col("norm").as("na"), col("xsig"),
+          col("base_bucket").as("bucket")), planes)
+      // inner join: probes into empty base buckets can match nothing —
+      // dropping them here prunes the refined-key join's probe side
+      .join(extras, col("probe_bucket") === col("pb"))
+      .select(col("a_id"), col("va"), col("na"),
+        (col("probe_bucket") +
+          (col("xsig") % expr("shiftleft(CAST(1 AS BIGINT), p_extra)")) *
+          lit(1L << planes)).as("rp"))
+    val pairs = probes.join(index, col("rp") === col("b_bucket"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
+        (expr("dot_product(va, vb)") / (col("na") * col("nb"))).as("cos_sim"))
+    graft.ops.TopK.perGroup(pairs, Seq("vec_id"),
+      Seq(col("cos_sim").desc, col("neighbor_id").asc), 3, "rank")
+  }
+
+  /** Shared oracle CTE prefix for the capped twins: base signature +
+    * static extra signature, GROUP-BY bucket counts, the count→extra
+    * CASE chain (planeCountSqlGuarded with min=0/target=cap — the
+    * identical integer-threshold function, so DuckDB raises past
+    * cap·2^maxExtra exactly where Spark's assert_true does), and the
+    * refined key. Runtime shift amounts (`<<` by a column) are exact
+    * BIGINT ops in DuckDB.
+    */
+  private lazy val cappedCtes = {
+    val bsql = graft.ops.AnnIndex.bucketSqlGated(
+      "v", MaxScaledPlanes, Dims, "planes")
+    val psql = graft.ops.AnnIndex.planeCountSqlGuarded(
+      "n", AnnPlanes, MaxScaledPlanes, ScaledTargetDepth)
+    val xsql = graft.ops.AnnIndex.signatureSql(
+      "v", MaxScaledPlanes, MaxExtraPlanes, Dims)
+    val esql = graft.ops.AnnIndex.planeCountSqlGuarded(
+      "c", 0, MaxExtraPlanes, BucketCap)
+    s"""e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+      |  FROM embeddings),
+      |params AS (
+      |  SELECT $psql AS planes
+      |  FROM (SELECT COUNT(*) AS n FROM embeddings)),
+      |based AS (
+      |  SELECT vec_id, v, norm, $bsql AS bucket, $xsql AS xsig
+      |  FROM e CROSS JOIN params),
+      |bsz AS (
+      |  SELECT bucket, $esql AS extra
+      |  FROM (SELECT bucket, COUNT(*) AS c FROM based GROUP BY 1)),
+      |refined AS (
+      |  SELECT b.vec_id, b.v, b.norm, b.xsig,
+      |    b.bucket + (b.xsig % (CAST(1 AS BIGINT) << s.extra))
+      |             * (CAST(1 AS BIGINT) << planes) AS bucket
+      |  FROM based b JOIN bsz s ON b.bucket = s.bucket CROSS JOIN params)""".stripMargin
+  }
+
+  private lazy val q208Sql =
+    s"""WITH $cappedCtes,
+      |sem_edges AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst
+      |  FROM refined a JOIN refined b
+      |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |  WHERE LIST_DOT_PRODUCT(a.v, b.v) / (a.norm * b.norm) >= 0.35),
+      |und AS (SELECT src, dst FROM sem_edges
+      |  UNION ALL SELECT dst, src FROM sem_edges),
+      |${OracleCc.cc("SELECT vec_id AS id, vec_id AS label FROM embeddings", "und")},
+      |sizes AS (
+      |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      |  FROM comp GROUP BY 1)
+      |SELECT c.id AS vec_id, c.cluster_id, s.cluster_size,
+      |  (c.id = c.cluster_id) AS keep
+      |FROM comp c JOIN sizes s USING (cluster_id)""".stripMargin
+
+  private lazy val q209Sql =
+    s"""WITH $cappedCtes,
+      |probes AS (
+      |  SELECT vec_id, v, norm, xsig,
+      |    UNNEST(LIST_PREPEND(bucket, LIST_TRANSFORM(RANGE(0, planes),
+      |      p -> XOR(bucket, CAST(1 AS BIGINT) << p)))) AS pb
+      |  FROM based CROSS JOIN params),
+      |rprobes AS (
+      |  SELECT p.vec_id, p.v, p.norm,
+      |    p.pb + (p.xsig % (CAST(1 AS BIGINT) << s.extra))
+      |         * (CAST(1 AS BIGINT) << planes) AS probe_bucket
+      |  FROM probes p JOIN bsz s ON p.pb = s.bucket CROSS JOIN params),
+      |pairs AS (
+      |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+      |    LIST_DOT_PRODUCT(a.v, b.v) / (a.norm * b.norm) AS cos_sim
+      |  FROM rprobes a JOIN refined b
+      |    ON a.probe_bucket = b.bucket AND a.vec_id <> b.vec_id),
+      |ranked AS (
+      |  SELECT vec_id, neighbor_id, cos_sim,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+      |  FROM pairs)
+      |SELECT vec_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 3""".stripMargin
 
   // q37 — array/higher-order-function battery over embeddings:
   // size/element access/slice/min/max/count-by-predicate/sort. All
