@@ -123,8 +123,12 @@ object AnnIndex {
     withBucket(df, vecCol, planes, dims)
       .withColumnRenamed("bucket", "base_bucket")
       .withColumn("xsig", signatureCol(vecCol, extraBase, maxExtra, dims))
-      .withColumn("x_extra",
-        extraPlanesCol(count(lit(1)).over(w), cap, maxExtra))
+      // materialize the count ONCE: handing the window expression to
+      // every CASE branch of extraPlanesCol makes the Window operator
+      // carry one aggregate buffer per branch (_we0.._we6 in the plan)
+      .withColumn("bucket_c", count(lit(1)).over(w))
+      .withColumn("x_extra", extraPlanesCol(col("bucket_c"), cap, maxExtra))
+      .drop("bucket_c")
       .withColumn("bucket",
         col("base_bucket") +
           (col("xsig") % expr(s"shiftleft(CAST(1 AS BIGINT), x_extra)")) *

@@ -1428,17 +1428,27 @@ object SimilarityOps {
     // per-base-bucket split depth; x_extra is constant within a bucket
     val extras = capped.groupBy(col("base_bucket").as("pb"))
       .agg(max(col("x_extra")).as("p_extra"))
-    val probes = graft.ops.AnnIndex.withProbeBuckets(
-        capped.select(col("vec_id").as("a_id"), col("v").as("va"),
-          col("norm").as("na"), col("xsig"),
+    // The extras join runs on a SLIM key frame — (a_id, xsig,
+    // probe_bucket), three longs per probe — NOT the fat frame carrying
+    // the 64-dim query vector: at sf30 the fat form cost a second
+    // multi-GB exchange+sort of the probe side (SMJ on probe_bucket,
+    // then again on rp — measured 2.5× q205's wall same-boot, r14).
+    // The vector columns re-attach by a_id (9.6M slim × n fat rows)
+    // BEFORE the one unavoidable fat exchange on the refined key, so
+    // the capped path pays the same single fat probe shuffle as q205.
+    val slimProbes = graft.ops.AnnIndex.withProbeBuckets(
+        capped.select(col("vec_id").as("a_id"), col("xsig"),
           col("base_bucket").as("bucket")), planes)
       // inner join: probes into empty base buckets can match nothing —
       // dropping them here prunes the refined-key join's probe side
       .join(extras, col("probe_bucket") === col("pb"))
-      .select(col("a_id"), col("va"), col("na"),
+      .select(col("a_id"),
         (col("probe_bucket") +
           (col("xsig") % expr("shiftleft(CAST(1 AS BIGINT), p_extra)")) *
           lit(1L << planes)).as("rp"))
+    val probes = slimProbes.join(
+      capped.select(col("vec_id").as("a_id"), col("v").as("va"),
+        col("norm").as("na")), "a_id")
     val pairs = probes.join(index, col("rp") === col("b_bucket"))
       .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
