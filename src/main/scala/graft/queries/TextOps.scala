@@ -2376,20 +2376,41 @@ object TextOps {
   // 1-in-4 probe (smaller endpoint doc_a % 4 = 0 — the q146/q87
   // pattern). n_probe is published so the stats' support is explicit;
   // the curve's monotone shape is sampling-invariant.
+  //
+  // Pair dedup is MAP-SIDE (r14): a pair colliding in k of the 4 bands
+  // used to be deduped by a groupBy(doc_a, doc_b) — at sf10-organic
+  // that exchange is ~2.2B joined rows (~90 GB shuffle write) and
+  // filled the sandbox disk where the banded JOIN itself is tiny (the
+  // exchange is n·4 rows; the blow-up happens in-stage). Both sides
+  // carry the full signature, so "is band_idx the FIRST band this pair
+  // collides in" is a per-row bit test on the XOR — each pair survives
+  // from exactly one band and the pair-level exchange (and the cache
+  // that existed to avoid recomputing it) disappears. The two
+  // consumers re-run the band join instead: each pass is pipelined
+  // scan→join→filter→partial-agg with zero pair-level spill, the right
+  // trade at any corpus size (q61 keeps its groupBy form deliberately:
+  // it publishes n_shared_bands, which needs the multi-band rows).
   private def q168(s: SparkSession, dir: String): DataFrame = {
     val banded = simhashed(s, dir)
       .select(col("doc_id"), col("simhash"),
         posexplode(array((0 to 3).map(i =>
           shiftright(col("simhash"), i * 15).bitwiseAND(lit(32767L))): _*))
           .as(Seq("band_idx", "band_val")))
+    val x = col("a.simhash").bitwiseXOR(col("b.simhash"))
+    val firstCollidingBand = (0 to 3).map { i =>
+      (col("a.band_idx") === i) &&
+        (0 until i).map(j =>
+          shiftright(x, j * 15).bitwiseAND(lit(32767L)) =!= lit(0L))
+          .foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val") &&
         col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(first(expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)"))
-        .as("hamming"))
-      .cache() // consumed twice: full counts + probe stats (272k narrow rows)
+      .filter(firstCollidingBand)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)")
+          .as("hamming"))
     val shs = docs(s, dir)
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
