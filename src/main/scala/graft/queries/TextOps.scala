@@ -2417,9 +2417,21 @@ object TextOps {
       .select(col("doc_id"), expr("array_distinct(shingles(w, 3))").as("sh"))
     val counts = cand.groupBy(col("hamming"))
       .agg(count(lit(1)).as("n_pairs"))
+    // broadcast the shingle side: the probe stream (pairs/4 rows) must
+    // NOT exchange — a sort-merge join sorts it, and at sf10-organic
+    // that sort alone spilled ~40 GB (measured r14; the probe stream is
+    // ~550M rows there). The dictionary side is n_docs × ~60 ints
+    // (~150 MB at 500k docs) — broadcast keeps every probe row
+    // in-stage, so the only exchanges left in q168 are the n×4 banded
+    // rows and the 61-key hamming aggs. Past O(10M) docs the broadcast
+    // no longer fits and the join reverts to shuffle — at that scale
+    // the right form is bucketing both sides on doc id, not a sort of
+    // the pair stream.
     val stats = cand.filter(col("doc_a") % 4 === 0)
-      .join(shs.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
-      .join(shs.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .join(broadcast(
+        shs.select(col("doc_id").as("doc_a"), col("sh").as("sa"))), "doc_a")
+      .join(broadcast(
+        shs.select(col("doc_id").as("doc_b"), col("sh").as("sb"))), "doc_b")
       .withColumn("common", expr("CAST(size(array_intersect(sa, sb)) AS BIGINT)"))
       .withColumn("jac_permille",
         expr("common * 1000 div (size(sa) + size(sb) - common)"))
