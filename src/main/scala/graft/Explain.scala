@@ -22,6 +22,11 @@ object Explain {
       // collect-scale: debug-tool — Explain is a plan-dump CLI, not a query path
       df.collect() // finalize AQE so the printed plan is the executed one
       println(s"===== $n =====")
+      // both renderings: the tree (executed, post-AQE) and the numbered
+      // formatted mode (PushedFilters/ReadSchema/codegen ids) — the
+      // round-14 plan-evidence files commit the latter
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
       println(df.queryExecution.executedPlan.toString)
     }
     spark.stop()

@@ -1586,28 +1586,52 @@ object TextOps {
       .agg(min(col("h0")).as("sig0"), As.indices.drop(1).map(i =>
         min(col(s"h$i")).as(s"sig$i")): _*)
       .cache()
-    LshConfigs.map { case (b, r) =>
-      val stacked = (0 until b).map { j =>
-        sigs.select(col("doc_id"), lit(j).as("band"),
-          concat_ws("|", (0 until r).map(i => col(s"sig${j * r + i}")): _*).as("key"))
-      }.reduce(_ unionByName _)
-      val cand = stacked.filter(col("doc_id") % 5 === 0).as("x")
-        .join(stacked.as("y"),
-          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct().cache()
-      cand.agg(count(lit(1)).as("n_candidates"))
-        // cross-scale: scalar-frames — 1-row aggs on both sides
-        .crossJoin(cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
-          .agg(count(lit(1)).as("n_hits")))
-        .crossJoin(broadcast(nTruth))
-        .select(lit(s"b${b}r$r").as("config"),
-          lit(b.toLong).as("n_bands"), lit(r.toLong).as("rows_per_band"),
-          col("n_candidates"), col("n_truth"), col("n_hits"),
-          expr("n_hits * 1000 div NULLIF(n_truth, 0)").as("recall_permille"),
-          expr("n_hits * 1000 div NULLIF(n_candidates, 0)").as("precision_permille"))
-    }.reduce(_ unionByName _)
+    // ONE stacked frame across every (config, band): a single inline()
+    // projection over the cached sigs replaces the former per-config
+    // union pyramid (Σb = 15 unionByName branches feeding 4 separate
+    // self-joins — a 2.1 MB physical plan whose planning/codegen cost
+    // rivaled its data work at bench scale, guide §3.3 "very wide
+    // unions produce enormous plans"). Same 15n stacked rows, but one
+    // self-join keyed (config, band, key), one distinct, one cache —
+    // the r14 plan is ~40× smaller and carries 2 exchanges where the
+    // union form carried one per config. Row-set identical (the meta
+    // left-join + COALESCE mirrors the oracle's own shape, including
+    // the n_candidates=0 row a config with no collisions publishes).
+    val bandStructs = LshConfigs.flatMap { case (b, r) =>
+      (0 until b).map { j =>
+        val key = (0 until r).map(i => s"sig${j * r + i}").mkString(", ")
+        s"named_struct('config', 'b${b}r$r', 'band', $j, " +
+          s"'key', concat_ws('|', $key))"
+      }
+    }.mkString(", ")
+    val stacked = sigs.select(col("doc_id"),
+      expr(s"inline(array($bandStructs))"))
+    val cand = stacked.filter(col("doc_id") % 5 === 0).as("x")
+      .join(stacked.as("y"),
+        col("x.config") === col("y.config") && col("x.band") === col("y.band") &&
+          col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.config").as("config"),
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct().cache()
+    val nCand = cand.groupBy(col("config")).agg(count(lit(1)).as("n_candidates"))
+    val nHits = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy(col("config")).agg(count(lit(1)).as("n_hits"))
+    import s.implicits._
+    val meta = LshConfigs
+      .map { case (b, r) => (s"b${b}r$r", b.toLong, r.toLong) }
+      .toDF("config", "n_bands", "rows_per_band")
+    meta
+      .join(nCand, Seq("config"), "left")
+      .join(nHits, Seq("config"), "left")
+      .crossJoin(broadcast(nTruth))
+      .select(col("config"), col("n_bands"), col("rows_per_band"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("n_truth"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .select(col("config"), col("n_bands"), col("rows_per_band"),
+        col("n_candidates"), col("n_truth"), col("n_hits"),
+        expr("n_hits * 1000 div NULLIF(n_truth, 0)").as("recall_permille"),
+        expr("n_hits * 1000 div NULLIF(n_candidates, 0)").as("precision_permille"))
   }
   private lazy val q146Sql = {
     val sigCols = As.indices.map { i =>
