@@ -42,6 +42,19 @@ object ConnectedComponents {
     * to the next one (monotone — labels only decrease); iterate with
     * path compression until the label sum stops changing.
     */
+  /** Path compression — label(x) ← min(label(x), label(label(x))).
+    * Labels are always ids of component members, so the lookup stays
+    * inside the component; chasing one extra hop per round turns
+    * diameter-bound convergence into O(log diameter)-ish, for the
+    * price of one small self-join of the label table.
+    */
+  private def compress(labels: DataFrame): DataFrame =
+    labels.as("a")
+      .join(labels.select(col("id").as("lid"), col("label").as("llabel")),
+        col("a.label") === col("lid"), "left")
+      .select(col("a.id").as("id"),
+        least(col("a.label"), coalesce(col("llabel"), col("a.label"))).as("label"))
+
   private def fixpoint(
       init: DataFrame, step: DataFrame => DataFrame, maxRounds: Int): DataFrame = {
     def labelSum(df: DataFrame): java.math.BigDecimal =
@@ -52,18 +65,7 @@ object ConnectedComponents {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val propagated = step(labels)
-      // Path compression — label(x) ← min(label(x), label(label(x))).
-      // Labels are always ids of component members, so the lookup stays
-      // inside the component; chasing one extra hop per round turns
-      // diameter-bound convergence into O(log diameter)-ish, for the
-      // price of one small self-join of the label table.
-      val next = propagated.as("a")
-        .join(propagated.select(col("id").as("lid"), col("label").as("llabel")),
-          col("a.label") === col("lid"), "left")
-        .select(col("a.id").as("id"),
-          least(col("a.label"), coalesce(col("llabel"), col("a.label"))).as("label"))
-        .localCheckpoint()
+      val next = compress(step(labels)).localCheckpoint()
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -93,16 +95,24 @@ object ConnectedComponents {
     */
   def labelViaBuckets(members: DataFrame, maxRounds: Int = 50): DataFrame = {
     val mem = members.select(col("id"), col("bucket")).localCheckpoint()
-    val init = mem.select(col("id")).distinct().withColumn("label", col("id"))
-    fixpoint(init, labels => {
-      val bucketMin = mem.join(labels, "id")
+    // r14, two join eliminations with the identical fixpoint:
+    //  - the old per-round label-update join (labels ⋈ viaBuckets +
+    //    least/coalesce) is REDUNDANT in the membership form — every id
+    //    is a member of each of its own buckets, so min-over-its-buckets
+    //    of bmin is already ≤ the id's current label, and the propagate
+    //    output IS the next label table;
+    //  - round 1's mem ⋈ labels is an identity join (labels = ids), so
+    //    that round runs join-free and SEEDS the fixpoint — it pays the
+    //    same compression hop the in-loop rounds do, making the seed
+    //    byte-equal to the old round-1 output.
+    def propagate(memLabeled: DataFrame): DataFrame = {
+      val bucketMin = memLabeled
         .groupBy(col("bucket")).agg(min(col("label")).as("bmin"))
-      val viaBuckets = mem.join(bucketMin, "bucket")
-        .groupBy(col("id")).agg(min(col("bmin")).as("nbr_min"))
-      labels.join(viaBuckets, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-    }, maxRounds)
+      mem.join(bucketMin, "bucket")
+        .groupBy(col("id")).agg(min(col("bmin")).as("label"))
+    }
+    val seed = compress(propagate(mem.withColumn("label", col("id"))))
+    fixpoint(seed, labels => propagate(mem.join(labels, "id")), maxRounds)
   }
 
   /** Components of a graph whose edges are CONFINED to disjoint groups:
