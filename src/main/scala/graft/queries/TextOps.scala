@@ -2653,15 +2653,23 @@ object TextOps {
         Window.partitionBy(col("cluster_id"))
           .orderBy(col("ttr").desc, col("n_chars").desc, col("doc_id").asc)))
       .filter(col("rn") === 1).drop("rn"))
-    val sh = docs(s, dir)
-      .select(col("doc_id"), (h60(col("text")) % 100).as("bucket"),
-        words(col("text")).as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), col("bucket"),
-        explode(expr("array_distinct(shingles(w, 3))")).as("shingle"))
-    val te = sh.filter(col("bucket") >= 90)
+    // r14, join-before-explode (guide §3.3): the old form shingled and
+    // EXPLODED the full corpus, shuffled that ~60×-wider stream into the
+    // keep3 join, and only then dropped non-survivors. Each consumer now
+    // shingles only the docs it needs — the held-out bucket (te, ~10%)
+    // and the keep3 survivors (ratios) — so no shuffle ever carries a
+    // non-survivor's shingles and ShinglesExpr runs on a fraction of the
+    // corpus. Result-identical: an inner join on doc_id commutes with
+    // the per-row shingle explode.
+    def shingleStream(d: DataFrame): DataFrame =
+      d.select(col("doc_id"), words(col("text")).as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"),
+          explode(expr("array_distinct(shingles(w, 3))")).as("shingle"))
+    val te = shingleStream(docs(s, dir).filter((h60(col("text")) % 100) >= 90))
       .select(col("shingle")).distinct().withColumn("hit", lit(1L))
-    val ratios = sh.join(keep3.select(col("doc_id")), "doc_id")
+    val ratios = shingleStream(
+        docs(s, dir).join(keep3.select(col("doc_id")), "doc_id"))
       .join(broadcast(te), Seq("shingle"), "left")
       .groupBy(col("doc_id"))
       .agg(expr("sum(coalesce(hit, 0L)) * 1000 div count(1)").as("ratio"))
