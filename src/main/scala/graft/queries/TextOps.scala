@@ -3963,15 +3963,21 @@ object TextOps {
           .as("contrib"))
       .groupBy(col("q"), col("doc_id"))
       .agg(sum(col("contrib")).as("score")), Set("cache"))
-    val tscore = scored.join(truth,
-        scored("q") === truth("q") && col("doc_id") === col("truth_id"))
-      .select(scored("q"), col("truth_id"), col("score").as("ts"))
-    val better = scored.join(tscore, Seq("q"))
-      .filter(col("score") > col("ts") ||
-        (col("score") === col("ts") && col("doc_id") < col("truth_id")))
-      .groupBy(col("q")).agg(count(lit(1)).as("nb"))
-    val ranks = tscore.join(better, Seq("q"), "left")
-      .select(col("q"), (coalesce(col("nb"), lit(0L)) + 1L).as("rank"))
+    // r14: the truth row's rank IS its row_number in (score desc,
+    // doc_id asc) order — one window over scored replaces the old
+    // tscore join + better join + groupBy chain, which consumed scored
+    // TWICE (and under the default no-storage arm recomputed its whole
+    // BM25 subtree per consumer). Tie semantics identical: the old
+    // count of {score > ts OR (score = ts AND doc_id < truth_id)} + 1
+    // is exactly row_number under this ordering; a truth doc absent
+    // from scored yields no rank row in both forms.
+    val ranks = scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q"))
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .join(truth.withColumnRenamed("q", "tq"),
+        col("q") === col("tq") && col("doc_id") === col("truth_id"))
+      .select(col("q"), col("rk").cast("long").as("rank"))
     qids.select(col("q"))
       .join(truth, Seq("q"), "left")
       .join(ranks, Seq("q"), "left")
