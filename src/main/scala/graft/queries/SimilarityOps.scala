@@ -440,10 +440,16 @@ object SimilarityOps {
 
   /** Exact integer L2² between 8-dim subvectors `qv`/`qc` at subspace
     * `sub` (columns must carry those names). */
-  private val pqD2Expr =
-    "aggregate(sequence(1, 8), CAST(0 AS BIGINT), (acc, j) -> acc + " +
-      "CAST(element_at(qv, sub * 8 + j) - element_at(qc, sub * 8 + j) AS BIGINT) * " +
-      "CAST(element_at(qv, sub * 8 + j) - element_at(qc, sub * 8 + j) AS BIGINT))"
+  // Unrolled to 8 explicit terms (r14): the aggregate(sequence(1,8), …)
+  // HOF form evaluated an interpreted lambda frame per element on the
+  // ×16-centroid ×8-subspace fan-out — the hottest row stream in the PQ
+  // family (n·128 rows) — while the unrolled sum is plain whole-stage-
+  // codegen arithmetic (the ShinglesExpr lesson applied to a fold).
+  // Identical integer result, term for term.
+  private val pqD2Expr = (1 to 8).map { j =>
+    s"CAST(element_at(qv, sub * 8 + $j) - element_at(qc, sub * 8 + $j) AS BIGINT) * " +
+      s"CAST(element_at(qv, sub * 8 + $j) - element_at(qc, sub * 8 + $j) AS BIGINT)"
+  }.mkString("(", " + ", ")")
 
   /** Distances from every row of `q` to all 16 codebook entries in all 8
     * subspaces: (vec_id, cid, sub, d2). */
