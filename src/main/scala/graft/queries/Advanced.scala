@@ -456,7 +456,12 @@ object Advanced {
       .withColumn("totw", sum(col("wv")).over(tot))
       .groupBy(col("flag"))
       .agg(max(col("totw")).as("total_weight"),
-        countDistinct(col("cents")).as("n_values"),
+        // r14: the input is one row per (flag, cents) BY CONSTRUCTION
+        // (the byVal groupBy), so COUNT(*) equals COUNT(DISTINCT cents)
+        // — and dropping the distinct removes the Expand that doubled
+        // every row through this aggregate (distinct-agg machinery for
+        // a stream that is already distinct).
+        count(lit(1)).as("n_values"),
         min(when(col("cumw") * 4 >= col("totw"), col("cents")))
           .as("wp25_cents"),
         min(when(col("cumw") * 2 >= col("totw"), col("cents")))
