@@ -668,15 +668,20 @@ object TextOps {
     * deterministic 3-term query — (doc_id, bm25_scaled, n_terms).
     */
   private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    // r14: dl and the query-term counts are derivable from tf (sum of
+    // per-doc term counts ≡ token count), so the raw exploded token
+    // stream has ONE consumer (the tf build) and no longer needs to be
+    // cached/materialized at all — every downstream read runs over the
+    // ~|doc × distinct-term| tf table instead of the corpus token
+    // stream. Identical integers, fewer bytes through every pass.
     val toks = docs(s, dir)
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
-      .cache() // read 3x: tf build, dl build, query-term selection
     val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf")).cache()
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       expr("sum(dl) div count(1)").as("avgdl"))
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val query = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val query = tf.groupBy(col("w")).agg(sum(col("tf")).as("cnt"))
       .orderBy(col("cnt").desc, col("w").asc).limit(3).select(col("w"))
     tf.join(broadcast(query), Seq("w"))
       .join(broadcast(dfreq.join(broadcast(query), Seq("w"))), Seq("w"))
