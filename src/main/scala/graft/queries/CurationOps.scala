@@ -468,6 +468,11 @@ object CurationOps {
       .filter(col("a.user_id") < col("b.user_id"))
       .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
       .distinct()
+      // r14: four consumers (deg twice via the union, the wedge-closing
+      // semi-join, n_edges) each re-derived the window + group self-join
+      // + distinct subtree, leaning on AQE exchange reuse; caching the
+      // normalized edge list (2 longs/row) shares it outright
+      .cache()
     val deg = edges.select(col("u").as("n")).union(edges.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val oriented = edges
